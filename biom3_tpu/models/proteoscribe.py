@@ -1,0 +1,162 @@
+"""Stage-3 ProteoScribe: conditional any-order discrete-diffusion transformer.
+
+TPU-native re-design of the reference graph
+(``Stage3_source/cond_diff_transformer_layer.py:47-176``):
+
+  * token embedding (29 → 512) + axial positional embedding factorized as two
+    learned tables (L/W, dim) + (W, dim) summed (the lucidrains
+    ``AxialPositionalEmbedding`` with axial_shape=(8,128), summed mode),
+  * sinusoidal time embedding (rescale 4000) → MLP → one 512-d bias per layer,
+  * conditioning z_c (512) → MLP → one 512-d bias per layer,
+  * ``depth`` pre-norm transformer layers, each with 16 heads split
+    8 local-window (W=128, ±1 window) + 8 global linear-attention heads,
+    followed by a pre-norm FF (512→2048→512, exact GELU),
+  * final LayerNorm + Linear → 29 logits.
+
+The reference stacks 16 *depth-1* ``LinearAttentionTransformer`` modules and
+adds the per-layer time/cond biases between them; here the whole stack is a
+single scanned/unrolled Flax module.  Layer math matches
+``linear_attention_transformer==0.19.1`` exactly (q/k/v projections without
+bias, output projection with bias, residuals applied outside pre-norm).
+
+Output logits are returned as (B, L, C) — the natural TPU layout.  Use
+``logits.transpose(0, 2, 1)`` for the reference's (B, C, L) convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.ops.linear_attention import linear_attention
+from biom3_tpu.ops.local_attention import local_window_attention
+
+
+def sinusoidal_time_embedding(
+    t: jax.Array, dim: int, num_steps: float, rescale_steps: float = 4000.0
+) -> jax.Array:
+    """Time embedding; ref SinusoidalPosEmb (cond_diff_transformer_layer.py:10-42)."""
+    t = t.astype(jnp.float32) / num_steps * rescale_steps
+    half = dim // 2
+    freq = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1)))
+    ang = t[:, None] * freq[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class SplitHeadAttention(nn.Module):
+    """16-head self-attention: first ``local_heads`` heads use windowed
+    attention, the rest use linear attention (head order matters for weight
+    conversion; lucidrains splits q/k/v with local heads first)."""
+
+    config: ProteoScribeConfig
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        B, L, _ = x.shape
+        H, Dh = cfg.heads, cfg.head_dim
+
+        def proj(name):
+            return nn.Dense(cfg.dim, use_bias=False, name=name)(x)
+
+        q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
+        split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        nl = cfg.local_heads
+        outs = []
+        if nl > 0:
+            outs.append(
+                local_window_attention(
+                    q[:, :nl], k[:, :nl], v[:, :nl],
+                    window=cfg.local_window, impl=self.attn_impl,
+                )
+            )
+        if cfg.global_heads > 0:
+            outs.append(linear_attention(q[:, nl:], k[:, nl:], v[:, nl:]))
+        out = jnp.concatenate(outs, axis=1)  # (B, H, L, Dh), local heads first
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, cfg.dim)
+        return nn.Dense(cfg.dim, use_bias=True, name="to_out")(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-norm attention + pre-norm FF with residuals
+    (linear_attention_transformer SequentialSequence semantics)."""
+
+    config: ProteoScribeConfig
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = nn.LayerNorm(name="attn_norm")(x)
+        x = x + SplitHeadAttention(cfg, self.attn_impl, name="attn")(h)
+        h = nn.LayerNorm(name="ff_norm")(x)
+        h = nn.Dense(cfg.dim * cfg.ff_mult, name="ff_w1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.dim, name="ff_w2")(h)
+        return x + h
+
+
+class ConditioningMLP(nn.Module):
+    """512 → 4·512 → softplus → dim · n_layers (per-layer additive biases);
+    ref y_mlp / time mlp (cond_diff_transformer_layer.py:93-105)."""
+
+    config: ProteoScribeConfig
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        cfg = self.config
+        n_layers = cfg.n_blocks * cfg.depth
+        h = nn.Dense(cfg.dim * 4, name="fc1")(z)
+        h = jax.nn.softplus(h)
+        h = nn.Dense(cfg.dim * n_layers, name="fc2")(h)
+        return h.reshape(*z.shape[:-1], cfg.dim, cfg.n_blocks, cfg.depth)
+
+
+class ProteoScribe(nn.Module):
+    """forward(x (B,L) int, t (B,) int, z_c (B,cond_dim)) → logits (B,L,C)."""
+
+    config: ProteoScribeConfig
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, z_c: jax.Array) -> jax.Array:
+        cfg = self.config
+        B, L = x.shape
+
+        tok = nn.Embed(cfg.num_classes, cfg.dim, name="tok_emb")(x.astype(jnp.int32))
+
+        # axial positional embedding: two summed tables (ref axial_shape=(L/W, W))
+        n_rows = cfg.max_seq_len // cfg.local_window
+        ax_row = self.param(
+            "ax_row", nn.initializers.normal(1.0), (n_rows, cfg.dim), jnp.float32
+        )
+        ax_col = self.param(
+            "ax_col", nn.initializers.normal(1.0), (cfg.local_window, cfg.dim), jnp.float32
+        )
+        pos = (ax_row[:, None, :] + ax_col[None, :, :]).reshape(cfg.max_seq_len, cfg.dim)
+        x_embed = tok + pos[None, :L, :].astype(tok.dtype)
+
+        t_emb = sinusoidal_time_embedding(
+            t, cfg.dim, float(cfg.num_timesteps), cfg.rescale_steps
+        )
+        time_bias = ConditioningMLP(cfg, name="time_mlp")(t_emb)   # (B, dim, nb, depth)
+        cond_bias = ConditioningMLP(cfg, name="y_mlp")(z_c)        # (B, dim, nb, depth)
+
+        h = jnp.zeros_like(x_embed)
+        for bi in range(cfg.n_blocks):
+            h = h + x_embed
+            for li in range(cfg.depth):
+                bias = time_bias[..., bi, li] + cond_bias[..., bi, li]  # (B, dim)
+                h = TransformerLayer(
+                    cfg, self.attn_impl, name=f"layer_{bi}_{li}"
+                )(h + bias[:, None, :])
+
+        h = nn.LayerNorm(name="final_norm")(h)
+        return nn.Dense(cfg.num_classes, name="out_proj")(h)

@@ -1,0 +1,40 @@
+"""Full softmax attention with optional padding mask and f32 accumulation.
+
+Used by the Stage-1 towers (ESM2 / BERT); on TPU the flash-attention Pallas
+kernel in ``biom3_tpu.ops.pallas.flash_attention_tpu`` replaces this for long
+sequences, with identical numerics up to f32 accumulation order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def full_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    padding_mask: jax.Array | None = None,
+    scale: float | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """q, k, v: (..., H, L, D); padding_mask: (..., L) True at PAD positions.
+
+    Softmax is computed in float32 (both fair-esm and HF BERT upcast the
+    softmax; ref: Stage1_source/model.py towers are fp32 on the demo path).
+    """
+    D = q.shape[-1]
+    scale = D ** -0.5 if scale is None else scale
+    logits = jnp.einsum("...id,...jd->...ij", q, k, precision=precision)
+    logits = logits.astype(jnp.float32) * scale
+    if padding_mask is not None:
+        # broadcast over heads and query positions: mask key positions
+        logits = jnp.where(
+            padding_mask[..., None, None, :], NEG_INF, logits
+        )
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("...ij,...jd->...id", attn, v, precision=precision)

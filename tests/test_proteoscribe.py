@@ -1,0 +1,165 @@
+"""ProteoScribe model parity (vs torch golden) + OA-ARDM + sampler tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.diffusion.oa_ardm import (
+    mask_realizations,
+    oa_ardm_loss,
+    sample_random_paths,
+    sample_timesteps,
+)
+from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+from biom3_tpu.io.convert import proteoscribe_params_from_torch
+from biom3_tpu.models.proteoscribe import ProteoScribe
+
+SMALL = ProteoScribeConfig(
+    num_classes=29, dim=64, depth=3, n_blocks=1, heads=4, local_heads=2,
+    local_window=32, max_seq_len=128, num_timesteps=128, cond_dim=48,
+)
+
+
+@pytest.fixture(scope="module")
+def golden_pair():
+    """(torch model, flax params) with identical random weights."""
+    import torch
+    import torch_golden
+
+    torch.manual_seed(1)
+    tm = torch_golden.GoldenDiffTransformer(
+        num_classes=SMALL.num_classes, dim=SMALL.dim, depth=SMALL.depth,
+        n_blocks=SMALL.n_blocks, max_seq_len=SMALL.max_seq_len,
+        num_timesteps=SMALL.num_timesteps, heads=SMALL.heads,
+        n_local_attn_heads=SMALL.local_heads,
+        local_attn_window_size=SMALL.local_window, cond_dim=SMALL.cond_dim,
+    )
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = proteoscribe_params_from_torch(sd, SMALL)
+    return tm, params
+
+
+def test_forward_parity_with_torch(golden_pair, rng):
+    import torch
+
+    tm, params = golden_pair
+    B, L = 2, SMALL.max_seq_len
+    x = rng.integers(0, SMALL.num_classes, (B, L)).astype(np.int32)
+    t = np.array([3, 100], np.int32)
+    y_c = rng.standard_normal((B, SMALL.cond_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(
+            torch.from_numpy(x), torch.from_numpy(t.astype(np.float32)),
+            torch.from_numpy(y_c),
+        ).numpy()  # (B, C, L)
+
+    model = ProteoScribe(SMALL)
+    out = model.apply(params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y_c))
+    out_bcl = np.asarray(out).transpose(0, 2, 1)
+    np.testing.assert_allclose(out_bcl, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_oa_ardm_masking_semantics():
+    key = jax.random.key(0)
+    B, L = 4, 64
+    path = sample_random_paths(key, B, L)
+    # each row is a permutation
+    assert (np.sort(np.asarray(path), axis=1) == np.arange(L)).all()
+    t = jnp.array([0, 10, 64, 32], jnp.int32)
+    real = jnp.ones((B, L), jnp.int32) * 5
+    masked = mask_realizations(real, path, t)
+    counts = np.asarray((masked != 0).sum(axis=1))
+    np.testing.assert_array_equal(counts, [0, 10, 64, 32])
+
+
+def test_oa_ardm_loss_matches_manual():
+    B, L, C = 2, 8, 5
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((B, L, C)).astype(np.float32)
+    real = rng.integers(1, C, (B, L)).astype(np.int32)
+    path = np.stack([np.random.default_rng(i).permutation(L) for i in range(B)])
+    t = np.array([2, 7], np.int32)
+    masked = np.where(path < t[:, None], real, 0)
+
+    # manual torch-style computation
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    logp = np.log(e / e.sum(-1, keepdims=True))
+    lp_true = np.take_along_axis(logp, real[..., None], -1)[..., 0]
+    per_row = (lp_true * (masked == 0)).sum(-1) / (L - t + 1)
+    expected = -per_row.mean()
+
+    loss = oa_ardm_loss(
+        jnp.asarray(logits), jnp.asarray(real), jnp.asarray(masked), jnp.asarray(t)
+    )
+    assert float(loss) == pytest.approx(float(expected), rel=1e-5)
+
+
+def test_timestep_range():
+    t = sample_timesteps(jax.random.key(1), 4096, 16)
+    t = np.asarray(t)
+    assert t.min() >= 0 and t.max() <= 16
+    assert (t == 16).any()  # inclusive upper bound (ref randint high=L+1)
+
+
+def _tiny_model_and_params():
+    cfg = ProteoScribeConfig(
+        num_classes=29, dim=32, depth=2, n_blocks=1, heads=4, local_heads=2,
+        local_window=16, max_seq_len=64, num_timesteps=64, cond_dim=16,
+    )
+    model = ProteoScribe(cfg)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 16)),
+    )
+    return cfg, model, params
+
+
+def test_sampler_fills_every_position():
+    cfg, model, params = _tiny_model_and_params()
+    sampler = make_sampler(model.apply, cfg.num_timesteps)
+    B = 3
+    path = sample_permutations(jax.random.key(2), B, cfg.max_seq_len)
+    z_c = jnp.zeros((B, cfg.cond_dim))
+    x = sampler(params, z_c, path, jax.random.key(3))
+    x = np.asarray(x)
+    assert x.shape == (B, cfg.max_seq_len)
+    # every position was denoised: nothing left in the absorbing state ...
+    # unless the model sampled class 0, which random weights make unlikely
+    # for *all* positions; check at least that dtype/range are sane
+    assert x.min() >= 0 and x.max() < cfg.num_classes
+
+
+def test_sampler_temp0_deterministic():
+    cfg, model, params = _tiny_model_and_params()
+    sampler = make_sampler(model.apply, cfg.num_timesteps, temperature=0.0)
+    path = sample_permutations(jax.random.key(4), 2, cfg.max_seq_len)
+    z_c = jnp.zeros((2, cfg.cond_dim))
+    x1 = np.asarray(sampler(params, z_c, path, jax.random.key(0)))
+    x2 = np.asarray(sampler(params, z_c, path, jax.random.key(99)))
+    np.testing.assert_array_equal(x1, x2)  # argmax path ignores the key
+
+
+def test_sampler_legacy_batch_update_unions_positions():
+    """Q5 reproduction: with the legacy flag, rows receive writes at other
+    rows' schedule positions; with the fix they don't."""
+    cfg, model, params = _tiny_model_and_params()
+    L = cfg.max_seq_len
+
+    # adversarial paths: row 0 denoises left-to-right, row 1 right-to-left
+    path = jnp.stack([jnp.arange(L), jnp.arange(L)[::-1]]).astype(jnp.int32)
+    z_c = jnp.zeros((2, cfg.cond_dim))
+
+    fixed = make_sampler(model.apply, 1)  # run a single step
+    legacy = make_sampler(model.apply, 1, legacy_batch_update=True)
+    xf = np.asarray(fixed(params, z_c, path, jax.random.key(0)))
+    xl = np.asarray(legacy(params, z_c, path, jax.random.key(0)))
+
+    # step t=0 positions: row0 → 0, row1 → L-1
+    assert (xf[0, 1:] == 0).all() and (xf[1, :-1] == 0).all()
+    # legacy writes the union {0, L-1} into both rows
+    assert xl[0, L - 1] != 0 or xl[1, 0] != 0
