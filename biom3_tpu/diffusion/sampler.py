@@ -40,6 +40,7 @@ def make_sampler(
     temperature: float = 1.0,
     legacy_batch_update: bool = False,
     return_trajectory: bool = False,
+    chunk_steps: int | None = None,
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -48,7 +49,15 @@ def make_sampler(
     Returns ``sample(params, z_c, path, key) → (B, L) int32`` decode-table ids
     (or ``(final, trajectory)`` with trajectory (T, B, L) when
     ``return_trajectory`` — the reference's animation/analysis surface).
+
+    ``chunk_steps`` splits the trajectory into several device dispatches of
+    that many scan steps each (bounding single-execution wall-clock — some
+    runtimes cap it); one compiled chunk function is reused with a dynamic
+    time offset, so compile cost is unchanged.
     """
+    chunk = chunk_steps or num_steps
+    if num_steps % chunk != 0:
+        raise ValueError(f"num_steps {num_steps} not divisible by chunk {chunk}")
 
     def step(params, z_c, path, carry, t):
         x, key = carry
@@ -69,17 +78,27 @@ def make_sampler(
         x = jnp.where(write, sampled, x)
         return (x, key), (x if return_trajectory else None)
 
-    @functools.partial(jax.jit, static_argnums=())
+    @jax.jit
+    def run_chunk(params, z_c, path, x, key, t0):
+        (x, key), traj = jax.lax.scan(
+            functools.partial(step, params, z_c, path),
+            (x, key),
+            t0 + jnp.arange(chunk, dtype=jnp.int32),
+        )
+        return x, key, traj
+
     def sample(params, z_c, path, key):
         B, L = path.shape
-        x0 = jnp.zeros((B, L), jnp.int32)
-        (x, _), traj = jax.lax.scan(
-            functools.partial(step, params, z_c, path),
-            (x0, key),
-            jnp.arange(num_steps, dtype=jnp.int32),
-        )
+        x = jnp.zeros((B, L), jnp.int32)
+        trajs = []
+        for c in range(num_steps // chunk):
+            x, key, traj = run_chunk(
+                params, z_c, path, x, key, jnp.int32(c * chunk)
+            )
+            if return_trajectory:
+                trajs.append(traj)
         if return_trajectory:
-            return x, traj
+            return x, jnp.concatenate(trajs, axis=0) if len(trajs) > 1 else trajs[0]
         return x
 
     return sample

@@ -54,6 +54,7 @@ class SplitHeadAttention(nn.Module):
 
     config: ProteoScribeConfig
     attn_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -62,7 +63,7 @@ class SplitHeadAttention(nn.Module):
         H, Dh = cfg.heads, cfg.head_dim
 
         def proj(name):
-            return nn.Dense(cfg.dim, use_bias=False, name=name)(x)
+            return nn.Dense(cfg.dim, use_bias=False, name=name, dtype=self.dtype)(x)
 
         q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
         split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
@@ -81,7 +82,7 @@ class SplitHeadAttention(nn.Module):
             outs.append(linear_attention(q[:, nl:], k[:, nl:], v[:, nl:]))
         out = jnp.concatenate(outs, axis=1)  # (B, H, L, Dh), local heads first
         out = out.transpose(0, 2, 1, 3).reshape(B, L, cfg.dim)
-        return nn.Dense(cfg.dim, use_bias=True, name="to_out")(out)
+        return nn.Dense(cfg.dim, use_bias=True, name="to_out", dtype=self.dtype)(out)
 
 
 class TransformerLayer(nn.Module):
@@ -90,16 +91,17 @@ class TransformerLayer(nn.Module):
 
     config: ProteoScribeConfig
     attn_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
-        h = nn.LayerNorm(name="attn_norm")(x)
-        x = x + SplitHeadAttention(cfg, self.attn_impl, name="attn")(h)
+        h = nn.LayerNorm(name="attn_norm")(x)  # norms accumulate in f32
+        x = x + SplitHeadAttention(cfg, self.attn_impl, self.dtype, name="attn")(h)
         h = nn.LayerNorm(name="ff_norm")(x)
-        h = nn.Dense(cfg.dim * cfg.ff_mult, name="ff_w1")(h)
+        h = nn.Dense(cfg.dim * cfg.ff_mult, name="ff_w1", dtype=self.dtype)(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.dim, name="ff_w2")(h)
+        h = nn.Dense(cfg.dim, name="ff_w2", dtype=self.dtype)(h)
         return x + h
 
 
@@ -124,6 +126,7 @@ class ProteoScribe(nn.Module):
 
     config: ProteoScribeConfig
     attn_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, z_c: jax.Array) -> jax.Array:
@@ -155,7 +158,7 @@ class ProteoScribe(nn.Module):
             for li in range(cfg.depth):
                 bias = time_bias[..., bi, li] + cond_bias[..., bi, li]  # (B, dim)
                 h = TransformerLayer(
-                    cfg, self.attn_impl, name=f"layer_{bi}_{li}"
+                    cfg, self.attn_impl, self.dtype, name=f"layer_{bi}_{li}"
                 )(h + bias[:, None, :])
 
         h = nn.LayerNorm(name="final_norm")(h)

@@ -7,6 +7,10 @@ maps on q (over feature dim) and k (over sequence dim), a d×d context matrix
 ``k^T v``, then ``q @ context`` — two small matmuls that XLA maps straight
 onto the MXU; no Pallas kernel needed because the contraction is already a
 single fused GEMM pair per head.
+
+Precision policy: softmaxes always accumulate in f32.  With f32 inputs the
+matmuls run at HIGHEST precision (bit-parity mode); with bf16 inputs they run
+on the MXU in bf16 with f32 accumulation (the fast path).
 """
 
 from __future__ import annotations
@@ -15,13 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def linear_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    precision=jax.lax.Precision.HIGHEST,
-) -> jax.Array:
+def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """q, k, v: (..., L, D) → (..., L, D).
 
     Matches lucidrains' ``linear_attn`` (non-causal, no kv mask):
@@ -30,9 +28,23 @@ def linear_attention(
       out = q' @ (k'^T @ v)
     """
     dim = q.shape[-1]
-    q = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (dim ** -0.5)
-    k = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
-    v32 = v.astype(jnp.float32)
-    context = jnp.einsum("...nd,...ne->...de", k, v32, precision=precision)
-    out = jnp.einsum("...nd,...de->...ne", q, context, precision=precision)
-    return out.astype(v.dtype)
+    dtype = v.dtype
+    fast = dtype == jnp.bfloat16
+    precision = None if fast else jax.lax.Precision.HIGHEST
+
+    qf = jax.nn.softmax(q.astype(jnp.float32), axis=-1) * (dim ** -0.5)
+    kf = jax.nn.softmax(k.astype(jnp.float32), axis=-2)
+    if fast:
+        qf, kf = qf.astype(dtype), kf.astype(dtype)
+        vv = v
+    else:
+        vv = v.astype(jnp.float32)
+    context = jnp.einsum(
+        "...nd,...ne->...de", kf, vv,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "...nd,...de->...ne", qf, context.astype(qf.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    return out.astype(dtype)

@@ -48,28 +48,41 @@ def local_window_attention_xla(
     v: jax.Array,
     *,
     window: int,
-    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
-    """q, k, v: (..., L, D) with L % window == 0 → (..., L, D)."""
+    """q, k, v: (..., L, D) with L % window == 0 → (..., L, D).
+
+    Softmax always in f32; matmuls at HIGHEST precision for f32 inputs
+    (parity mode) or native bf16 with f32 accumulation (fast mode).
+    """
     *lead, L, D = q.shape
     if L % window != 0:
         raise ValueError(f"sequence length {L} not divisible by window {window}")
     nw = L // window
+    dtype = v.dtype
+    fast = dtype == jnp.bfloat16
+    precision = None if fast else jax.lax.Precision.HIGHEST
+    mm_dtype = dtype if fast else jnp.float32
 
     def bucket(x):
-        return x.reshape(*lead, nw, window, D)
+        return x.reshape(*lead, nw, window, D).astype(mm_dtype)
 
-    bq = bucket(q).astype(jnp.float32)
-    bk = _look_around(bucket(k).astype(jnp.float32))
-    bv = _look_around(bucket(v).astype(jnp.float32))
+    bq = bucket(q)
+    bk = _look_around(bucket(k))
+    bv = _look_around(bucket(v))
 
     scale = D ** -0.5
-    dots = jnp.einsum("...ie,...je->...ij", bq, bk, precision=precision) * scale
+    dots = jnp.einsum(
+        "...ie,...je->...ij", bq, bk,
+        precision=precision, preferred_element_type=jnp.float32,
+    ) * scale
     mask = _band_mask(nw, window)                             # (nw, 3W)
     dots = jnp.where(mask[:, None, :], NEG_INF, dots)
     attn = jax.nn.softmax(dots, axis=-1)
-    out = jnp.einsum("...ij,...je->...ie", attn, bv, precision=precision)
-    return out.reshape(*lead, L, D).astype(v.dtype)
+    out = jnp.einsum(
+        "...ij,...je->...ie", attn.astype(mm_dtype), bv,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    return out.reshape(*lead, L, D).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "impl"))
