@@ -1,0 +1,125 @@
+"""Flax ESM2 encoder (protein tower of Stage-1 PenCL).
+
+TPU-native re-implementation of fair-esm's ESM2 graph — the reference loads
+``esm2_t33_650M_UR50D`` via ``esm.pretrained.load_model_and_alphabet``
+(``Stage1_source/model.py:51-57``) and takes the CLS vector of representation
+layer 33 (``model.py:59-76``).  Faithful details:
+
+  * padding mask derived internally from ``tokens == pad_idx`` (the reference
+    pipeline pads to 1024 with pad id 1 and passes no explicit mask —
+    SURVEY.md Q3 — and fair-esm masks those keys itself),
+  * token-dropout rescaling: masked-token embeddings zeroed, then the whole
+    embedding scaled by (1 − 0.12)/(1 − observed mask ratio) — at inference
+    with no <mask> tokens this is a constant ×0.88,
+  * pre-LN transformer layers, rotary attention over the full head dim,
+    f32 softmax, exact (erf) GELU,
+  * final ``emb_layer_norm_after`` applied before representations are read —
+    fair-esm reports the *last* repr layer post-norm,
+  * tied-weight LM head (dense → gelu → LN → E^T + bias) for the MLM loss
+    path (``compute_masked_lang_loss``, Stage1_source/model.py:401-465).
+
+Returns both the final hidden states and (optionally) MLM logits.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from biom3_tpu.config import ESM2Config
+from biom3_tpu.ops.attention import full_attention
+from biom3_tpu.ops.rotary import apply_rotary, rotary_cos_sin
+
+
+class ESM2SelfAttention(nn.Module):
+    config: ESM2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        B, L, E = x.shape
+        H, Dh = cfg.attention_heads, cfg.head_dim
+
+        dense = lambda name: nn.Dense(E, use_bias=True, name=name, dtype=self.dtype)
+        q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
+        split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        q, k, v = split(q), split(k), split(v)
+
+        cos, sin = rotary_cos_sin(L, Dh, dtype=q.dtype)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        out = full_attention(q, k, v, padding_mask=padding_mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        return dense("out_proj")(out)
+
+
+class ESM2Layer(nn.Module):
+    config: ESM2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
+        x = x + ESM2SelfAttention(cfg, self.dtype, name="self_attn")(h, padding_mask)
+        h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
+        h = nn.Dense(cfg.ffn_dim, name="fc1", dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.embed_dim, name="fc2", dtype=self.dtype)(h)
+        return x + h
+
+
+class ESM2(nn.Module):
+    """forward(tokens (B, L) int32) → dict with "hidden" (B, L, E) — the
+    post-final-norm representation (fair-esm repr layer = num_layers) — and
+    "logits" (B, L, V) when ``compute_logits``."""
+
+    config: ESM2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, *, compute_logits: bool = False) -> dict:
+        cfg = self.config
+        tokens = tokens.astype(jnp.int32)
+        padding_mask = tokens == cfg.pad_idx  # (B, L)
+
+        embed = nn.Embed(cfg.vocab_size, cfg.embed_dim, name="embed_tokens")
+        x = embed(tokens)
+
+        if cfg.token_dropout:
+            is_mask = tokens == cfg.mask_idx
+            x = jnp.where(is_mask[..., None], 0.0, x)
+            mask_ratio_train = 0.15 * 0.8
+            src_lengths = jnp.sum(~padding_mask, axis=-1)
+            mask_ratio_obs = jnp.sum(is_mask, axis=-1) / jnp.maximum(1, src_lengths)
+            scale = (1.0 - mask_ratio_train) / (1.0 - mask_ratio_obs)
+            x = x * scale[:, None, None].astype(x.dtype)
+
+        x = x * (1.0 - padding_mask[..., None].astype(x.dtype))
+        x = x.astype(self.dtype)
+
+        for i in range(cfg.num_layers):
+            x = ESM2Layer(cfg, self.dtype, name=f"layers_{i}")(x, padding_mask)
+
+        x = nn.LayerNorm(epsilon=1e-5, name="emb_layer_norm_after")(x)
+        out = {"hidden": x}
+
+        if compute_logits:
+            h = nn.Dense(cfg.embed_dim, name="lm_head_dense", dtype=self.dtype)(x)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.LayerNorm(epsilon=1e-5, name="lm_head_layer_norm")(h)
+            # weight-tied output projection + per-token bias
+            logits = h.astype(jnp.float32) @ embed.embedding.T.astype(jnp.float32)
+            bias = self.param(
+                "lm_head_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
+            )
+            out["logits"] = logits + bias
+        return out
+
+    def cls_vector(self, variables, tokens) -> jax.Array:
+        """CLS (position 0) of the final representation — the reference's
+        protein embedding (Stage1_source/model.py:75)."""
+        return self.apply(variables, tokens)["hidden"][:, 0, :]

@@ -1,0 +1,184 @@
+"""ESM2 / BERT tower parity vs HuggingFace transformers implementations.
+
+transformers' EsmForMaskedLM is a faithful port of fair-esm ESM2 (rotary
+attention, token dropout, pre-LN); BertForMaskedLM is the text tower itself.
+We instantiate tiny random configs, map their state dicts through our
+converters (via the fair-esm / HF key layouts), and compare outputs.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import BertConfig, ESM2Config
+from biom3_tpu.io.convert_stage1 import (
+    bert_params_from_torch,
+    esm2_params_from_torch,
+)
+from biom3_tpu.models.bert import BertEncoder
+from biom3_tpu.models.esm2 import ESM2
+
+ESM_SMALL = ESM2Config(
+    num_layers=2, embed_dim=64, attention_heads=4, vocab_size=33,
+    token_dropout=True,
+)
+BERT_SMALL = BertConfig(
+    num_layers=2, hidden_size=64, num_heads=4, intermediate_size=128,
+    vocab_size=100, max_position_embeddings=64,
+)
+
+
+def _hf_esm_state_to_fairesm(sd: dict) -> dict:
+    """HF EsmForMaskedLM keys → fair-esm ESM2 keys (the converter's input)."""
+    out = {}
+    for k, v in sd.items():
+        v = v.detach().numpy()
+        k2 = None
+        if k == "esm.embeddings.word_embeddings.weight":
+            k2 = "embed_tokens.weight"
+        elif k.startswith("esm.encoder.layer."):
+            rest = k[len("esm.encoder.layer."):]
+            i, sub = rest.split(".", 1)
+            mapping = {
+                "attention.self.query": "self_attn.q_proj",
+                "attention.self.key": "self_attn.k_proj",
+                "attention.self.value": "self_attn.v_proj",
+                "attention.output.dense": "self_attn.out_proj",
+                "attention.LayerNorm": "self_attn_layer_norm",
+                "intermediate.dense": "fc1",
+                "output.dense": "fc2",
+                "LayerNorm": "final_layer_norm",
+            }
+            for hf_name, fe_name in mapping.items():
+                if sub.startswith(hf_name + "."):
+                    k2 = f"layers.{i}.{fe_name}{sub[len(hf_name):]}"
+                    break
+        elif k == "esm.encoder.emb_layer_norm_after.weight":
+            k2 = "emb_layer_norm_after.weight"
+        elif k == "esm.encoder.emb_layer_norm_after.bias":
+            k2 = "emb_layer_norm_after.bias"
+        elif k.startswith("lm_head."):
+            k2 = k  # dense / layer_norm / bias line up
+        if k2 is not None:
+            out[k2] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def hf_esm():
+    import torch
+    from transformers import EsmConfig, EsmForMaskedLM
+
+    torch.manual_seed(0)
+    cfg = EsmConfig(
+        vocab_size=33, mask_token_id=32, pad_token_id=1,
+        hidden_size=ESM_SMALL.embed_dim, num_attention_heads=ESM_SMALL.attention_heads,
+        num_hidden_layers=ESM_SMALL.num_layers, intermediate_size=ESM_SMALL.ffn_dim,
+        position_embedding_type="rotary", token_dropout=True,
+        emb_layer_norm_before=False, layer_norm_eps=1e-5,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = EsmForMaskedLM(cfg)
+    model.eval()
+    return model
+
+
+def test_esm2_hidden_parity(hf_esm, rng):
+    import torch
+
+    tokens = np.concatenate(
+        [
+            np.array([[0]], np.int32).repeat(2, 0),            # <cls>
+            rng.integers(4, 24, (2, 10)).astype(np.int32),      # residues
+            np.array([[2]], np.int32).repeat(2, 0),             # <eos>
+            np.full((2, 4), 1, np.int32),                       # <pad> ×4
+        ],
+        axis=1,
+    )
+    attn_mask = (tokens != 1).astype(np.int64)
+    with torch.no_grad():
+        ref = hf_esm.esm(
+            torch.from_numpy(tokens.astype(np.int64)),
+            attention_mask=torch.from_numpy(attn_mask),
+        ).last_hidden_state.numpy()
+
+    params = {"params": esm2_params_from_torch(
+        _hf_esm_state_to_fairesm(hf_esm.state_dict()), ESM_SMALL
+    )}
+    out = ESM2(ESM_SMALL).apply(params, jnp.asarray(tokens))["hidden"]
+    # non-pad positions must match (HF zeroes pad embeddings too but pads
+    # flow through attention identically since both mask keys)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :14], ref[:, :14], atol=2e-4, rtol=1e-3
+    )
+
+
+def test_esm2_logits_parity(hf_esm, rng):
+    import torch
+
+    tokens = np.concatenate(
+        [
+            np.array([[0]], np.int32).repeat(2, 0),
+            rng.integers(4, 24, (2, 6)).astype(np.int32),
+            np.full((2, 1), 32, np.int32),                      # <mask>
+            rng.integers(4, 24, (2, 3)).astype(np.int32),
+            np.array([[2]], np.int32).repeat(2, 0),
+        ],
+        axis=1,
+    )
+    with torch.no_grad():
+        ref = hf_esm(torch.from_numpy(tokens.astype(np.int64))).logits.numpy()
+    params = {"params": esm2_params_from_torch(
+        _hf_esm_state_to_fairesm(hf_esm.state_dict()), ESM_SMALL
+    )}
+    out = ESM2(ESM_SMALL).apply(
+        params, jnp.asarray(tokens), compute_logits=True
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def hf_bert():
+    import torch
+    from transformers import BertConfig as HFBertConfig, BertForMaskedLM
+
+    torch.manual_seed(1)
+    cfg = HFBertConfig(
+        vocab_size=BERT_SMALL.vocab_size, hidden_size=BERT_SMALL.hidden_size,
+        num_hidden_layers=BERT_SMALL.num_layers, num_attention_heads=BERT_SMALL.num_heads,
+        intermediate_size=BERT_SMALL.intermediate_size,
+        max_position_embeddings=BERT_SMALL.max_position_embeddings,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-12,
+    )
+    model = BertForMaskedLM(cfg)
+    model.eval()
+    return model
+
+
+def test_bert_hidden_parity_no_mask(hf_bert, rng):
+    """Reference quirk: BERT called with NO attention mask (model.py:129) —
+    PAD positions participate in attention."""
+    import torch
+
+    ids = rng.integers(0, 100, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf_bert.bert(
+            torch.from_numpy(ids.astype(np.int64)), output_hidden_states=True
+        ).last_hidden_state.numpy()
+    params = {"params": bert_params_from_torch(hf_bert.state_dict(), BERT_SMALL)}
+    out = BertEncoder(BERT_SMALL).apply(params, jnp.asarray(ids))["hidden"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_bert_mlm_logits_parity(hf_bert, rng):
+    import torch
+
+    ids = rng.integers(0, 100, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf_bert(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    params = {"params": bert_params_from_torch(hf_bert.state_dict(), BERT_SMALL)}
+    out = BertEncoder(BERT_SMALL).apply(
+        params, jnp.asarray(ids), compute_logits=True
+    )["logits"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
