@@ -1,0 +1,70 @@
+"""Unified text→protein pipeline CLI (capability the reference lacks).
+
+Runs PenCL → Facilitator → ProteoScribe in one process on free-text prompts:
+the reference requires three script invocations exchanging ``.pt`` files
+(SURVEY.md §1); here stage outputs stay on device between stages.
+
+  python -m biom3_tpu.cli.run_e2e \
+      --stage1_json ... --stage1_model ... \
+      --stage2_json ... --stage2_model ... \
+      --stage3_json ... --stage3_model ... \
+      --prompts prompts.txt --output_path out.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from biom3_tpu.config import load_json_config
+from biom3_tpu.io.torch_load import save_torch_file
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(description="BioM3 end-to-end text→protein")
+    for stage in (1, 2, 3):
+        p.add_argument(f"--stage{stage}_json", type=str, required=True)
+        p.add_argument(f"--stage{stage}_model", type=str, required=True)
+    p.add_argument("--prompts", type=str, required=True,
+                   help="text file, one caption per line")
+    p.add_argument("--output_path", type=str, required=True)
+    p.add_argument("--num_replicas", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    return p.parse_args()
+
+
+def main() -> None:
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.pipeline.stage2 import FacilitatorEngine
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+
+    args = parse_arguments()
+    with open(args.prompts) as f:
+        prompts = [line.strip() for line in f if line.strip()]
+    print(f"{len(prompts)} prompts")
+
+    s1 = PenCLEngine(load_json_config(args.stage1_json), args.stage1_model)
+    z_t = np.asarray(s1.embed_text(prompts))
+    print(f"z_t: {z_t.shape}")
+
+    s2 = FacilitatorEngine(load_json_config(args.stage2_json), args.stage2_model)
+    z_c = np.asarray(s2(z_t))
+    print(f"z_c: {z_c.shape}")
+
+    s3 = ProteoScribeEngine(
+        load_json_config(args.stage3_json), args.stage3_model,
+        temperature=args.temperature,
+    )
+    sequences = s3.generate_sequences(
+        z_c, num_replicas=args.num_replicas, seed=args.seed
+    )
+
+    result = {"prompts": prompts, "z_t": z_t, "z_c": z_c, "sequences": sequences}
+    save_torch_file(result, args.output_path)
+    print(f"Saved {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

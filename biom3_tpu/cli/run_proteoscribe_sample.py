@@ -1,0 +1,56 @@
+"""Stage-3 CLI: ProteoScribe conditional sequence generation.
+
+Flag-compatible with the reference ``run_ProteoScribe_sample.py``
+(--json_path --model_path --input_path --output_path).  Deviation from the
+reference, documented: the reference accepts ``--output_path`` but never
+writes it (SURVEY.md Q4); this CLI actually saves the generated sequences
+(and still prints the dict like the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from biom3_tpu.config import load_json_config
+from biom3_tpu.io.torch_load import load_torch_file, save_torch_file
+from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description="BioM3 Inference Script (Stage 3)")
+    parser.add_argument("--json_path", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--input_path", type=str, required=True)
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="sampling seed (defaults to config 'seed')")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="0 = deterministic argmax decoding")
+    parser.add_argument("--legacy-batch-update", action="store_true",
+                        help="reproduce the reference's batched-update quirk (Q5)")
+    return parser.parse_args()
+
+
+def main() -> None:
+    args = parse_arguments()
+    config = load_json_config(args.json_path)
+    engine = ProteoScribeEngine(
+        config,
+        args.model_path,
+        temperature=args.temperature,
+        legacy_batch_update=args.legacy_batch_update,
+    )
+
+    embedding_dataset = load_torch_file(args.input_path)
+    seed = args.seed if args.seed is not None else config.int("seed", 0)
+    design_sequence_dict = engine.generate_sequences(
+        embedding_dataset["z_c"], seed=seed
+    )
+
+    print(f"{design_sequence_dict=}")
+    save_torch_file(design_sequence_dict, args.output_path)
+    print(f"Generated sequences saved to {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

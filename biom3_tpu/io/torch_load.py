@@ -47,7 +47,9 @@ def save_torch_file(obj: Any, path: str) -> None:
             vals = [convert(v) for v in o]
             return vals if isinstance(o, list) else tuple(vals)
         if hasattr(o, "__array__") and not isinstance(o, (str, bytes)):
-            return torch.from_numpy(np.asarray(o))
+            # np.array copies: jax arrays expose read-only buffers which
+            # torch.from_numpy would warn about
+            return torch.from_numpy(np.array(o))
         return o
 
     torch.save(convert(obj), path)

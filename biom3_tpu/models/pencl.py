@@ -77,6 +77,16 @@ class PenCL(nn.Module):
             ),
         }
 
+    def encode_text(self, x_t: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        """Text-only path: caption tokens → projected z_t (used by the e2e
+        pipeline, which never needs the protein tower at inference)."""
+        z_t = self.text_encoder(x_t)["hidden"][:, 0, :]
+        return self.text_projection(z_t, deterministic=deterministic)
+
+    def encode_protein(self, x_p: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        z_p = self.protein_encoder(x_p)["hidden"][:, 0, :]
+        return self.protein_projection(z_p, deterministic=deterministic)
+
     def init_all_params(self, x_t: jax.Array, x_p: jax.Array) -> dict:
         """Init method touching both the latent and MLM branches so the full
         parameter tree (incl. LM heads) is created:
@@ -137,8 +147,11 @@ def compute_intra_loss(protein_embeddings: jax.Array, temperature: float):
     sim = (protein_embeddings @ protein_embeddings.T) / temperature
     eye = jnp.eye(n, dtype=bool)
     sim = _set_inf(sim, eye)
-    pos_mask = jnp.roll(eye, shift=n // 2, axis=0)
-    nll = -sim[pos_mask] + jax.nn.logsumexp(sim, axis=-1)
+    # positives: roll(eye, n//2, axis=0) puts row r's positive at column
+    # (r - n//2) mod n; gather instead of boolean indexing (jit-safe)
+    pos_cols = (jnp.arange(n) - n // 2) % n
+    positives = jnp.take_along_axis(sim, pos_cols[:, None], axis=1)[:, 0]
+    nll = -positives + jax.nn.logsumexp(sim, axis=-1)
     return jnp.mean(nll), sim
 
 

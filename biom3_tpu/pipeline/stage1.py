@@ -1,0 +1,111 @@
+"""Stage-1 inference engine: PenCL embeddings + similarity scoring.
+
+Mirrors ``run_PenCL_inference.py`` (main :83-166) but batched: the reference
+runs the 5-pair demo one item at a time (SURVEY.md Q11); here tokenized
+batches stream to the device and both towers run under one jit.  Scoring
+(dot products, two softmax normalizations, norms, homology matrix) is fused
+on device (``compute_scores``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biom3_tpu.config import Config, PenCLConfig
+from biom3_tpu.io.convert_stage1 import pencl_params_from_torch
+from biom3_tpu.io.torch_load import load_torch_file
+from biom3_tpu.models.pencl import PenCL
+from biom3_tpu.tokenizers.esm_alphabet import ESMAlphabet
+
+
+@jax.jit
+def compute_scores(z_p: jax.Array, z_t: jax.Array) -> dict:
+    """The reference CLI's printed score set (run_PenCL_inference.py:132-144)."""
+    dot = z_p @ z_t.T
+    z_p_n = z_p / jnp.linalg.norm(z_p, axis=1, keepdims=True)
+    return {
+        "dot_product_scores": dot,
+        "protein_given_text_probs": jax.nn.softmax(dot, axis=0),
+        "text_given_protein_probs": jax.nn.softmax(dot, axis=1),
+        "z_p_magnitude": jnp.linalg.norm(z_p, axis=1),
+        "z_t_magnitude": jnp.linalg.norm(z_t, axis=1),
+        "homology_matrix": z_p_n @ z_p_n.T,
+    }
+
+
+class PenCLEngine:
+    def __init__(
+        self,
+        stage_config: Config,
+        model_path: str | None = None,
+        *,
+        dtype=jnp.float32,
+        text_tokenizer=None,
+    ):
+        self.stage_config = stage_config
+        self.config = PenCLConfig.from_stage_config(stage_config)
+        self.model = PenCL(self.config, dtype=dtype)
+        self.alphabet = ESMAlphabet()
+        self._text_tokenizer = text_tokenizer
+
+        if model_path is not None:
+            self.params = pencl_params_from_torch(
+                load_torch_file(model_path), self.config
+            )
+        else:
+            self.params = self.model.init(
+                jax.random.key(0),
+                jnp.zeros((1, 8), jnp.int32),
+                jnp.zeros((1, 8), jnp.int32),
+                method=PenCL.init_all_params,
+            )
+        self._forward = jax.jit(
+            lambda p, x_t, x_p: self.model.apply(p, x_t, x_p)
+        )
+
+    @property
+    def text_tokenizer(self):
+        if self._text_tokenizer is None:
+            from biom3_tpu.tokenizers.text import TextTokenizer
+
+            self._text_tokenizer = TextTokenizer(
+                self.stage_config.text_model_path,
+                max_length=self.config.text_max_length,
+            )
+        return self._text_tokenizer
+
+    def tokenize(self, captions: list[str], sequences: list[str]) -> tuple:
+        x_t = self.text_tokenizer.batch_encode(captions)["input_ids"]
+        x_p = self.alphabet.batch_encode(sequences, pad_to=self.config.seq_max_length)
+        return x_t, x_p
+
+    def embed_text(self, captions: list[str], batch_size: int = 32) -> np.ndarray:
+        """Text-only z_t (skips the 650M protein tower; e2e pipeline path)."""
+        fwd = jax.jit(
+            lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
+        )
+        outs = []
+        for i in range(0, len(captions), batch_size):
+            x_t = self.text_tokenizer.batch_encode(captions[i : i + batch_size])
+            outs.append(np.asarray(fwd(self.params, jnp.asarray(x_t["input_ids"]))))
+        return np.concatenate(outs)
+
+    def embed_tokens(self, x_t: np.ndarray, x_p: np.ndarray) -> tuple:
+        out = self._forward(self.params, jnp.asarray(x_t), jnp.asarray(x_p))
+        return out["text_joint_latent"], out["seq_joint_latent"]
+
+    def embed(
+        self, captions: list[str], sequences: list[str], batch_size: int = 16
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched z_t, z_p for paired caption/sequence lists."""
+        z_t_all, z_p_all = [], []
+        for i in range(0, len(captions), batch_size):
+            x_t, x_p = self.tokenize(
+                captions[i : i + batch_size], sequences[i : i + batch_size]
+            )
+            z_t, z_p = self.embed_tokens(x_t, x_p)
+            z_t_all.append(np.asarray(z_t))
+            z_p_all.append(np.asarray(z_p))
+        return np.concatenate(z_t_all), np.concatenate(z_p_all)

@@ -1,0 +1,109 @@
+"""Stage-3 inference engine: conditional sequence generation.
+
+Mirrors ``run_ProteoScribe_sample.py`` (``batch_stage3_generate_sequences``
+:60-126): for each conditioning vector z_c, generate ``num_replicas``
+sequences (batched ``batch_size_sample`` at a time), decode with the
+29-token table and strip markers.
+
+TPU-native design: (prompt × replica) batches collapse into one device
+batch; the whole 1024-step denoise runs as a compiled scan
+(``biom3_tpu.diffusion.sampler``), vs the reference's per-step host loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biom3_tpu.config import Config, ProteoScribeConfig
+from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+from biom3_tpu.io.convert import proteoscribe_params_from_torch
+from biom3_tpu.io.torch_load import load_torch_file
+from biom3_tpu.models.proteoscribe import ProteoScribe
+from biom3_tpu.tokenizers.stage3_vocab import Stage3Vocab
+
+
+class ProteoScribeEngine:
+    def __init__(
+        self,
+        stage_config: Config,
+        model_path: str | None = None,
+        *,
+        dtype=jnp.float32,
+        temperature: float = 1.0,
+        legacy_batch_update: bool = False,
+        chunk_steps: int | None = 128,
+    ):
+        self.stage_config = stage_config
+        self.config = ProteoScribeConfig.from_stage_config(stage_config)
+        self.model = ProteoScribe(self.config, dtype=dtype)
+        self.vocab = Stage3Vocab()
+        if model_path is not None:
+            self.params = proteoscribe_params_from_torch(
+                load_torch_file(model_path), self.config
+            )
+        else:
+            self.params = self.model.init(
+                jax.random.key(0),
+                jnp.zeros((1, self.config.max_seq_len), jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, self.config.cond_dim)),
+            )
+        chunk = chunk_steps if chunk_steps else None
+        if chunk and self.config.num_timesteps % chunk != 0:
+            chunk = None
+        self.sampler = make_sampler(
+            self.model.apply,
+            self.config.num_timesteps,
+            temperature=temperature,
+            legacy_batch_update=legacy_batch_update,
+            chunk_steps=chunk,
+        )
+
+    def sample_batch(
+        self,
+        z_c: np.ndarray,
+        key: jax.Array,
+        *,
+        paths: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """z_c (B, cond_dim) → (B, L) decode-table ids.  ``paths`` may inject
+        externally-generated permutations (parity replay support)."""
+        B = z_c.shape[0]
+        if paths is None:
+            key, sub = jax.random.split(key)
+            paths = sample_permutations(sub, B, self.config.max_seq_len)
+        return np.asarray(
+            self.sampler(
+                self.params, jnp.asarray(z_c, jnp.float32),
+                jnp.asarray(paths, jnp.int32), key,
+            )
+        )
+
+    def generate_sequences(
+        self,
+        z_c_all: np.ndarray,
+        *,
+        num_replicas: int | None = None,
+        batch_size: int | None = None,
+        seed: int = 0,
+    ) -> dict:
+        """Reference CLI semantics: dict of replica → list of cleaned
+        sequences per prompt (run_ProteoScribe_sample.py:94-126)."""
+        cfg = self.stage_config
+        num_replicas = num_replicas or cfg.int("num_replicas", 5)
+        batch_size = batch_size or cfg.int("batch_size_sample", 32)
+        z_c_all = np.atleast_2d(np.asarray(z_c_all, np.float32))
+
+        out = {f"replica_{i}": [] for i in range(num_replicas)}
+        key = jax.random.key(seed)
+        for z in z_c_all:
+            for start in range(0, num_replicas, batch_size):
+                n = min(batch_size, num_replicas - start)
+                key, sub = jax.random.split(key)
+                ids = self.sample_batch(np.tile(z[None, :], (n, 1)), sub)
+                for i in range(n):
+                    seq = self.vocab.clean_sequence(self.vocab.decode_ids(ids[i]))
+                    out[f"replica_{start + i}"].append(seq)
+        return out

@@ -1,0 +1,153 @@
+"""Stage-1 (PenCL) training task: global-batch contrastive + MLM step.
+
+Replaces ``pfam_PL_PEN_CL.training_step`` (``Stage1_source/PL_wrapper.py:
+931-1114``).  The reference's distributed recipe is four explicit
+``all_gather(sync_grads=True)`` calls fenced by ``dist.barrier()`` so every
+rank computes the contrastive loss over the global batch.  Under SPMD the
+same program is written once over the *global* batch with the batch axis
+sharded over (dp, fsdp): XLA inserts the (differentiable) all-gathers where
+the (2B, 2B) similarity matrices need them, and barriers are implicit.
+
+Loss = inter-modal InfoNCE + intra-modal InfoNCE (dropped for
+``dataset_type='pfam_ablated'``) + text MLM + protein MLM
+(ref :1078-1089).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from biom3_tpu.models.pencl import (
+    compute_inter_loss,
+    compute_intra_loss,
+    compute_masked_lang_loss,
+)
+from biom3_tpu.training.metrics import contrastive_metrics
+from biom3_tpu.training.state import TrainState
+
+
+def stage1_loss_fn(
+    apply_fn: Callable,
+    params,
+    batch: dict,
+    *,
+    temperature: float,
+    dataset_type: str = "pfam",
+    text_mask_id: int,
+    protein_mask_id: int,
+):
+    """batch keys: {text,protein}_tokens[,_masked] and pfam_* equivalents."""
+    out_swiss = apply_fn(params, batch["text_tokens"], batch["protein_tokens"])
+    out_pfam = apply_fn(
+        params, batch["pfam_text_tokens"], batch["pfam_protein_tokens"]
+    )
+    z_t_all = jnp.concatenate(
+        [out_swiss["text_joint_latent"], out_pfam["text_joint_latent"]]
+    )
+    z_p_all = jnp.concatenate(
+        [out_swiss["seq_joint_latent"], out_pfam["seq_joint_latent"]]
+    )
+    half = z_p_all.shape[0] // 2
+
+    loss_align, logits = compute_inter_loss(z_p_all, z_t_all, half, temperature)
+    loss_intra, _ = compute_intra_loss(z_p_all, temperature)
+
+    all_text = jnp.concatenate([batch["text_tokens"], batch["pfam_text_tokens"]])
+    all_protein = jnp.concatenate(
+        [batch["protein_tokens"], batch["pfam_protein_tokens"]]
+    )
+    all_text_masked = jnp.concatenate(
+        [batch["text_tokens_masked"], batch["pfam_text_tokens_masked"]]
+    )
+    all_protein_masked = jnp.concatenate(
+        [batch["protein_tokens_masked"], batch["pfam_protein_tokens_masked"]]
+    )
+    mlm = apply_fn(
+        params, all_text_masked, all_protein_masked, compute_masked_logits=True
+    )
+    loss_text_mask = compute_masked_lang_loss(
+        mlm["text_masked_logits"], all_text, all_text_masked, text_mask_id
+    )
+    loss_seq_mask = compute_masked_lang_loss(
+        mlm["protein_masked_logits"], all_protein, all_protein_masked,
+        protein_mask_id,
+    )
+
+    if dataset_type == "pfam":
+        loss = loss_align + loss_intra + loss_text_mask + loss_seq_mask
+    elif dataset_type == "pfam_ablated":
+        loss = loss_align + loss_text_mask + loss_seq_mask
+    else:
+        raise ValueError(f"Unexpected dataset_type {dataset_type!r}")
+
+    aux = {
+        "loss": loss,
+        "loss_align": loss_align,
+        "loss_intra": loss_intra,
+        "loss_text_mask": loss_text_mask,
+        "loss_seq_mask": loss_seq_mask,
+        "logits": logits,
+    }
+    return loss, aux
+
+
+def make_stage1_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    *,
+    temperature: float,
+    dataset_type: str = "pfam",
+    text_mask_id: int,
+    protein_mask_id: int,
+    with_metrics: bool = True,
+):
+    loss_fn = functools.partial(
+        stage1_loss_fn,
+        apply_fn,
+        temperature=temperature,
+        dataset_type=dataset_type,
+        text_mask_id=text_mask_id,
+        protein_mask_id=protein_mask_id,
+    )
+
+    def train_step(state: TrainState, batch: dict):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        new_state = state.apply_gradients(grads, tx)
+        logits = aux.pop("logits")
+        if with_metrics:
+            aux.update(contrastive_metrics(logits))
+        return new_state, aux
+
+    return train_step
+
+
+def make_stage1_optimizer(cfg) -> optax.GradientTransformation:
+    """Per-group AdamW: protein tower / text tower / projection heads each at
+    their own LR (ref configure_optimizers, PL_wrapper.py:1309-1326)."""
+    from biom3_tpu.training.optim import make_grouped_optimizer
+
+    def group_of(path) -> str:
+        top = str(getattr(path[0], "key", path[0]))
+        if top == "protein_encoder":
+            return "protein"
+        if top == "text_encoder":
+            return "text"
+        return "heads"
+
+    return make_grouped_optimizer(
+        group_of,
+        {
+            "protein": cfg.float("protein_encoder_lr", 5e-4),
+            "text": cfg.float("text_encoder_lr", 5e-4),
+            "heads": cfg.float("head_lr", 5e-4),
+        },
+        weight_decay=cfg.float("weight_decay", 0.0),
+        decay_groups=("protein", "text", "heads"),
+    )

@@ -1,0 +1,168 @@
+"""Data pipeline + metrics tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import Config
+from biom3_tpu.data.loader import BatchLoader
+from biom3_tpu.data.stage2_data import FacilitatorDataset, OOD_PFAM_LABELS
+from biom3_tpu.data.stage3_data import (
+    Stage3Dataset,
+    merge_data_dicts,
+    prepare_protein_data,
+)
+from biom3_tpu.training import metrics as M
+from biom3_tpu.tokenizers.stage3_vocab import STAGE3_DECODE_TOKENS, Stage3Vocab
+
+
+def test_prepare_protein_data_roundtrip():
+    args = Config({
+        "diffusion_steps": 64, "image_size": 8, "facilitator": "MMD",
+        "sequence_keyname": "sequence",
+    })
+    data = {
+        "sequence": ["ACD-EF", "W" * 100, "GG"],  # middle one filtered (>62)
+        "text_to_protein_embedding": [np.ones(4), np.ones(4) * 2, np.ones(4) * 3],
+    }
+    tokens, emb = prepare_protein_data(args, data)
+    assert tokens.shape == (2, 64)
+    np.testing.assert_array_equal(emb[:, 0], [1.0, 3.0])
+    vocab = Stage3Vocab()
+    decoded = vocab.decode_ids(vocab.shift_for_model(tokens[0]))
+    assert decoded.startswith("<START>ACDEF<END>")  # gap stripped
+
+
+def test_prepare_protein_data_facilitator_key():
+    args = Config({
+        "diffusion_steps": 16, "image_size": 4, "facilitator": "Default",
+        "sequence_keyname": "sequence",
+    })
+    data = {
+        "sequence": ["AC"],
+        "text_embedding": [np.ones(2) * 7],
+        "text_to_protein_embedding": [np.ones(2)],
+    }
+    _, emb = prepare_protein_data(args, data)
+    assert emb[0, 0] == 7.0
+    with pytest.raises(ValueError):
+        prepare_protein_data(
+            Config({"diffusion_steps": 16, "image_size": 4,
+                    "facilitator": "bogus", "sequence_keyname": "sequence"}),
+            data,
+        )
+
+
+def test_merge_data_dicts():
+    a = {"x": [1, 2], "y": [5]}
+    b = {"x": [3], "z": [9]}
+    m = merge_data_dicts(a, b)
+    assert m["x"] == [1, 2, 3]
+    assert m["y"] == [5] and m["z"] == [9]
+
+
+def test_facilitator_dataset_split():
+    data = {
+        "text_embedding": [np.full(8, i, np.float32) for i in range(10)],
+        "protein_embedding": [np.full(8, -i, np.float32) for i in range(10)],
+    }
+    ds = FacilitatorDataset(data, valid_size=0.2, seed=0)
+    zt_tr, zp_tr = ds.split("train")
+    zt_va, _ = ds.split("val")
+    assert len(zt_tr) == 8 and len(zt_va) == 2
+    assert len(OOD_PFAM_LABELS) == 10
+
+
+def test_batch_loader_prefetch():
+    seen = []
+
+    def make(idx):
+        seen.append(idx.copy())
+        return {"idx": idx}
+
+    loader = BatchLoader(10, 3, make, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3 == len(loader)
+    all_idx = np.concatenate([b["idx"] for b in batches])
+    assert len(np.unique(all_idx)) == 9
+    # second epoch shuffles differently
+    batches2 = list(loader)
+    assert not all(
+        np.array_equal(a["idx"], b["idx"]) for a, b in zip(batches, batches2)
+    )
+
+
+# --- metrics -----------------------------------------------------------------
+
+
+def test_blosum_soft_lookup_matches_reference_formula():
+    """Spot-check the vectorized lookup against the reference's per-pair
+    math (eval_metrics.py:24-47)."""
+    for aa1, aa2 in [("A", "A"), ("A", "V"), ("W", "Y"), ("C", "C")]:
+        i, j = M.BLOSUM62_ALPHABET.index(aa1), M.BLOSUM62_ALPHABET.index(aa2)
+        row = M.BLOSUM62[i]
+        probs = np.exp(row) / np.exp(row).sum()
+        expected = probs[j] / probs.max()
+        assert M.BLOSUM62_SOFT[i, j] == pytest.approx(expected, rel=1e-6)
+    # identity scores 1
+    assert M.BLOSUM62_SOFT[0, 0] == pytest.approx(1.0)
+
+
+def test_blosum_soft_accuracy_semantics():
+    vocab = Stage3Vocab()
+    # identical amino-acid sequences → 1.0
+    ids = vocab.shift_for_model(vocab.encode_sequence("ACDEF", pad_to=10))
+    val = float(M.blosum_soft_accuracy(jnp.asarray(ids)[None], jnp.asarray(ids)[None]))
+    assert val == pytest.approx(1.0)
+    # one substituted amino acid lowers but does not zero it
+    ids2 = ids.copy()
+    a_pos = 1  # first residue after <START>
+    ids2[a_pos] = STAGE3_DECODE_TOKENS.index("V")
+    val2 = float(M.blosum_soft_accuracy(jnp.asarray(ids2)[None], jnp.asarray(ids)[None]))
+    assert 0.5 < val2 < 1.0
+
+
+def test_hard_accuracy_ignores_pad():
+    pred = jnp.asarray([[1, 2, 3, 23, 23]])
+    real = jnp.asarray([[1, 2, 9, 23, 23]])  # pads excluded from denominator
+    acc = float(M.hard_accuracy(pred, real, pad_id=23))
+    assert acc == pytest.approx(2 / 3)
+
+
+def test_entropy_ppl_uniform():
+    C = 8
+    probs = jnp.full((2, 4, C), 1 / C)
+    assert float(M.entropy_ppl(probs)) == pytest.approx(C, rel=1e-5)
+
+
+def test_rankme_full_vs_collapsed():
+    rng = np.random.default_rng(0)
+    full = rng.standard_normal((256, 16)).astype(np.float32)
+    collapsed = np.outer(rng.standard_normal(256), rng.standard_normal(16)).astype(
+        np.float32
+    )
+    r_full = float(M.rankme(M.singular_spectrum(jnp.asarray(full))))
+    r_col = float(M.rankme(M.singular_spectrum(jnp.asarray(collapsed))))
+    assert r_full > 12 and r_col < 2
+
+
+def test_contrastive_metrics_perfect_logits():
+    logits = jnp.eye(6) * 10.0
+    m = M.contrastive_metrics(logits)
+    assert float(m["total_accuracy"]) == 1.0
+    assert float(m["text_f1"]) == 1.0
+
+
+def test_time_split_metrics_shapes():
+    B, L, C = 3, 16, 5
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.integers(0, C, (B, L)))
+    real = jnp.asarray(rng.integers(0, C, (B, L)))
+    probs = jax.nn.softmax(jnp.asarray(rng.standard_normal((B, L, C))), -1)
+    path = jnp.asarray(np.stack([rng.permutation(L) for _ in range(B)]))
+    t = jnp.asarray([0, 8, 16])
+    out = M.time_split_metrics(pred, real, probs, path, t)
+    for k in ["prev_hard_acc", "current_hard_acc", "fut_hard_acc",
+              "prev_ppl", "current_ppl", "fut_ppl"]:
+        assert np.isfinite(float(out[k])), k

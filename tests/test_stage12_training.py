@@ -1,0 +1,102 @@
+"""Stage-1/Stage-2 training-step tests (tiny tower configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import BertConfig, Config, ESM2Config, PenCLConfig
+from biom3_tpu.models.facilitator import Facilitator
+from biom3_tpu.models.pencl import PenCL
+from biom3_tpu.config import FacilitatorConfig
+from biom3_tpu.training.optim import make_optimizer
+from biom3_tpu.training.stage1_task import (
+    make_stage1_optimizer,
+    make_stage1_train_step,
+)
+from biom3_tpu.training.stage2_task import make_stage2_train_step
+from biom3_tpu.training.state import TrainState
+
+TINY = PenCLConfig(
+    esm=ESM2Config(num_layers=1, embed_dim=16, attention_heads=2, vocab_size=33),
+    bert=BertConfig(num_layers=1, hidden_size=16, num_heads=2,
+                    intermediate_size=32, vocab_size=40,
+                    max_position_embeddings=16),
+    protein_embedding=16, text_embedding=16, proj_dim=8, temperature=0.8,
+)
+
+
+def _batch(rng, B=2):
+    def toks(v, L):
+        return rng.integers(4, v, (B, L)).astype(np.int32)
+
+    batch = {
+        "text_tokens": toks(40, 12), "protein_tokens": toks(30, 14),
+        "pfam_text_tokens": toks(40, 12), "pfam_protein_tokens": toks(30, 14),
+    }
+    for k in list(batch):
+        masked = batch[k].copy()
+        masked[:, 2] = 32 if "protein" in k else 5
+        batch[k + "_masked"] = masked
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_stage1_train_step(rng):
+    model = PenCL(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+    )
+    cfg = Config({"protein_encoder_lr": 1e-4, "text_encoder_lr": 1e-4,
+                  "head_lr": 1e-4, "weight_decay": "5e-7"})
+    tx = make_stage1_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_stage1_train_step(
+        model.apply, tx, temperature=0.8, dataset_type="pfam",
+        text_mask_id=5, protein_mask_id=32,
+    ))
+    state, aux = step(state, _batch(rng))
+    for k in ("loss", "loss_align", "loss_intra", "loss_text_mask",
+              "loss_seq_mask", "total_accuracy"):
+        assert np.isfinite(float(aux[k])), k
+    assert int(state.step) == 1
+
+
+def test_stage1_ablated_drops_intra(rng):
+    model = PenCL(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+    )
+    tx = make_optimizer("AdamW", 1e-4)
+    state = TrainState.create(params, tx)
+    batch = _batch(np.random.default_rng(0))
+
+    step_full = jax.jit(make_stage1_train_step(
+        model.apply, tx, temperature=0.8, dataset_type="pfam",
+        text_mask_id=5, protein_mask_id=32, with_metrics=False))
+    step_abl = jax.jit(make_stage1_train_step(
+        model.apply, tx, temperature=0.8, dataset_type="pfam_ablated",
+        text_mask_id=5, protein_mask_id=32, with_metrics=False))
+    _, aux_f = step_full(state, batch)
+    _, aux_a = step_abl(state, batch)
+    expected = float(aux_f["loss"]) - float(aux_f["loss_intra"])
+    assert float(aux_a["loss"]) == pytest.approx(expected, rel=1e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["MSE", "MMD"])
+def test_stage2_train_step_learns(loss_type, rng):
+    cfg = FacilitatorConfig(in_dim=8, hid_dim=16, out_dim=8)
+    model = Facilitator(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8)))
+    tx = make_optimizer("AdamW", 1e-2)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_stage2_train_step(model.apply, tx, loss_type=loss_type))
+    z_t = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    z_p = z_t * 0.5 + 1.0
+    batch = {"z_t": z_t, "z_p": z_p}
+    first = None
+    for _ in range(30):
+        state, aux = step(state, batch)
+        first = first if first is not None else float(aux["loss"])
+    assert float(aux["loss"]) < first
