@@ -28,6 +28,7 @@ from biom3_tpu.ops.attention import full_attention
 class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array | None) -> jax.Array:
@@ -38,19 +39,20 @@ class BertSelfAttention(nn.Module):
         dense = lambda name: nn.Dense(E, name=name, dtype=self.dtype)
         q, k, v = dense("query")(x), dense("key")(x), dense("value")(x)
         split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        out = full_attention(split(q), split(k), split(v), padding_mask=padding_mask)
+        out = full_attention(split(q), split(k), split(v), padding_mask=padding_mask, impl=self.attn_impl)
         return out.transpose(0, 2, 1, 3).reshape(B, L, E)
 
 
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array | None) -> jax.Array:
         cfg = self.config
         eps = cfg.layer_norm_eps
-        attn = BertSelfAttention(cfg, self.dtype, name="attention")(x, padding_mask)
+        attn = BertSelfAttention(cfg, self.dtype, self.attn_impl, name="attention")(x, padding_mask)
         attn = nn.Dense(cfg.hidden_size, name="attention_output", dtype=self.dtype)(attn)
         x = nn.LayerNorm(epsilon=eps, name="attention_norm")(x + attn)
         h = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=self.dtype)(x)
@@ -65,6 +67,7 @@ class BertEncoder(nn.Module):
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -98,7 +101,7 @@ class BertEncoder(nn.Module):
             padding_mask = attention_mask == 0
 
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, self.dtype, name=f"layer_{i}")(x, padding_mask)
+            x = BertLayer(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(x, padding_mask)
 
         out = {"hidden": x}
         if compute_logits:

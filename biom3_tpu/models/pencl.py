@@ -43,11 +43,12 @@ class PenCL(nn.Module):
 
     config: PenCLConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     def setup(self):
         cfg = self.config
-        self.protein_encoder = ESM2(cfg.esm, self.dtype)
-        self.text_encoder = BertEncoder(cfg.bert, self.dtype)
+        self.protein_encoder = ESM2(cfg.esm, self.dtype, self.attn_impl)
+        self.text_encoder = BertEncoder(cfg.bert, self.dtype, self.attn_impl)
         self.protein_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)
         self.text_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)
 

@@ -122,14 +122,23 @@ class ConditioningMLP(nn.Module):
 
 
 class ProteoScribe(nn.Module):
-    """forward(x (B,L) int, t (B,) int, z_c (B,cond_dim)) → logits (B,L,C)."""
+    """forward(x (B,L) int, t (B,) int, z_c (B,cond_dim)) → logits (B,L,C).
+
+    ``conditional=False`` builds the reference's unconditional variant
+    (``Stage3_source/diff_transformer_layer.py:145-168`` — same graph minus
+    the ``y_mlp`` conditioning; its dead ``Rezero`` module :170-177 is
+    intentionally not reproduced).  Call with ``z_c=None`` in that mode.
+    """
 
     config: ProteoScribeConfig
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    conditional: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, t: jax.Array, z_c: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, t: jax.Array, z_c: jax.Array | None = None
+    ) -> jax.Array:
         cfg = self.config
         B, L = x.shape
 
@@ -150,13 +159,16 @@ class ProteoScribe(nn.Module):
             t, cfg.dim, float(cfg.num_timesteps), cfg.rescale_steps
         )
         time_bias = ConditioningMLP(cfg, name="time_mlp")(t_emb)   # (B, dim, nb, depth)
-        cond_bias = ConditioningMLP(cfg, name="y_mlp")(z_c)        # (B, dim, nb, depth)
+        if self.conditional:
+            if z_c is None:
+                raise ValueError("conditional model requires z_c")
+            time_bias = time_bias + ConditioningMLP(cfg, name="y_mlp")(z_c)
 
         h = jnp.zeros_like(x_embed)
         for bi in range(cfg.n_blocks):
             h = h + x_embed
             for li in range(cfg.depth):
-                bias = time_bias[..., bi, li] + cond_bias[..., bi, li]  # (B, dim)
+                bias = time_bias[..., bi, li]  # (B, dim)
                 h = TransformerLayer(
                     cfg, self.attn_impl, self.dtype, name=f"layer_{bi}_{li}"
                 )(h + bias[:, None, :])

@@ -1,0 +1,134 @@
+"""ctypes bindings for the C++ host library (csrc/biom3_native.cpp).
+
+Builds the shared object on demand with g++ (cached next to the package) and
+falls back to the pure-Python tokenizers when no compiler is available —
+every native entry point has an identical-behavior Python twin, and the test
+suite asserts their equivalence.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "csrc", "biom3_native.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_biom3_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None when unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.esm_batch_encode.restype = ctypes.c_int32
+        lib.esm_batch_encode.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int32, ctypes.c_int32, i32p,
+        ]
+        lib.stage3_batch_encode.restype = ctypes.c_int32
+        lib.stage3_batch_encode.argtypes = lib.esm_batch_encode.argtypes
+        lib.stage3_compact_decode.restype = None
+        lib.stage3_compact_decode.argtypes = [i32p, ctypes.c_int32, ctypes.c_char_p]
+        lib.biom3_native_abi_version.restype = ctypes.c_int32
+        assert lib.biom3_native_abi_version() == 1
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _pack(sequences: list[str]) -> tuple[bytes, np.ndarray]:
+    data = "".join(sequences).encode("ascii")
+    lens = np.fromiter((len(s) for s in sequences), np.int64, len(sequences))
+    offsets = np.zeros(len(sequences) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return data, offsets
+
+
+def esm_batch_encode(sequences: list[str], pad_to: int) -> np.ndarray:
+    """Native twin of ``ESMAlphabet.batch_encode(sequences, pad_to=...)``."""
+    lib = get_lib()
+    if lib is None:
+        from biom3_tpu.tokenizers.esm_alphabet import ESMAlphabet
+
+        return ESMAlphabet().batch_encode(sequences, pad_to=pad_to)
+    data, offsets = _pack(sequences)
+    out = np.empty((len(sequences), pad_to), np.int32)
+    rc = lib.esm_batch_encode(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(sequences), pad_to,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"sequence {-rc - 1} longer than pad_to={pad_to} - 2")
+    return out
+
+
+def stage3_batch_encode(sequences: list[str], pad_to: int) -> np.ndarray:
+    """Native twin of ``Stage3Vocab.batch_encode`` (also strips gaps)."""
+    lib = get_lib()
+    if lib is None:
+        from biom3_tpu.tokenizers.stage3_vocab import Stage3Vocab
+
+        return Stage3Vocab().batch_encode(
+            [s.replace("-", "") for s in sequences], pad_to
+        )
+    data, offsets = _pack(sequences)
+    out = np.empty((len(sequences), pad_to), np.int32)
+    rc = lib.stage3_batch_encode(
+        data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(sequences), pad_to,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        raise ValueError(f"sequence {-rc - 1} does not fit in {pad_to}")
+    if rc > 0:
+        raise ValueError(f"sequence {rc - 1} contains out-of-vocab characters")
+    return out
+
+
+def stage3_compact_decode(ids: np.ndarray) -> str:
+    """One-char-per-position decode ('['=<START> ']'=<END> '.'=<PAD> '*'=mask)."""
+    lib = get_lib()
+    ids = np.ascontiguousarray(ids, np.int32)
+    if lib is None:
+        table = "*[ACDEFGHIKLMNPQRSTVWY].XUZBO"
+        return "".join(table[i] if 0 <= i < 29 else "?" for i in ids)
+    buf = ctypes.create_string_buffer(len(ids))
+    lib.stage3_compact_decode(
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(ids), buf
+    )
+    return buf.raw.decode("ascii")

@@ -21,12 +21,20 @@ def full_attention(
     padding_mask: jax.Array | None = None,
     scale: float | None = None,
     precision=jax.lax.Precision.HIGHEST,
+    impl: str = "xla",
 ) -> jax.Array:
     """q, k, v: (..., H, L, D); padding_mask: (..., L) True at PAD positions.
 
     Softmax is computed in float32 (both fair-esm and HF BERT upcast the
     softmax; ref: Stage1_source/model.py towers are fp32 on the demo path).
+    ``impl="pallas"`` dispatches to the flash-attention TPU kernel.
     """
+    if impl == "pallas":
+        from biom3_tpu.ops.pallas.flash_attention_tpu import (
+            flash_attention_pallas,
+        )
+
+        return flash_attention_pallas(q, k, v, padding_mask=padding_mask)
     D = q.shape[-1]
     scale = D ** -0.5 if scale is None else scale
     logits = jnp.einsum("...id,...jd->...ij", q, k, precision=precision)

@@ -1,0 +1,103 @@
+"""Inpainting / autocomplete / unconditional model / trajectory tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.diffusion.inpainting import (
+    autocomplete,
+    corrupt_samples,
+    extract_samples_with_labels,
+    make_inpainter,
+)
+from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+from biom3_tpu.models.proteoscribe import ProteoScribe
+from biom3_tpu.utils.animation import decode_trajectory
+
+TINY = ProteoScribeConfig(
+    num_classes=29, dim=32, depth=2, n_blocks=1, heads=4, local_heads=2,
+    local_window=16, max_seq_len=64, num_timesteps=64, cond_dim=16,
+)
+
+
+def _cond_model():
+    model = ProteoScribe(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 64), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)),
+    )
+    return model, params
+
+
+def test_corrupt_samples_fraction():
+    real = jnp.ones((4, 64), jnp.int32) * 7
+    masked, path, t = corrupt_samples(jax.random.key(0), real, 0.25, 64)
+    kept = np.asarray((masked != 0).sum(axis=1))
+    np.testing.assert_array_equal(kept, 16)  # 25% of 64 kept
+    np.testing.assert_array_equal(np.asarray(t), 16)
+
+
+def test_autocomplete_fills_only_masked():
+    model, params = _cond_model()
+    real = jnp.asarray(np.random.default_rng(0).integers(1, 29, (2, 64)), jnp.int32)
+    masked, path, t = corrupt_samples(jax.random.key(1), real, 0.5, 64)
+    completed, probs = autocomplete(model.apply, params, masked, jnp.zeros((2, 16)), t)
+    completed = np.asarray(completed)
+    masked_np = np.asarray(masked)
+    # unmasked positions preserved
+    np.testing.assert_array_equal(
+        completed[masked_np != 0], masked_np[masked_np != 0]
+    )
+    assert probs.shape == (2, 64, 29)
+
+
+def test_inpainter_completes_trajectory():
+    model, params = _cond_model()
+    real = jnp.asarray(np.random.default_rng(1).integers(1, 29, (2, 64)), jnp.int32)
+    masked, path, t = corrupt_samples(jax.random.key(2), real, 0.25, 64)
+    inpaint = make_inpainter(model.apply, TINY.num_timesteps)
+    out = np.asarray(
+        inpaint(params, masked, jnp.zeros((2, 16)), path, t, jax.random.key(3))
+    )
+    # originally-kept positions unchanged
+    masked_np = np.asarray(masked)
+    np.testing.assert_array_equal(out[masked_np != 0], masked_np[masked_np != 0])
+
+
+def test_unconditional_model():
+    model = ProteoScribe(TINY, conditional=False)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,), jnp.int32)
+    )
+    # no y_mlp in the tree
+    assert "y_mlp" not in params["params"]
+    logits = model.apply(
+        params, jnp.zeros((2, 64), jnp.int32), jnp.zeros((2,), jnp.int32)
+    )
+    assert logits.shape == (2, 64, 29)
+    # conditional model without z_c raises
+    cond, cparams = _cond_model()
+    with pytest.raises(ValueError):
+        cond.apply(cparams, jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,), jnp.int32))
+
+
+def test_trajectory_decode():
+    model, params = _cond_model()
+    sampler = make_sampler(model.apply, 64, return_trajectory=True, chunk_steps=32)
+    path = sample_permutations(jax.random.key(0), 2, 64)
+    final, traj = sampler(params, jnp.zeros((2, 16)), path, jax.random.key(1))
+    assert traj.shape == (64, 2, 64)
+    np.testing.assert_array_equal(np.asarray(traj[-1]), np.asarray(final))
+    texts = decode_trajectory(np.asarray(traj), 0, every=16)
+    assert len(texts) == 4
+    assert all(isinstance(t, str) for t in texts)
+
+
+def test_extract_samples_with_labels():
+    data = np.arange(20).reshape(5, 4)
+    labels = np.asarray([1, 0, 1, 1, 0])
+    out = extract_samples_with_labels(data, labels, 1, 2)
+    assert len(out["sample"]) == 2
+    np.testing.assert_array_equal(out["sample"][0], data[0] + 1)

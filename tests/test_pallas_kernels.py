@@ -1,0 +1,76 @@
+"""Pallas TPU kernels, validated in interpreter mode on CPU against the XLA
+reference implementations (the kernels compile natively on TPU; interpret
+mode checks the kernel math device-independently)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from biom3_tpu.ops.attention import full_attention
+from biom3_tpu.ops.local_attention import local_window_attention_xla
+from biom3_tpu.ops.pallas.flash_attention_tpu import flash_attention_pallas
+from biom3_tpu.ops.pallas.local_attention_tpu import local_window_attention_pallas
+
+
+def _qkv(rng, B=1, H=2, L=256, D=32):
+    return tuple(
+        jnp.asarray(rng.standard_normal((B, H, L, D)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+def test_local_attention_kernel_matches_xla(rng):
+    q, k, v = _qkv(rng, L=256, D=32)
+    ref = local_window_attention_xla(q, k, v, window=64)
+    with pltpu.force_tpu_interpret_mode():
+        out = local_window_attention_pallas(q, k, v, window=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_local_attention_kernel_single_window(rng):
+    """nw == 1: both neighbors masked; must equal plain softmax attention."""
+    q, k, v = _qkv(rng, L=64, D=32)
+    ref = full_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = local_window_attention_pallas(q, k, v, window=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_kernel_masked(rng):
+    q, k, v = _qkv(rng, B=2, H=2, L=128, D=64)
+    mask = jnp.asarray(rng.random((2, 128)) < 0.25)
+    ref = full_attention(q, k, v, padding_mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_pallas(q, k, v, padding_mask=mask, blk_q=64, blk_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_kernel_unmasked(rng):
+    q, k, v = _qkv(rng, B=1, H=3, L=256, D=64)
+    ref = full_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_pallas(q, k, v, blk_q=128, blk_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_esm2_with_pallas_attention_matches_xla(rng):
+    """Whole tower forward: attn_impl='pallas' must agree with 'xla'."""
+    from biom3_tpu.config import ESM2Config
+    from biom3_tpu.models.esm2 import ESM2
+
+    cfg = ESM2Config(num_layers=2, embed_dim=64, attention_heads=1, vocab_size=33)
+    tokens = np.concatenate(
+        [np.zeros((2, 1), np.int32),
+         rng.integers(4, 24, (2, 62)).astype(np.int32),
+         np.full((2, 1), 2, np.int32)],
+        axis=1,
+    )
+    model_x = ESM2(cfg, attn_impl="xla")
+    params = model_x.init(jax.random.key(0), jnp.asarray(tokens))
+    ref = model_x.apply(params, jnp.asarray(tokens))["hidden"]
+    model_p = ESM2(cfg, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out = model_p.apply(params, jnp.asarray(tokens))["hidden"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
