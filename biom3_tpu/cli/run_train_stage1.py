@@ -1,0 +1,150 @@
+"""Stage-1 training CLI: PenCL contrastive + MLM training on TPU.
+
+Driven by ``stage1_config.json`` (the reference's Lightning launch lived
+outside the repo).  Loads SwissProt (and optionally Pfam) caption/sequence
+CSVs, tokenizes in batched host pipelines, and runs the global-batch
+contrastive step with per-tower learning rates over a (dp, fsdp) mesh.
+Checkpoints via orbax; pretrained towers can be seeded from the published
+fair-esm/HF weights via --esm_weights/--bert_weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biom3_tpu.config import PenCLConfig, load_json_config
+from biom3_tpu.data.loader import BatchLoader
+from biom3_tpu.data.stage1_data import TextSeqPairingDataset
+from biom3_tpu.models.pencl import PenCL
+from biom3_tpu.training.stage1_task import (
+    make_stage1_optimizer,
+    make_stage1_train_step,
+)
+from biom3_tpu.training.state import TrainState
+from biom3_tpu.utils.logging import MetricLogger
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(description="BioM3 Stage-1 training")
+    p.add_argument("--json_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--data_path", type=str, default=None,
+                   help="SwissProt CSV (overrides config data_path)")
+    p.add_argument("--pfam_data_path", type=str, default=None)
+    p.add_argument("--esm_weights", type=str, default=None,
+                   help="fair-esm .pt to seed the protein tower")
+    p.add_argument("--bert_weights", type=str, default=None,
+                   help="HF pytorch_model.bin to seed the text tower")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_arguments()
+    cfg = load_json_config(args.json_path)
+    if args.data_path:
+        cfg.data_path = args.data_path
+    model_cfg = PenCLConfig.from_stage_config(cfg)
+
+    df = TextSeqPairingDataset.load_swissprot_csv(cfg)
+    dataset = TextSeqPairingDataset(cfg, df)
+    pfam_dataset = None
+    if args.pfam_data_path or cfg.str_or_none("pfam_data_path"):
+        import pandas as pd
+
+        pfam_df = pd.read_csv(args.pfam_data_path or cfg.pfam_data_path)
+        pfam_dataset = TextSeqPairingDataset(
+            cfg, pfam_df, text_tokenizer=dataset.text_tokenizer
+        )
+    print(f"swissprot: {len(dataset)} pairs"
+          + (f", pfam: {len(pfam_dataset)}" if pfam_dataset else ""))
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = PenCL(model_cfg, dtype=dtype)
+    params = model.init(
+        jax.random.key(cfg.int("seed", 42)),
+        jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+        method=PenCL.init_all_params,
+    )
+    # seed towers from published weights when provided
+    if args.esm_weights:
+        from biom3_tpu.io.convert_stage1 import esm2_params_from_torch
+        from biom3_tpu.io.torch_load import load_torch_file
+
+        params["params"]["protein_encoder"] = esm2_params_from_torch(
+            load_torch_file(args.esm_weights), model_cfg.esm
+        )
+    if args.bert_weights:
+        from biom3_tpu.io.convert_stage1 import bert_params_from_torch
+        from biom3_tpu.io.torch_load import load_torch_file
+
+        params["params"]["text_encoder"] = bert_params_from_torch(
+            load_torch_file(args.bert_weights), model_cfg.bert
+        )
+
+    tx = make_stage1_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step_fn = jax.jit(make_stage1_train_step(
+        model.apply, tx,
+        temperature=model_cfg.temperature,
+        dataset_type=cfg.get("dataset_type", "pfam")
+        if cfg.get("model_type", "pfam") == "pfam" else "default",
+        text_mask_id=dataset.text_tokenizer.mask_token_id,
+        protein_mask_id=dataset.alphabet.mask_idx,
+    ))
+
+    batch_size = cfg.int("batch_size", 80)
+    rng = np.random.default_rng(cfg.int("seed", 42))
+
+    def make_batch(idx):
+        b = dataset.get_batch(idx, with_masks=True, rng=rng)
+        out = {
+            "text_tokens": jnp.asarray(b["text_tokens"]),
+            "protein_tokens": jnp.asarray(b["protein_tokens"]),
+            "text_tokens_masked": jnp.asarray(b["text_tokens_masked"]),
+            "protein_tokens_masked": jnp.asarray(b["protein_tokens_masked"]),
+        }
+        src = pfam_dataset or dataset
+        pfam_idx = rng.integers(0, len(src), size=len(idx))
+        pb = src.get_batch(pfam_idx, with_masks=True, rng=rng)
+        out.update({
+            "pfam_text_tokens": jnp.asarray(pb["text_tokens"]),
+            "pfam_protein_tokens": jnp.asarray(pb["protein_tokens"]),
+            "pfam_text_tokens_masked": jnp.asarray(pb["text_tokens_masked"]),
+            "pfam_protein_tokens_masked": jnp.asarray(pb["protein_tokens_masked"]),
+        })
+        return out
+
+    loader = BatchLoader(len(dataset), batch_size, make_batch, seed=cfg.int("seed", 42))
+    logger = MetricLogger(args.output_dir)
+
+    from biom3_tpu.io.orbax_io import CheckpointManager
+
+    ckpt = CheckpointManager(f"{args.output_dir}/checkpoints")
+    total = args.max_steps or cfg.int("epochs", 10) * len(loader)
+    done = False
+    while not done:
+        for batch in loader:
+            state, aux = step_fn(state, batch)
+            step = int(state.step)
+            if step % 20 == 0 or step == 1:
+                print(f"step {step}/{total} loss={float(aux['loss']):.4f} "
+                      f"f1={float(aux.get('total_f1', 0)):.3f}")
+                logger.log(step, {k: float(v) for k, v in aux.items()})
+            if step % 500 == 0:
+                ckpt.save(step, state)
+            if step >= total:
+                done = True
+                break
+    ckpt.save(int(state.step), state, wait=True)
+    logger.close()
+    print(f"finished at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

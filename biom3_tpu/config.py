@@ -176,9 +176,28 @@ class PenCLConfig:
 
     @classmethod
     def from_stage_config(cls, cfg: Config) -> "PenCLConfig":
+        protein_embedding = cfg.int("protein_encoder_embedding", 1280)
+        text_embedding = cfg.int("text_encoder_embedding", 768)
+        # tower architectures default to the published ESM2-650M/PubMedBERT;
+        # optional esm_*/bert_* keys (framework extension) scale them.
+        esm = ESM2Config(
+            num_layers=cfg.int("esm_num_layers", 33),
+            embed_dim=protein_embedding,
+            attention_heads=cfg.int("esm_attention_heads", 20),
+        )
+        bert = BertConfig(
+            num_layers=cfg.int("bert_num_layers", 12),
+            hidden_size=text_embedding,
+            num_heads=cfg.int("bert_num_heads", 12),
+            intermediate_size=cfg.int("bert_intermediate_size", 4 * text_embedding),
+            vocab_size=cfg.int("bert_vocab_size", 30522),
+            max_position_embeddings=cfg.int("bert_max_position_embeddings", 512),
+        )
         return cls(
-            protein_embedding=cfg.int("protein_encoder_embedding", 1280),
-            text_embedding=cfg.int("text_encoder_embedding", 768),
+            esm=esm,
+            bert=bert,
+            protein_embedding=protein_embedding,
+            text_embedding=text_embedding,
             proj_dim=cfg.int("proj_embedding_dim", 512),
             dropout=cfg.float("dropout", 0.1),
             temperature=cfg.float("temperature", 0.8),

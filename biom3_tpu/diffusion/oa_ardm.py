@@ -30,9 +30,28 @@ def sample_random_paths(key: jax.Array, batch: int, length: int) -> jax.Array:
     return jax.vmap(lambda k: jax.random.permutation(k, length))(keys).astype(jnp.int32)
 
 
-def sample_timesteps(key: jax.Array, batch: int, length: int) -> jax.Array:
-    """(B,) int32 in [0, L] inclusive (ref sample_random_index_for_sampling:101-123)."""
-    return jax.random.randint(key, (batch,), 0, length + 1, dtype=jnp.int32)
+def sample_timesteps(
+    key: jax.Array,
+    batch: int,
+    length: int,
+    *,
+    option: str = "random",
+    decay_rate: float = 0.005,
+) -> jax.Array:
+    """(B,) int32 in [0, L] inclusive (ref sample_random_index_for_sampling:101-123).
+
+    ``option="weighted"`` draws from the exponentially-decaying distribution
+    of the reference's ``exp_weight_time_sample`` (:82-99) — in the reference
+    that branch crashes on a misnamed class (SURVEY.md Q2); here it works.
+    """
+    if option == "random":
+        return jax.random.randint(key, (batch,), 0, length + 1, dtype=jnp.int32)
+    if option == "weighted":
+        logits = -decay_rate * jnp.arange(length + 1, dtype=jnp.float32)
+        return jax.random.categorical(key, logits[None, :], axis=-1, shape=(batch,)).astype(
+            jnp.int32
+        )
+    raise ValueError(f"unknown timestep sampling option {option!r}")
 
 
 def mask_realizations(

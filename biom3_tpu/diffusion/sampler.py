@@ -41,6 +41,7 @@ def make_sampler(
     legacy_batch_update: bool = False,
     return_trajectory: bool = False,
     chunk_steps: int | None = None,
+    positions_per_step: int = 1,
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -54,12 +55,34 @@ def make_sampler(
     that many scan steps each (bounding single-execution wall-clock — some
     runtimes cap it); one compiled chunk function is reused with a dynamic
     time offset, so compile cost is unchanged.
-    """
-    chunk = chunk_steps or num_steps
-    if num_steps % chunk != 0:
-        raise ValueError(f"num_steps {num_steps} not divisible by chunk {chunk}")
 
-    def step(params, z_c, path, carry, t):
+    ``positions_per_step`` > 1 enables blocked any-order decoding: each
+    forward samples the next k path positions independently from the same
+    conditional, cutting model calls k-fold.  k=1 (default) is exactly the
+    reference's one-position-per-step semantics; k>1 is an approximation
+    (positions within a block don't condition on each other).
+
+    The default path gathers only the positions being written (via the
+    precomputed inverse permutation) before sampling — same distribution as
+    the reference's full-grid ``OneHotCategorical`` + argmax, without
+    generating (B, L, C) random bits per step.  ``legacy_batch_update``
+    keeps the full-grid sampling so the reference's batched-update quirk
+    (SURVEY.md Q5, sampling_analysis.py:254-256) reproduces bit-for-bit.
+    """
+    k = positions_per_step
+    if num_steps % k != 0:
+        raise ValueError(f"num_steps {num_steps} not divisible by k={k}")
+    outer_steps = num_steps // k
+    chunk = chunk_steps or outer_steps
+    chunk = min(chunk, outer_steps)
+    if outer_steps % chunk != 0:
+        raise ValueError(
+            f"outer steps {outer_steps} not divisible by chunk {chunk}"
+        )
+    if legacy_batch_update and k != 1:
+        raise ValueError("legacy_batch_update requires positions_per_step=1")
+
+    def legacy_step(params, z_c, path, carry, t):
         x, key = carry
         key, sub = jax.random.split(key)
         logits = apply_fn(params, x, jnp.full((x.shape[0],), t, jnp.int32), z_c)
@@ -70,30 +93,48 @@ def make_sampler(
             sampled = jax.random.categorical(
                 sub, logits / temperature, axis=-1
             ).astype(jnp.int32)
-        at_t = path == t  # (B, L); one True per row
-        if legacy_batch_update:
-            write = jnp.any(at_t, axis=0)[None, :]  # union over batch (Q5)
-        else:
-            write = at_t
+        write = jnp.any(path == t, axis=0)[None, :]  # union over batch (Q5)
         x = jnp.where(write, sampled, x)
         return (x, key), (x if return_trajectory else None)
 
+    def gather_step(params, z_c, inv, carry, i):
+        x, key = carry
+        B = x.shape[0]
+        key, sub = jax.random.split(key)
+        t = i * k
+        logits = apply_fn(params, x, jnp.full((B,), t, jnp.int32), z_c)
+        pos = jax.lax.dynamic_slice_in_dim(inv, t, k, axis=1)      # (B, k)
+        lg = jnp.take_along_axis(
+            logits.astype(jnp.float32), pos[..., None], axis=1
+        )                                                           # (B, k, C)
+        if temperature == 0.0:
+            smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            smp = jax.random.categorical(
+                sub, lg / temperature, axis=-1
+            ).astype(jnp.int32)
+        x = x.at[jnp.arange(B)[:, None], pos].set(smp)
+        return (x, key), (x if return_trajectory else None)
+
     @jax.jit
-    def run_chunk(params, z_c, path, x, key, t0):
+    def run_chunk(params, z_c, path_or_inv, x, key, i0):
+        step = legacy_step if legacy_batch_update else gather_step
         (x, key), traj = jax.lax.scan(
-            functools.partial(step, params, z_c, path),
+            functools.partial(step, params, z_c, path_or_inv),
             (x, key),
-            t0 + jnp.arange(chunk, dtype=jnp.int32),
+            i0 + jnp.arange(chunk, dtype=jnp.int32),
         )
         return x, key, traj
 
     def sample(params, z_c, path, key):
         B, L = path.shape
         x = jnp.zeros((B, L), jnp.int32)
+        # inv[b, t] = position row b samples at step t (path is a permutation)
+        path_or_inv = path if legacy_batch_update else jnp.argsort(path, axis=-1)
         trajs = []
-        for c in range(num_steps // chunk):
+        for c in range(outer_steps // chunk):
             x, key, traj = run_chunk(
-                params, z_c, path, x, key, jnp.int32(c * chunk)
+                params, z_c, path_or_inv, x, key, jnp.int32(c * chunk)
             )
             if return_trajectory:
                 trajs.append(traj)

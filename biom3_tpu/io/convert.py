@@ -79,9 +79,11 @@ def proteoscribe_params_from_torch(state_dict: dict, cfg: ProteoScribeConfig) ->
             layer = {
                 "attn_norm": _layernorm(sd, f"{base}.0.norm"),
                 "attn": {
-                    "to_q": _dense(sd, f"{base}.0.fn.to_q"),
-                    "to_k": _dense(sd, f"{base}.0.fn.to_k"),
-                    "to_v": _dense(sd, f"{base}.0.fn.to_v"),
+                    # q/k/v kernels are flat params (in, out) in the Flax
+                    # tree (SplitHeadAttention supports fused-QKV matmuls)
+                    "to_q_kernel": _t(np.asarray(sd[f"{base}.0.fn.to_q.weight"], np.float32)),
+                    "to_k_kernel": _t(np.asarray(sd[f"{base}.0.fn.to_k.weight"], np.float32)),
+                    "to_v_kernel": _t(np.asarray(sd[f"{base}.0.fn.to_v.weight"], np.float32)),
                     "to_out": _dense(sd, f"{base}.0.fn.to_out"),
                 },
                 "ff_norm": _layernorm(sd, f"{base}.1.norm"),

@@ -55,6 +55,7 @@ class SplitHeadAttention(nn.Module):
     config: ProteoScribeConfig
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -62,10 +63,25 @@ class SplitHeadAttention(nn.Module):
         B, L, _ = x.shape
         H, Dh = cfg.heads, cfg.head_dim
 
-        def proj(name):
-            return nn.Dense(cfg.dim, use_bias=False, name=name, dtype=self.dtype)(x)
+        # q/k/v kernels stay separate params (checkpoint layout unchanged);
+        # with fused_qkv the three kernels are concatenated into one
+        # (dim, 3·dim) matmul — the concat is loop-invariant, so XLA hoists
+        # it out of the sampling scan.
+        def kernel(name):
+            return self.param(
+                name, nn.initializers.lecun_normal(), (cfg.dim, cfg.dim),
+                jnp.float32,
+            )
 
-        q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
+        wq, wk, wv = kernel("to_q_kernel"), kernel("to_k_kernel"), kernel("to_v_kernel")
+        xc = x.astype(self.dtype)
+        if self.fused_qkv:
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            q, k, v = jnp.split(xc @ w, 3, axis=-1)
+        else:
+            q = xc @ wq.astype(self.dtype)
+            k = xc @ wk.astype(self.dtype)
+            v = xc @ wv.astype(self.dtype)
         split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
 
@@ -92,12 +108,15 @@ class TransformerLayer(nn.Module):
     config: ProteoScribeConfig
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.config
         h = nn.LayerNorm(name="attn_norm")(x)  # norms accumulate in f32
-        x = x + SplitHeadAttention(cfg, self.attn_impl, self.dtype, name="attn")(h)
+        x = x + SplitHeadAttention(
+            cfg, self.attn_impl, self.dtype, self.fused_qkv, name="attn"
+        )(h)
         h = nn.LayerNorm(name="ff_norm")(x)
         h = nn.Dense(cfg.dim * cfg.ff_mult, name="ff_w1", dtype=self.dtype)(h)
         h = jax.nn.gelu(h, approximate=False)
@@ -134,6 +153,7 @@ class ProteoScribe(nn.Module):
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
     conditional: bool = True
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(
@@ -170,7 +190,8 @@ class ProteoScribe(nn.Module):
             for li in range(cfg.depth):
                 bias = time_bias[..., bi, li]  # (B, dim)
                 h = TransformerLayer(
-                    cfg, self.attn_impl, self.dtype, name=f"layer_{bi}_{li}"
+                    cfg, self.attn_impl, self.dtype, self.fused_qkv,
+                    name=f"layer_{bi}_{li}",
                 )(h + bias[:, None, :])
 
         h = nn.LayerNorm(name="final_norm")(h)

@@ -41,58 +41,72 @@ def stage1_loss_fn(
     text_mask_id: int,
     protein_mask_id: int,
 ):
-    """batch keys: {text,protein}_tokens[,_masked] and pfam_* equivalents."""
+    """batch keys: {text,protein}_tokens[,_masked] and pfam_* equivalents.
+
+    ``dataset_type`` selects the loss composition, covering the reference's
+    three Lightning wrappers (Stage1_source/PL_wrapper.py):
+      * "default"      — inter-modal loss only (PL_PEN_CL:32; SwissProt pairs
+        duplicated into both batch halves when no pfam batch is given),
+      * "masked"       — inter + text/protein MLM (mask_PL_PEN_CL:411),
+      * "pfam"         — dual SwissProt+Pfam batch, inter+intra+2×MLM
+        (pfam_PL_PEN_CL:861),
+      * "pfam_ablated" — pfam minus the intra loss (:1078-1089).
+    """
+    has_pfam = "pfam_text_tokens" in batch
     out_swiss = apply_fn(params, batch["text_tokens"], batch["protein_tokens"])
-    out_pfam = apply_fn(
-        params, batch["pfam_text_tokens"], batch["pfam_protein_tokens"]
-    )
-    z_t_all = jnp.concatenate(
-        [out_swiss["text_joint_latent"], out_pfam["text_joint_latent"]]
-    )
-    z_p_all = jnp.concatenate(
-        [out_swiss["seq_joint_latent"], out_pfam["seq_joint_latent"]]
-    )
+    if has_pfam:
+        out_pfam = apply_fn(
+            params, batch["pfam_text_tokens"], batch["pfam_protein_tokens"]
+        )
+        z_t_all = jnp.concatenate(
+            [out_swiss["text_joint_latent"], out_pfam["text_joint_latent"]]
+        )
+        z_p_all = jnp.concatenate(
+            [out_swiss["seq_joint_latent"], out_pfam["seq_joint_latent"]]
+        )
+    else:
+        z_t_all = out_swiss["text_joint_latent"]
+        z_p_all = out_swiss["seq_joint_latent"]
     half = z_p_all.shape[0] // 2
 
     loss_align, logits = compute_inter_loss(z_p_all, z_t_all, half, temperature)
-    loss_intra, _ = compute_intra_loss(z_p_all, temperature)
+    aux = {"loss_align": loss_align, "logits": logits}
+    loss = loss_align
 
-    all_text = jnp.concatenate([batch["text_tokens"], batch["pfam_text_tokens"]])
-    all_protein = jnp.concatenate(
-        [batch["protein_tokens"], batch["pfam_protein_tokens"]]
-    )
-    all_text_masked = jnp.concatenate(
-        [batch["text_tokens_masked"], batch["pfam_text_tokens_masked"]]
-    )
-    all_protein_masked = jnp.concatenate(
-        [batch["protein_tokens_masked"], batch["pfam_protein_tokens_masked"]]
-    )
-    mlm = apply_fn(
-        params, all_text_masked, all_protein_masked, compute_masked_logits=True
-    )
-    loss_text_mask = compute_masked_lang_loss(
-        mlm["text_masked_logits"], all_text, all_text_masked, text_mask_id
-    )
-    loss_seq_mask = compute_masked_lang_loss(
-        mlm["protein_masked_logits"], all_protein, all_protein_masked,
-        protein_mask_id,
-    )
-
-    if dataset_type == "pfam":
-        loss = loss_align + loss_intra + loss_text_mask + loss_seq_mask
+    if dataset_type in ("pfam",):
+        loss_intra, _ = compute_intra_loss(z_p_all, temperature)
+        aux["loss_intra"] = loss_intra
+        loss = loss + loss_intra
     elif dataset_type == "pfam_ablated":
-        loss = loss_align + loss_text_mask + loss_seq_mask
-    else:
+        loss_intra, _ = compute_intra_loss(z_p_all, temperature)
+        aux["loss_intra"] = loss_intra  # tracked, excluded from total
+
+    if dataset_type in ("masked", "pfam", "pfam_ablated"):
+        def cat(key):
+            if has_pfam:
+                return jnp.concatenate([batch[key], batch["pfam_" + key]])
+            return batch[key]
+
+        all_text, all_protein = cat("text_tokens"), cat("protein_tokens")
+        all_text_masked = cat("text_tokens_masked")
+        all_protein_masked = cat("protein_tokens_masked")
+        mlm = apply_fn(
+            params, all_text_masked, all_protein_masked, compute_masked_logits=True
+        )
+        loss_text_mask = compute_masked_lang_loss(
+            mlm["text_masked_logits"], all_text, all_text_masked, text_mask_id
+        )
+        loss_seq_mask = compute_masked_lang_loss(
+            mlm["protein_masked_logits"], all_protein, all_protein_masked,
+            protein_mask_id,
+        )
+        aux["loss_text_mask"] = loss_text_mask
+        aux["loss_seq_mask"] = loss_seq_mask
+        loss = loss + loss_text_mask + loss_seq_mask
+    elif dataset_type != "default":
         raise ValueError(f"Unexpected dataset_type {dataset_type!r}")
 
-    aux = {
-        "loss": loss,
-        "loss_align": loss_align,
-        "loss_intra": loss_intra,
-        "loss_text_mask": loss_text_mask,
-        "loss_seq_mask": loss_seq_mask,
-        "logits": logits,
-    }
+    aux["loss"] = loss
     return loss, aux
 
 

@@ -163,3 +163,40 @@ def test_sampler_legacy_batch_update_unions_positions():
     assert (xf[0, 1:] == 0).all() and (xf[1, :-1] == 0).all()
     # legacy writes the union {0, L-1} into both rows
     assert xl[0, L - 1] != 0 or xl[1, 0] != 0
+
+
+def test_fused_qkv_identical_outputs(golden_pair, rng):
+    _, params = golden_pair
+    x = jnp.asarray(rng.integers(0, SMALL.num_classes, (2, SMALL.max_seq_len)), jnp.int32)
+    t = jnp.asarray([0, 5], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((2, SMALL.cond_dim)).astype(np.float32))
+    out_ref = ProteoScribe(SMALL).apply(params, x, t, y)
+    out_fused = ProteoScribe(SMALL, fused_qkv=True).apply(params, x, t, y)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_gather_sampler_matches_legacy_at_temp0_single_row():
+    """For B=1 at temperature 0, the gathered-position sampler must produce
+    exactly the legacy full-grid path (argmax at the written position is the
+    same value either way)."""
+    cfg, model, params = _tiny_model_and_params()
+    path = sample_permutations(jax.random.key(5), 1, cfg.max_seq_len)
+    z_c = jnp.zeros((1, cfg.cond_dim))
+    fast = make_sampler(model.apply, cfg.num_timesteps, temperature=0.0)
+    legacy = make_sampler(
+        model.apply, cfg.num_timesteps, temperature=0.0, legacy_batch_update=True
+    )
+    a = np.asarray(fast(params, z_c, path, jax.random.key(0)))
+    b = np.asarray(legacy(params, z_c, path, jax.random.key(0)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_blocked_decoding_positions_per_step():
+    cfg, model, params = _tiny_model_and_params()
+    sampler = make_sampler(model.apply, cfg.num_timesteps, positions_per_step=8)
+    path = sample_permutations(jax.random.key(6), 2, cfg.max_seq_len)
+    x = np.asarray(sampler(params, jnp.zeros((2, cfg.cond_dim)), path, jax.random.key(7)))
+    assert x.shape == (2, cfg.max_seq_len)
+    assert x.min() >= 0 and x.max() < cfg.num_classes
