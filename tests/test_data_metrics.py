@@ -166,3 +166,43 @@ def test_time_split_metrics_shapes():
     for k in ["prev_hard_acc", "current_hard_acc", "fut_hard_acc",
               "prev_ppl", "current_ppl", "fut_ppl"]:
         assert np.isfinite(float(out[k])), k
+
+
+def test_embedding_spectrum_report():
+    from biom3_tpu.utils.figures import embedding_spectrum_report
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal((64, 16)).astype(np.float32)
+    rep = embedding_spectrum_report(z)
+    assert len(rep["log_sigma"]) == 16
+    assert 10 < rep["erank"] <= 16
+    # quirk-q9 mode changes normalization but not the erank (scale-invariant)
+    rep_q = embedding_spectrum_report(z, quirk_q9=True)
+    assert rep_q["erank"] == pytest.approx(rep["erank"], rel=1e-4)
+
+
+def test_eval_cli_stats_and_scoring(tmp_path):
+    import subprocess, sys, os, json as _json
+    import torch
+
+    designs = {"replica_0": ["ACDEF", "WWWW"], "replica_1": ["ACDEG", "WWWV"]}
+    torch.save(designs, tmp_path / "designs.pt")
+    torch.save({"sequence": ["ACDEF", "WWWW"]}, tmp_path / "refs.pt")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH','')}"
+    r = subprocess.run(
+        [sys.executable, "-m", "biom3_tpu.cli.run_eval",
+         "--designs_path", str(tmp_path / "designs.pt"),
+         "--reference_path", str(tmp_path / "refs.pt")],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    report = _json.loads(r.stdout)
+    assert report["stats"]["n"] == 4
+    # replica_0 matches the references exactly → perfect scores
+    assert report["vs_reference"]["replica_0"]["hard_acc"] == pytest.approx(1.0)
+    assert report["vs_reference"]["replica_0"]["blosum_soft_acc"] == pytest.approx(1.0)
+    assert report["vs_reference"]["replica_1"]["hard_acc"] < 1.0
