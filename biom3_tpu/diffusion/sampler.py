@@ -113,7 +113,12 @@ def make_sampler(
             smp = jax.random.categorical(
                 sub, lg / temperature, axis=-1
             ).astype(jnp.int32)
-        x = x.at[jnp.arange(B)[:, None], pos].set(smp)
+        # one-hot broadcast write instead of a 2D scatter (the TPU compiler
+        # handles scatter-in-scan pathologically slowly)
+        L = x.shape[1]
+        oh = pos[:, :, None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        new_vals = jnp.sum(oh * smp[:, :, None], axis=1).astype(x.dtype)
+        x = jnp.where(jnp.any(oh, axis=1), new_vals, x)
         return (x, key), (x if return_trajectory else None)
 
     @jax.jit

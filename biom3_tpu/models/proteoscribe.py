@@ -154,6 +154,7 @@ class ProteoScribe(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conditional: bool = True
     fused_qkv: bool = False
+    remat: bool = False  # rematerialize layers in the backward pass
 
     @nn.compact
     def __call__(
@@ -184,12 +185,15 @@ class ProteoScribe(nn.Module):
                 raise ValueError("conditional model requires z_c")
             time_bias = time_bias + ConditioningMLP(cfg, name="y_mlp")(z_c)
 
+        layer_cls = (
+            nn.remat(TransformerLayer) if self.remat else TransformerLayer
+        )
         h = jnp.zeros_like(x_embed)
         for bi in range(cfg.n_blocks):
             h = h + x_embed
             for li in range(cfg.depth):
                 bias = time_bias[..., bi, li]  # (B, dim)
-                h = TransformerLayer(
+                h = layer_cls(
                     cfg, self.attn_impl, self.dtype, self.fused_qkv,
                     name=f"layer_{bi}_{li}",
                 )(h + bias[:, None, :])

@@ -86,3 +86,28 @@ def test_facilitator_init_and_shapes():
     scaled["params"]["fc1"]["v"] = scaled["params"]["fc1"]["v"] * 3.0
     out2 = model.apply(scaled, jnp.ones((3, 512)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+def test_facilitator_export_roundtrip(torch_facilitator):
+    import torch
+    from biom3_tpu.config import FacilitatorConfig
+    from biom3_tpu.io.export import facilitator_params_to_torch
+
+    cfg = FacilitatorConfig()
+    sd0 = {
+        "main." + k: v.detach().numpy()
+        for k, v in torch_facilitator.state_dict().items()
+        if not k.endswith(".weight")
+    }
+    params = facilitator_params_from_torch(sd0, cfg)
+    sd = facilitator_params_to_torch(params, cfg)
+    # loads into a fresh torch weight_norm model and reproduces outputs
+    loaded = {
+        k[len("main."):]: torch.from_numpy(np.array(v)) for k, v in sd.items()
+    }  # the fixture is a bare nn.Sequential (no "main." wrapper)
+    torch_facilitator.load_state_dict(loaded)
+    x = np.random.default_rng(1).standard_normal((3, 512)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_facilitator(torch.from_numpy(x)).numpy()
+    out = Facilitator(cfg).apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-5)

@@ -161,3 +161,25 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_remat_training_matches_no_remat():
+    """Gradient checkpointing must not change the loss/gradients."""
+    model_r = ProteoScribe(TINY, remat=True)
+    model_n = ProteoScribe(TINY, remat=False)
+    params = model_n.init(
+        jax.random.key(0), jnp.zeros((1, TINY.max_seq_len), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, TINY.cond_dim)),
+    )
+    tx = make_optimizer("Adam", 1e-3)
+    batch = {
+        "tokens": jnp.ones((4, TINY.max_seq_len), jnp.int32) * 3,
+        "z_c": jnp.zeros((4, TINY.cond_dim)),
+    }
+    auxes = []
+    for model in (model_r, model_n):
+        state = TrainState.create(params, tx)
+        step = jax.jit(make_stage3_train_step(model.apply, tx))
+        _, aux = step(state, batch, jax.random.key(1))
+        auxes.append(float(aux["loss"]))
+    assert auxes[0] == pytest.approx(auxes[1], rel=1e-5)

@@ -200,3 +200,34 @@ def test_blocked_decoding_positions_per_step():
     x = np.asarray(sampler(params, jnp.zeros((2, cfg.cond_dim)), path, jax.random.key(7)))
     assert x.shape == (2, cfg.max_seq_len)
     assert x.min() >= 0 and x.max() < cfg.num_classes
+
+
+def test_export_roundtrip(golden_pair):
+    """Flax → torch export feeds back through the converter losslessly, and
+    the exported state dict drives the torch golden model to the same
+    outputs."""
+    import torch
+    import torch_golden
+    from biom3_tpu.io.export import proteoscribe_params_to_torch
+
+    _, params = golden_pair
+    sd = proteoscribe_params_to_torch(params, SMALL)
+    params2 = proteoscribe_params_from_torch(sd, SMALL)
+    key_fn = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params), key=key_fn),
+        sorted(jax.tree_util.tree_leaves_with_path(params2), key=key_fn),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, err_msg=str(ka))
+
+    # exported dict loads into the torch golden model
+    tm = torch_golden.GoldenDiffTransformer(
+        num_classes=SMALL.num_classes, dim=SMALL.dim, depth=SMALL.depth,
+        n_blocks=SMALL.n_blocks, max_seq_len=SMALL.max_seq_len,
+        num_timesteps=SMALL.num_timesteps, heads=SMALL.heads,
+        n_local_attn_heads=SMALL.local_heads,
+        local_attn_window_size=SMALL.local_window, cond_dim=SMALL.cond_dim,
+    )
+    stripped = {k[len("transformer."):]: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+    missing, unexpected = tm.load_state_dict(stripped, strict=False)
+    assert not unexpected, unexpected
