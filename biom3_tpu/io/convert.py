@@ -95,3 +95,33 @@ def proteoscribe_params_from_torch(state_dict: dict, cfg: ProteoScribeConfig) ->
     params["final_norm"] = _layernorm(sd, "norm")
     params["out_proj"] = _dense(sd, "out")
     return {"params": params}
+
+
+def stack_proteoscribe_layers(params: dict, cfg: ProteoScribeConfig) -> dict:
+    """Unrolled param tree → scan-over-layers tree (``scan_layers=True``).
+
+    ``layer_{b}_{l}`` subtrees stack into ``block_{b}/layer`` with a leading
+    depth axis (matching ``nn.scan(variable_axes={"params": 0})``)."""
+    p = dict(params["params"])
+    for bi in range(cfg.n_blocks):
+        layers = [p.pop(f"layer_{bi}_{li}") for li in range(cfg.depth)]
+        import jax
+
+        p[f"block_{bi}"] = {
+            "layer": jax.tree.map(lambda *xs: np.stack(xs), *layers)
+        }
+    return {"params": p}
+
+
+def unstack_proteoscribe_layers(params: dict, cfg: ProteoScribeConfig) -> dict:
+    """Inverse of ``stack_proteoscribe_layers``."""
+    import jax
+
+    p = dict(params["params"])
+    for bi in range(cfg.n_blocks):
+        stacked = p.pop(f"block_{bi}")["layer"]
+        for li in range(cfg.depth):
+            p[f"layer_{bi}_{li}"] = jax.tree.map(
+                lambda x, li=li: np.asarray(x)[li], stacked
+            )
+    return {"params": p}

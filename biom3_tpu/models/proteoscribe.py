@@ -124,6 +124,23 @@ class TransformerLayer(nn.Module):
         return x + h
 
 
+class _ScanBody(nn.Module):
+    """TransformerLayer wrapped for ``nn.scan``: carry = h, xs = per-layer bias."""
+
+    config: ProteoScribeConfig
+    attn_impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+    fused_qkv: bool = False
+
+    @nn.compact
+    def __call__(self, h: jax.Array, bias: jax.Array):
+        h = TransformerLayer(
+            self.config, self.attn_impl, self.dtype, self.fused_qkv,
+            name="layer",
+        )(h + bias[:, None, :])
+        return h, None
+
+
 class ConditioningMLP(nn.Module):
     """512 → 4·512 → softplus → dim · n_layers (per-layer additive biases);
     ref y_mlp / time mlp (cond_diff_transformer_layer.py:93-105)."""
@@ -154,7 +171,9 @@ class ProteoScribe(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conditional: bool = True
     fused_qkv: bool = False
-    remat: bool = False  # rematerialize layers in the backward pass
+    remat: bool = False        # rematerialize layers in the backward pass
+    scan_layers: bool = False  # lax.scan over depth (stacked params; ~depth×
+                               # smaller HLO → much faster compiles)
 
     @nn.compact
     def __call__(
@@ -185,18 +204,38 @@ class ProteoScribe(nn.Module):
                 raise ValueError("conditional model requires z_c")
             time_bias = time_bias + ConditioningMLP(cfg, name="y_mlp")(z_c)
 
-        layer_cls = (
-            nn.remat(TransformerLayer) if self.remat else TransformerLayer
-        )
         h = jnp.zeros_like(x_embed)
-        for bi in range(cfg.n_blocks):
-            h = h + x_embed
-            for li in range(cfg.depth):
-                bias = time_bias[..., bi, li]  # (B, dim)
-                h = layer_cls(
+        if self.scan_layers:
+            body = _ScanBody
+            if self.remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanner = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                length=cfg.depth,
+            )
+            for bi in range(cfg.n_blocks):
+                h = h + x_embed
+                # (B, dim, depth) → xs stacked on axis 0: (depth, B, dim)
+                biases = jnp.moveaxis(time_bias[..., bi, :], -1, 0)
+                h, _ = scanner(
                     cfg, self.attn_impl, self.dtype, self.fused_qkv,
-                    name=f"layer_{bi}_{li}",
-                )(h + bias[:, None, :])
+                    name=f"block_{bi}",
+                )(h, biases)
+        else:
+            layer_cls = (
+                nn.remat(TransformerLayer) if self.remat else TransformerLayer
+            )
+            for bi in range(cfg.n_blocks):
+                h = h + x_embed
+                for li in range(cfg.depth):
+                    bias = time_bias[..., bi, li]  # (B, dim)
+                    h = layer_cls(
+                        cfg, self.attn_impl, self.dtype, self.fused_qkv,
+                        name=f"layer_{bi}_{li}",
+                    )(h + bias[:, None, :])
 
         h = nn.LayerNorm(name="final_norm")(h)
         return nn.Dense(cfg.num_classes, name="out_proj")(h)

@@ -231,3 +231,33 @@ def test_export_roundtrip(golden_pair):
     stripped = {k[len("transformer."):]: torch.from_numpy(np.array(v)) for k, v in sd.items()}
     missing, unexpected = tm.load_state_dict(stripped, strict=False)
     assert not unexpected, unexpected
+
+
+def test_scan_layers_matches_unrolled(golden_pair, rng):
+    from biom3_tpu.io.convert import stack_proteoscribe_layers
+
+    _, params = golden_pair
+    x = jnp.asarray(rng.integers(0, SMALL.num_classes, (2, SMALL.max_seq_len)), jnp.int32)
+    t = jnp.asarray([1, 64], jnp.int32)
+    y = jnp.asarray(rng.standard_normal((2, SMALL.cond_dim)).astype(np.float32))
+    ref = ProteoScribe(SMALL).apply(params, x, t, y)
+    stacked = stack_proteoscribe_layers(params, SMALL)
+    out = ProteoScribe(SMALL, scan_layers=True).apply(stacked, x, t, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_scan_layers_stack_roundtrip(golden_pair):
+    from biom3_tpu.io.convert import (
+        stack_proteoscribe_layers,
+        unstack_proteoscribe_layers,
+    )
+
+    _, params = golden_pair
+    back = unstack_proteoscribe_layers(
+        stack_proteoscribe_layers(params, SMALL), SMALL
+    )
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
