@@ -28,6 +28,9 @@ def parse_arguments():
                         help="0 = deterministic argmax decoding")
     parser.add_argument("--legacy-batch-update", action="store_true",
                         help="reproduce the reference's batched-update quirk (Q5)")
+    parser.add_argument("--positions-per-step", type=int, default=1,
+                        help=">1 enables blocked any-order decoding "
+                             "(k-fold fewer forwards; approximation)")
     return parser.parse_args()
 
 
@@ -39,6 +42,7 @@ def main() -> None:
         args.model_path,
         temperature=args.temperature,
         legacy_batch_update=args.legacy_batch_update,
+        positions_per_step=args.positions_per_step,
     )
 
     embedding_dataset = load_torch_file(args.input_path)

@@ -34,6 +34,7 @@ class ProteoScribeEngine:
         temperature: float = 1.0,
         legacy_batch_update: bool = False,
         chunk_steps: int | None = 128,
+        positions_per_step: int = 1,
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -50,8 +51,9 @@ class ProteoScribeEngine:
                 jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, self.config.cond_dim)),
             )
+        outer = self.config.num_timesteps // positions_per_step
         chunk = chunk_steps if chunk_steps else None
-        if chunk and self.config.num_timesteps % chunk != 0:
+        if chunk and (chunk > outer or outer % chunk != 0):
             chunk = None
         self.sampler = make_sampler(
             self.model.apply,
@@ -59,6 +61,7 @@ class ProteoScribeEngine:
             temperature=temperature,
             legacy_batch_update=legacy_batch_update,
             chunk_steps=chunk,
+            positions_per_step=positions_per_step,
         )
 
     def sample_batch(
