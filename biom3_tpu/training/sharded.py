@@ -1,0 +1,58 @@
+"""Generic mesh-sharded training-step builder (works for any stage task).
+
+Params are placed by the fsdp/tp partition rules; optimizer state is
+initialized inside jit so GSPMD propagates each moment onto its param's
+sharding (ZeRO-equivalent layout); batch arrays shard their leading dim over
+(dp, fsdp).  Used by the stage-specific wrappers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+
+from biom3_tpu.parallel.sharding import batch_sharding, shard_params
+from biom3_tpu.training.state import TrainState
+
+
+def make_sharded_train_step(
+    step_fn: Callable,
+    tx,
+    mesh,
+    params,
+    *,
+    with_ema: bool = False,
+    batch_ndim: dict | int = 2,
+    has_rng: bool = True,
+):
+    """step_fn(state, batch[, key]) → (state, aux), jitted over ``mesh``.
+
+    ``batch_ndim``: dims per batch key (dict) or one int for all keys.
+
+    Returns (jitted_step, sharded_initial_state).
+    """
+    sharded = shard_params(params, mesh)
+    state = jax.jit(lambda p: TrainState.create(p, tx, with_ema=with_ema))(sharded)
+
+    class _BatchSharding:
+        """Lazy per-key batch sharding pytree prefix."""
+
+        def __getitem__(self, key):
+            nd = batch_ndim[key] if isinstance(batch_ndim, dict) else batch_ndim
+            return batch_sharding(mesh, nd)
+
+    def shard_batch(batch: dict) -> dict:
+        out = {}
+        for key, value in batch.items():
+            nd = batch_ndim.get(key, value.ndim) if isinstance(batch_ndim, dict) else value.ndim
+            out[key] = jax.device_put(value, batch_sharding(mesh, nd))
+        return out
+
+    in_shardings = (None, None, None) if has_rng else (None, None)
+    jitted = jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(0,))
+
+    def run(state, batch, *rest):
+        return jitted(state, shard_batch(batch), *rest)
+
+    return run, state

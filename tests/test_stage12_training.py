@@ -100,3 +100,33 @@ def test_stage2_train_step_learns(loss_type, rng):
         state, aux = step(state, batch)
         first = first if first is not None else float(aux["loss"])
     assert float(aux["loss"]) < first
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_stage1_sharded_train_step():
+    """Global-batch contrastive training over the (dp, fsdp, tp) mesh — the
+    SPMD replacement for the reference's all_gather + barrier recipe."""
+    from biom3_tpu.parallel.mesh import MeshConfig, make_mesh
+    from biom3_tpu.training.sharded import make_sharded_train_step
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    model = PenCL(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+    )
+    tx = make_optimizer("AdamW", 1e-4)
+    step = make_stage1_train_step(
+        model.apply, tx, temperature=0.8, dataset_type="pfam",
+        text_mask_id=5, protein_mask_id=32, with_metrics=False,
+    )
+    run, state = make_sharded_train_step(step, tx, mesh, params, has_rng=False)
+    batch = _batch(np.random.default_rng(0), B=4)  # global batch 4 shards over dp×fsdp
+    state, aux = run(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+
+    # must equal the unsharded loss (same data, SPMD == single device)
+    state1 = TrainState.create(params, tx)
+    step1 = jax.jit(step)
+    _, aux1 = step1(state1, batch)
+    assert float(aux["loss"]) == pytest.approx(float(aux1["loss"]), rel=1e-4)
