@@ -35,13 +35,6 @@ def make_sharded_train_step(
     sharded = shard_params(params, mesh)
     state = jax.jit(lambda p: TrainState.create(p, tx, with_ema=with_ema))(sharded)
 
-    class _BatchSharding:
-        """Lazy per-key batch sharding pytree prefix."""
-
-        def __getitem__(self, key):
-            nd = batch_ndim[key] if isinstance(batch_ndim, dict) else batch_ndim
-            return batch_sharding(mesh, nd)
-
     def shard_batch(batch: dict) -> dict:
         out = {}
         for key, value in batch.items():
