@@ -33,6 +33,27 @@ import jax
 import jax.numpy as jnp
 
 
+def apply_logit_filters(
+    logits: jax.Array, *, top_k: int | None = None, top_p: float | None = None
+) -> jax.Array:
+    """Standard top-k / nucleus filtering over the last axis (serving knobs
+    beyond the reference's plain categorical sampling)."""
+    if top_k is not None:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest logit still inside the nucleus
+        inside = cum - probs < top_p
+        min_keep = jnp.min(
+            jnp.where(inside, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < min_keep, -jnp.inf, logits)
+    return logits
+
+
 def make_sampler(
     apply_fn: Callable,
     num_steps: int,
@@ -42,6 +63,8 @@ def make_sampler(
     return_trajectory: bool = False,
     chunk_steps: int | None = None,
     positions_per_step: int = 1,
+    top_k: int | None = None,
+    top_p: float | None = None,
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -107,6 +130,8 @@ def make_sampler(
         lg = jnp.take_along_axis(
             logits.astype(jnp.float32), pos[..., None], axis=1
         )                                                           # (B, k, C)
+        if top_k is not None or top_p is not None:
+            lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)
         if temperature == 0.0:
             smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         else:

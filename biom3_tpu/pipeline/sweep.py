@@ -10,8 +10,6 @@ scales linearly with chips.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -58,3 +58,27 @@ def test_step_timer_and_memory():
             pass
     assert len(timer.times) == 2
     assert host_memory_mb() > 0
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax must save/restore a mesh-sharded state (the FSDP layout)."""
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from biom3_tpu.parallel.mesh import MeshConfig, make_mesh
+    from biom3_tpu.parallel.sharding import shard_params
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2))
+    params = {"w": jnp.arange(64.0).reshape(8, 8), "b": jnp.ones(8)}
+    sharded = shard_params(params, mesh)
+    tx = make_optimizer("Adam", 1e-3)
+    state = jax.jit(lambda p: TrainState.create(p, tx))(sharded)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state, wait=True)
+    restored = mgr.restore(jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(params["w"])
+    )
+    mgr.close()

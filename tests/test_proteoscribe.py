@@ -261,3 +261,24 @@ def test_scan_layers_stack_roundtrip(golden_pair):
         sorted(jax.tree_util.tree_leaves_with_path(back), key=lambda kv: str(kv[0])),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+
+
+def test_logit_filters():
+    from biom3_tpu.diffusion.sampler import apply_logit_filters
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0, 0.0]])
+    k2 = np.asarray(apply_logit_filters(logits, top_k=2))
+    assert np.isneginf(k2[0, [0, 1, 4]]).all()
+    assert np.isfinite(k2[0, [2, 3]]).all()
+    # top_p: nucleus keeps highest-prob tokens summing past p
+    p = np.asarray(apply_logit_filters(logits, top_p=0.5))
+    assert np.isfinite(p[0, 3])           # argmax always kept
+    assert np.isneginf(p[0, [0, 4]]).all()
+
+
+def test_sampler_with_top_k():
+    cfg, model, params = _tiny_model_and_params()
+    sampler = make_sampler(model.apply, cfg.num_timesteps, top_k=3)
+    path = sample_permutations(jax.random.key(8), 2, cfg.max_seq_len)
+    x = np.asarray(sampler(params, jnp.zeros((2, cfg.cond_dim)), path, jax.random.key(9)))
+    assert x.shape == (2, cfg.max_seq_len)

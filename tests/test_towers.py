@@ -182,3 +182,60 @@ def test_bert_mlm_logits_parity(hf_bert, rng):
         params, jnp.asarray(ids), compute_logits=True
     )["logits"]
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+ESM_HEAD64 = ESM2Config(
+    num_layers=2, embed_dim=256, attention_heads=4, vocab_size=33,
+    token_dropout=True,
+)
+
+
+def test_esm2_head_dim_64_parity(rng):
+    """The published ESM2-650M uses head_dim=64 — rotary must match there."""
+    import torch
+    from transformers import EsmConfig, EsmForMaskedLM
+
+    torch.manual_seed(3)
+    cfg = EsmConfig(
+        vocab_size=33, mask_token_id=32, pad_token_id=1,
+        hidden_size=256, num_attention_heads=4, num_hidden_layers=2,
+        intermediate_size=1024, position_embedding_type="rotary",
+        token_dropout=True, emb_layer_norm_before=False, layer_norm_eps=1e-5,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    hf = EsmForMaskedLM(cfg)
+    hf.eval()
+    tokens = np.concatenate(
+        [np.zeros((2, 1), np.int32),
+         rng.integers(4, 24, (2, 30)).astype(np.int32),
+         np.full((2, 1), 2, np.int32)],
+        axis=1,
+    )
+    with torch.no_grad():
+        ref = hf.esm(torch.from_numpy(tokens.astype(np.int64))).last_hidden_state.numpy()
+    params = {"params": esm2_params_from_torch(
+        _hf_esm_state_to_fairesm(hf.state_dict()), ESM_HEAD64
+    )}
+    out = ESM2(ESM_HEAD64).apply(params, jnp.asarray(tokens))["hidden"]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=1e-3)
+
+
+def test_esm2_bf16_drift_is_small(hf_esm, rng):
+    """bf16 fast mode must track f32 to ≥0.999 cosine on CLS vectors."""
+    params = {"params": esm2_params_from_torch(
+        _hf_esm_state_to_fairesm(hf_esm.state_dict()), ESM_SMALL
+    )}
+    tokens = np.concatenate(
+        [np.zeros((4, 1), np.int32),
+         rng.integers(4, 24, (4, 20)).astype(np.int32),
+         np.full((4, 1), 2, np.int32)],
+        axis=1,
+    )
+    f32 = np.asarray(ESM2(ESM_SMALL).apply(params, jnp.asarray(tokens))["hidden"])[:, 0]
+    bf16 = np.asarray(
+        ESM2(ESM_SMALL, dtype=jnp.bfloat16).apply(params, jnp.asarray(tokens))["hidden"]
+    ).astype(np.float32)[:, 0]
+    cos = np.sum(f32 * bf16, -1) / (
+        np.linalg.norm(f32, axis=-1) * np.linalg.norm(bf16, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
