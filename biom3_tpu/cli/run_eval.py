@@ -47,18 +47,29 @@ def score_against_reference(designs: list[str], references: list[str]) -> dict:
     from biom3_tpu.training.metrics import blosum_soft_accuracy, hard_accuracy
 
     vocab = Stage3Vocab()
-    pad_to = max(
-        max((len(d) for d in designs), default=0),
-        max((len(r) for r in references), default=0),
-    ) + 2
-    d_ids = vocab.shift_for_model(vocab.batch_encode(designs, pad_to))
-    r_ids = vocab.shift_for_model(vocab.batch_encode(references, pad_to))
-    return {
+    # skip pairs with characters outside the 28-token training vocab instead
+    # of aborting the whole evaluation
+    keep_d, keep_r, skipped = [], [], 0
+    for d, r in zip(designs, references):
+        if all(ch in vocab.train_tok_to_id for ch in d + r):
+            keep_d.append(d)
+            keep_r.append(r)
+        else:
+            skipped += 1
+    if not keep_d:
+        return {"skipped_out_of_vocab": skipped}
+    pad_to = max(max(len(d) for d in keep_d), max(len(r) for r in keep_r)) + 2
+    d_ids = vocab.shift_for_model(vocab.batch_encode(keep_d, pad_to))
+    r_ids = vocab.shift_for_model(vocab.batch_encode(keep_r, pad_to))
+    out = {
         "blosum_soft_acc": float(
             blosum_soft_accuracy(jnp.asarray(d_ids), jnp.asarray(r_ids))
         ),
         "hard_acc": float(hard_accuracy(jnp.asarray(d_ids), jnp.asarray(r_ids))),
     }
+    if skipped:
+        out["skipped_out_of_vocab"] = skipped
+    return out
 
 
 def main() -> None:

@@ -101,6 +101,17 @@ def main() -> None:
     batch_size = cfg.int("batch_size", 80)
     rng = np.random.default_rng(cfg.int("seed", 42))
 
+    # The pfam CSV must be ROW-ALIGNED with the SwissProt CSV: the loss
+    # geometry pairs swiss row i with pfam row i as same-family positives
+    # (compute_intra_loss positives sit half the global batch away; the
+    # inter-loss mask treats the (i, i+B) pairs as duplicates — ref
+    # PL_wrapper.py:969-972 yields them from one aligned dataset).
+    if pfam_dataset is not None and len(pfam_dataset) != len(dataset):
+        raise SystemExit(
+            "pfam CSV must be row-aligned with the SwissProt CSV "
+            f"(got {len(pfam_dataset)} vs {len(dataset)} rows)"
+        )
+
     def make_batch(idx):
         b = dataset.get_batch(idx, with_masks=True, rng=rng)
         out = {
@@ -109,9 +120,11 @@ def main() -> None:
             "text_tokens_masked": jnp.asarray(b["text_tokens_masked"]),
             "protein_tokens_masked": jnp.asarray(b["protein_tokens_masked"]),
         }
+        # same indices → aligned family positives (self-paired when no pfam
+        # dataset is given, which makes intra-loss positives identical
+        # samples — only meaningful as a smoke/dev mode)
         src = pfam_dataset or dataset
-        pfam_idx = rng.integers(0, len(src), size=len(idx))
-        pb = src.get_batch(pfam_idx, with_masks=True, rng=rng)
+        pb = src.get_batch(idx, with_masks=True, rng=rng)
         out.update({
             "pfam_text_tokens": jnp.asarray(pb["text_tokens"]),
             "pfam_protein_tokens": jnp.asarray(pb["protein_tokens"]),

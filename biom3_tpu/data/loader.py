@@ -38,6 +38,11 @@ class BatchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        if len(self) == 0:
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {num_examples} with "
+                "drop_last=True would yield zero batches"
+            )
 
     def __len__(self) -> int:
         if self.drop_last:

@@ -45,8 +45,9 @@ def apply_logit_filters(
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # smallest logit still inside the nucleus
+        # smallest logit still inside the nucleus; the argmax is always kept
         inside = cum - probs < top_p
+        inside = inside.at[..., 0].set(True)
         min_keep = jnp.min(
             jnp.where(inside, sorted_logits, jnp.inf), axis=-1, keepdims=True
         )
@@ -110,6 +111,8 @@ def make_sampler(
         key, sub = jax.random.split(key)
         logits = apply_fn(params, x, jnp.full((x.shape[0],), t, jnp.int32), z_c)
         logits = logits.astype(jnp.float32)
+        if top_k is not None or top_p is not None:
+            logits = apply_logit_filters(logits, top_k=top_k, top_p=top_p)
         if temperature == 0.0:
             sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

@@ -47,6 +47,9 @@ def esm2_params_from_torch(state_dict: dict, cfg: ESM2Config) -> dict:
     sd = unwrap_checkpoint(state_dict)
     if "model" in sd and isinstance(sd["model"], dict):  # raw fair-esm .pt
         sd = sd["model"]
+    # shipped fair-esm ESM2 .pt files prefix trunk keys with
+    # "encoder.sentence_encoder." (stripped by fair-esm's own loader)
+    sd = strip_prefix(sd, "encoder.sentence_encoder.")
     sd = strip_prefix(sd, "encoder.")
 
     p: dict = {"embed_tokens": _embed(sd, "embed_tokens")}

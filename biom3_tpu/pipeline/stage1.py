@@ -64,6 +64,9 @@ class PenCLEngine:
         self._forward = jax.jit(
             lambda p, x_t, x_p: self.model.apply(p, x_t, x_p)
         )
+        self._encode_text = jax.jit(
+            lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
+        )
 
     @property
     def text_tokenizer(self):
@@ -86,13 +89,14 @@ class PenCLEngine:
 
     def embed_text(self, captions: list[str], batch_size: int = 32) -> np.ndarray:
         """Text-only z_t (skips the 650M protein tower; e2e pipeline path)."""
-        fwd = jax.jit(
-            lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
-        )
         outs = []
         for i in range(0, len(captions), batch_size):
             x_t = self.text_tokenizer.batch_encode(captions[i : i + batch_size])
-            outs.append(np.asarray(fwd(self.params, jnp.asarray(x_t["input_ids"]))))
+            outs.append(
+                np.asarray(
+                    self._encode_text(self.params, jnp.asarray(x_t["input_ids"]))
+                )
+            )
         return np.concatenate(outs)
 
     def embed_tokens(self, x_t: np.ndarray, x_p: np.ndarray) -> tuple:

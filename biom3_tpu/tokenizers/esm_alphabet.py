@@ -67,6 +67,11 @@ class ESMAlphabet:
         """
         encoded = [self.encode(seq) for seq in sequences]
         max_len = max((len(e) for e in encoded), default=0) + 2  # bos + eos
+        if pad_to is not None and max_len > pad_to:
+            over = max(len(e) for e in encoded)
+            raise ValueError(
+                f"sequence of length {over} does not fit pad_to={pad_to} - 2"
+            )
         width = max(max_len, pad_to or 0)
         out = np.full((len(sequences), width), self.padding_idx, dtype=np.int32)
         for i, ids in enumerate(encoded):

@@ -148,10 +148,11 @@ def make_stage1_optimizer(cfg) -> optax.GradientTransformation:
     from biom3_tpu.training.optim import make_grouped_optimizer
 
     def group_of(path) -> str:
-        top = str(getattr(path[0], "key", path[0]))
-        if top == "protein_encoder":
+        # path starts at the variables root ("params", ...); find the tower
+        keys = {str(getattr(k, "key", k)) for k in path}
+        if "protein_encoder" in keys:
             return "protein"
-        if top == "text_encoder":
+        if "text_encoder" in keys:
             return "text"
         return "heads"
 
