@@ -32,7 +32,10 @@ from biom3_tpu.training.optim import (
     exponential_epoch_schedule,
     make_optimizer,
 )
-from biom3_tpu.training.stage3_task import make_stage3_train_step
+from biom3_tpu.training.stage3_task import (
+    make_stage3_eval_step,
+    make_stage3_train_step,
+)
 from biom3_tpu.training.state import TrainState
 from biom3_tpu.utils.logging import MetricLogger
 
@@ -73,7 +76,8 @@ def main() -> None:
 
     dataset = load_training_data(cfg, args)
     tok_train, emb_train = dataset.split("train")
-    print(f"train examples: {len(tok_train)}, val: {len(dataset.val_idx)}")
+    tok_val, emb_val = dataset.split("val")
+    print(f"train examples: {len(tok_train)}, val: {len(tok_val)}")
 
     batch_size = cfg.int("batch_size", 16)
     epochs = cfg.int("epochs", 1)
@@ -103,6 +107,7 @@ def main() -> None:
     step_fn = jax.jit(make_stage3_train_step(
         model.apply, tx, accum_steps=cfg.int("acc_grad_batches", 1)
     ))
+    eval_fn = jax.jit(make_stage3_eval_step(model.apply))
 
     from biom3_tpu.io.orbax_io import CheckpointManager
 
@@ -140,6 +145,17 @@ def main() -> None:
                       f"({(time.time() - t0):.0f}s)")
                 logger.log(step, {k: float(v) for k, v in aux.items()})
             if step % enter_eval == 0:
+                if len(tok_val):
+                    vb = {
+                        "tokens": jnp.asarray(tok_val[:batch_size] + 1),
+                        "z_c": jnp.asarray(emb_val[:batch_size]),
+                    }
+                    key, vk = jax.random.split(key)
+                    vm = eval_fn(state.params, vb, vk)
+                    print("  val: " + " ".join(
+                        f"{k}={float(v):.4f}" for k, v in sorted(vm.items())
+                    ))
+                    logger.log(step, {f"val_{k}": float(v) for k, v in vm.items()})
                 ckpt.save(step, state)
             if step >= total_steps:
                 done = True

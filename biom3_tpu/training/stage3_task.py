@@ -48,6 +48,33 @@ def stage3_loss_fn(apply_fn: Callable, params, key, tokens, z_c):
     return loss, {"loss": loss, "acc_unsampled": acc_unsampled}
 
 
+def make_stage3_eval_step(apply_fn: Callable):
+    """Validation step with the full metric suite (the reference's
+    validation_step + performance_step, PL_wrapper.py:217-333), on device:
+    ELBO loss plus time-split hard accuracy / entropy-ppl / positional
+    entropy of a sampled reconstruction."""
+    from biom3_tpu.training.metrics import positional_entropy, time_split_metrics
+
+    def eval_step(params, batch: dict, key: jax.Array):
+        tokens, z_c = batch["tokens"], batch["z_c"]
+        B, L = tokens.shape
+        k_path, k_t, k_samp = jax.random.split(key, 3)
+        path = sample_random_paths(k_path, B, L)
+        t = sample_timesteps(k_t, B, L)
+        masked = mask_realizations(tokens, path, t)
+        logits = apply_fn(params, masked, t, z_c)
+        loss = oa_ardm_loss(logits, tokens, masked, t)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        sample_seq = jax.random.categorical(k_samp, logits.astype(jnp.float32), axis=-1)
+        metrics = {"loss": loss, "pos_entropy": positional_entropy(probs)}
+        metrics.update(
+            time_split_metrics(sample_seq, tokens, probs, path, t)
+        )
+        return metrics
+
+    return eval_step
+
+
 def make_stage3_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
