@@ -29,13 +29,15 @@ A100_EAGER_SEQS_PER_SEC_EST = 0.12
 
 
 def _measure(sampler, params, z_c, path, runs=2):
+    t0 = time.perf_counter()
     np.asarray(sampler(params, z_c, path, jax.random.key(2)))  # compile+warm
+    warm_s = time.perf_counter() - t0
     best = float("inf")
     for i in range(runs):
         t0 = time.perf_counter()
         np.asarray(sampler(params, z_c, path, jax.random.key(3 + i)))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best, warm_s - best  # (steady-state, approx compile time)
 
 
 def main() -> None:
@@ -59,16 +61,14 @@ def main() -> None:
     # parity mode: 1 position/step — chunked dispatch bounds single-execution
     # wall clock (the tunnel runtime kills ~1-minute executions); timing via
     # host fetch (block_until_ready is unreliable through the tunnel)
-    t0 = time.perf_counter()
     parity = make_sampler(model.apply, cfg.num_timesteps, chunk_steps=128)
-    best_parity = _measure(parity, params, z_c, path)
-    compile_s = time.perf_counter() - t0 - best_parity * 2
+    best_parity, compile_s = _measure(parity, params, z_c, path)
 
     # fast mode: blocked decoding, 8 positions per forward
     fast = make_sampler(
         model.apply, cfg.num_timesteps, chunk_steps=128, positions_per_step=8
     )
-    best_fast = _measure(fast, params, z_c, path)
+    best_fast, _ = _measure(fast, params, z_c, path)
 
     seqs_per_sec = B / best_parity
     print(

@@ -45,7 +45,11 @@ def main() -> None:
         prompts = [line.strip() for line in f if line.strip()]
     print(f"{len(prompts)} prompts")
 
-    s1 = PenCLEngine(load_json_config(args.stage1_json), args.stage1_model)
+    # text_only: skip converting/loading the 650M protein tower — the e2e
+    # path only embeds captions
+    s1 = PenCLEngine(
+        load_json_config(args.stage1_json), args.stage1_model, text_only=True
+    )
     z_t = np.asarray(s1.embed_text(prompts))
     print(f"z_t: {z_t.shape}")
 

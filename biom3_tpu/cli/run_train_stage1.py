@@ -41,6 +41,7 @@ def parse_arguments():
                    help="HF pytorch_model.bin to seed the text tower")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
 
@@ -87,13 +88,22 @@ def main() -> None:
             load_torch_file(args.bert_weights), model_cfg.bert
         )
 
+    # the reference config carries dataset_type='default' (a DataModule
+    # class selector) next to model_type='pfam'; the pfam wrapper itself
+    # only accepts pfam/pfam_ablated (PL_wrapper.py:1078-1089) — map
+    # accordingly so the shipped config trains the full pfam objective
+    dataset_type = cfg.get("dataset_type", "pfam")
+    if cfg.get("model_type", "pfam") == "pfam" and dataset_type not in (
+        "pfam", "pfam_ablated"
+    ):
+        print(f"model_type=pfam: mapping dataset_type {dataset_type!r} -> 'pfam'")
+        dataset_type = "pfam"
     tx = make_stage1_optimizer(cfg)
     state = TrainState.create(params, tx)
     step_fn = jax.jit(make_stage1_train_step(
         model.apply, tx,
         temperature=model_cfg.temperature,
-        dataset_type=cfg.get("dataset_type", "pfam")
-        if cfg.get("model_type", "pfam") == "pfam" else "default",
+        dataset_type=dataset_type,
         text_mask_id=dataset.text_tokenizer.mask_token_id,
         protein_mask_id=dataset.alphabet.mask_idx,
     ))
@@ -139,6 +149,9 @@ def main() -> None:
     from biom3_tpu.io.orbax_io import CheckpointManager
 
     ckpt = CheckpointManager(f"{args.output_dir}/checkpoints")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
     total = args.max_steps or cfg.int("epochs", 10) * len(loader)
     done = False
     while not done:

@@ -31,6 +31,7 @@ def parse_arguments():
     p.add_argument("--pfam_data_path", type=str, default=None)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
 
@@ -55,6 +56,13 @@ def main() -> None:
     )
     tx = make_optimizer("AdamW", args.lr)
     state = TrainState.create(params, tx)
+
+    from biom3_tpu.io.orbax_io import CheckpointManager
+
+    ckpt = CheckpointManager(f"{args.output_dir}/checkpoints")
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}")
     loss_type = cfg.get("loss_type", "MMD")
     step_fn = jax.jit(make_stage2_train_step(model.apply, tx, loss_type=loss_type))
     val_loss_fn = jax.jit(
@@ -79,9 +87,6 @@ def main() -> None:
         print(f"epoch {epoch}: train_loss={float(aux['loss']):.6f} val_loss={val:.6f}")
         logger.log(int(state.step), {"train_loss": aux["loss"], "val_loss": val})
 
-    from biom3_tpu.io.orbax_io import CheckpointManager
-
-    ckpt = CheckpointManager(f"{args.output_dir}/checkpoints")
     ckpt.save(int(state.step), state, wait=True)
     logger.close()
     print(f"saved final checkpoint at step {int(state.step)}")

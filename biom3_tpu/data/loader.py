@@ -72,8 +72,9 @@ class BatchLoader:
             try:
                 for b in batches:
                     q.put(self.make_batch(b))
-            finally:
                 q.put(_SENTINEL)
+            except BaseException as e:  # surface in the consumer, don't hang
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -81,5 +82,8 @@ class BatchLoader:
             item = q.get()
             if item is _SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

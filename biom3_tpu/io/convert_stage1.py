@@ -126,8 +126,14 @@ def projection_head_params_from_torch(sd: dict) -> dict:
     }
 
 
-def pencl_params_from_torch(state_dict: dict, cfg: PenCLConfig) -> dict:
-    """Published BioM3_PenCL .bin → full PenCL Flax param tree."""
+def pencl_params_from_torch(
+    state_dict: dict, cfg: PenCLConfig, *, text_only: bool = False
+) -> dict:
+    """Published BioM3_PenCL .bin → full PenCL Flax param tree.
+
+    ``text_only`` skips the 650M-param protein tower (serving paths that
+    only embed captions — e.g. the e2e pipeline — never apply it, and Flax
+    only looks up the params a call actually touches)."""
     sd = strip_prefix(unwrap_checkpoint(state_dict), "model.")  # Lightning
 
     def sub(prefix):
@@ -135,19 +141,19 @@ def pencl_params_from_torch(state_dict: dict, cfg: PenCLConfig) -> dict:
             k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
         }
 
-    return {
-        "params": {
-            "protein_encoder": esm2_params_from_torch(
-                sub("protein_encoder.model."), cfg.esm
-            ),
-            "text_encoder": bert_params_from_torch(
-                sub("text_encoder.model."), cfg.bert
-            ),
-            "protein_projection": projection_head_params_from_torch(
-                sub("protein_projection.")
-            ),
-            "text_projection": projection_head_params_from_torch(
-                sub("text_projection.")
-            ),
-        }
+    params = {
+        "text_encoder": bert_params_from_torch(
+            sub("text_encoder.model."), cfg.bert
+        ),
+        "text_projection": projection_head_params_from_torch(
+            sub("text_projection.")
+        ),
     }
+    if not text_only:
+        params["protein_encoder"] = esm2_params_from_torch(
+            sub("protein_encoder.model."), cfg.esm
+        )
+        params["protein_projection"] = projection_head_params_from_torch(
+            sub("protein_projection.")
+        )
+    return {"params": params}

@@ -43,6 +43,7 @@ class PenCLEngine:
         *,
         dtype=jnp.float32,
         text_tokenizer=None,
+        text_only: bool = False,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -52,7 +53,7 @@ class PenCLEngine:
 
         if model_path is not None:
             self.params = pencl_params_from_torch(
-                load_torch_file(model_path), self.config
+                load_torch_file(model_path), self.config, text_only=text_only
             )
         else:
             self.params = self.model.init(

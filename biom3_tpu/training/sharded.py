@@ -23,12 +23,9 @@ def make_sharded_train_step(
     params,
     *,
     with_ema: bool = False,
-    batch_ndim: dict | int = 2,
     has_rng: bool = True,
 ):
     """step_fn(state, batch[, key]) → (state, aux), jitted over ``mesh``.
-
-    ``batch_ndim``: dims per batch key (dict) or one int for all keys.
 
     Returns (jitted_step, sharded_initial_state).
     """
@@ -36,11 +33,10 @@ def make_sharded_train_step(
     state = jax.jit(lambda p: TrainState.create(p, tx, with_ema=with_ema))(sharded)
 
     def shard_batch(batch: dict) -> dict:
-        out = {}
-        for key, value in batch.items():
-            nd = batch_ndim.get(key, value.ndim) if isinstance(batch_ndim, dict) else value.ndim
-            out[key] = jax.device_put(value, batch_sharding(mesh, nd))
-        return out
+        return {
+            key: jax.device_put(value, batch_sharding(mesh, value.ndim))
+            for key, value in batch.items()
+        }
 
     in_shardings = (None, None, None) if has_rng else (None, None)
     jitted = jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(0,))

@@ -133,27 +133,17 @@ def make_sharded_stage3_train_step(
 ):
     """Build a mesh-sharded train step + state.
 
-    Params are placed by the fsdp/tp partition rules; the optimizer state is
-    initialized *inside* jit so GSPMD propagates each moment tensor onto its
-    param's sharding (the ZeRO-equivalent layout, no gather/scatter code).
-    The batch's leading dim shards over (dp, fsdp).
+    Delegates to ``training.sharded.make_sharded_train_step`` (params by
+    the fsdp/tp partition rules, optimizer state sharded by GSPMD
+    propagation, batch leading dim over (dp, fsdp)).
 
     Returns (jitted_step, sharded_state).
     """
-    from biom3_tpu.parallel.sharding import batch_sharding, shard_params
+    from biom3_tpu.training.sharded import make_sharded_train_step
 
     step = make_stage3_train_step(
         apply_fn, tx, accum_steps=accum_steps, ema_beta=ema_beta
     )
-
-    sharded = shard_params(params, mesh)
-    state = jax.jit(lambda p: TrainState.create(p, tx, with_ema=with_ema))(sharded)
-
-    batch_shardings = {
-        "tokens": batch_sharding(mesh, 2),
-        "z_c": batch_sharding(mesh, 2),
-    }
-    jitted = jax.jit(
-        step, in_shardings=(None, batch_shardings, None), donate_argnums=(0,)
+    return make_sharded_train_step(
+        step, tx, mesh, params, with_ema=with_ema, has_rng=True
     )
-    return jitted, state

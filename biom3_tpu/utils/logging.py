@@ -16,9 +16,8 @@ class MetricLogger:
     def __init__(self, log_dir: str, *, filename: str = "metrics.csv"):
         os.makedirs(log_dir, exist_ok=True)
         self.csv_path = os.path.join(log_dir, filename)
-        self._writer = None
-        self._file = None
-        self._fieldnames: list[str] | None = None
+        self._rows: list[dict] = []
+        self._fieldnames: list[str] = ["step"]
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -30,23 +29,21 @@ class MetricLogger:
     def log(self, step: int, metrics: Mapping[str, float]) -> None:
         values = {"step": step}
         values.update({k: float(v) for k, v in metrics.items()})
-        if self._writer is None:
-            self._fieldnames = list(values)
-            self._file = open(self.csv_path, "a", newline="")
-            self._writer = csv.DictWriter(
-                self._file, fieldnames=self._fieldnames, extrasaction="ignore"
-            )
-            if self._file.tell() == 0:
-                self._writer.writeheader()
-        self._writer.writerow(values)
-        self._file.flush()
+        # fieldnames grow over the run (e.g. val_* rows join train rows);
+        # the CSV is rewritten with the union so no metric is dropped
+        for key in values:
+            if key not in self._fieldnames:
+                self._fieldnames.append(key)
+        self._rows.append(values)
+        with open(self.csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            writer.writeheader()
+            writer.writerows(self._rows)
         if self._tb is not None:
             for k, v in values.items():
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
 
     def close(self) -> None:
-        if self._file:
-            self._file.close()
         if self._tb:
             self._tb.close()
