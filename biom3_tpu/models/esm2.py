@@ -36,6 +36,7 @@ class ESM2SelfAttention(nn.Module):
     config: ESM2Config
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    mesh: object = None  # required for attn_impl="ring" (sequence parallel)
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
@@ -52,7 +53,7 @@ class ESM2SelfAttention(nn.Module):
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        out = full_attention(q, k, v, padding_mask=padding_mask, impl=self.attn_impl)
+        out = full_attention(q, k, v, padding_mask=padding_mask, impl=self.attn_impl, mesh=self.mesh)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
         return dense("out_proj")(out)
 
@@ -61,12 +62,13 @@ class ESM2Layer(nn.Module):
     config: ESM2Config
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
         cfg = self.config
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
-        x = x + ESM2SelfAttention(cfg, self.dtype, self.attn_impl, name="self_attn")(h, padding_mask)
+        x = x + ESM2SelfAttention(cfg, self.dtype, self.attn_impl, self.mesh, name="self_attn")(h, padding_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         h = nn.Dense(cfg.ffn_dim, name="fc1", dtype=self.dtype)(h)
         h = jax.nn.gelu(h, approximate=False)
@@ -82,6 +84,7 @@ class ESM2(nn.Module):
     config: ESM2Config
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    mesh: object = None  # for attn_impl="ring": long-protein sequence parallelism
 
     @nn.compact
     def __call__(self, tokens: jax.Array, *, compute_logits: bool = False) -> dict:
@@ -105,7 +108,7 @@ class ESM2(nn.Module):
         x = x.astype(self.dtype)
 
         for i in range(cfg.num_layers):
-            x = ESM2Layer(cfg, self.dtype, self.attn_impl, name=f"layers_{i}")(x, padding_mask)
+            x = ESM2Layer(cfg, self.dtype, self.attn_impl, self.mesh, name=f"layers_{i}")(x, padding_mask)
 
         x = nn.LayerNorm(epsilon=1e-5, name="emb_layer_norm_after")(x)
         out = {"hidden": x}

@@ -22,12 +22,14 @@ def full_attention(
     scale: float | None = None,
     precision=jax.lax.Precision.HIGHEST,
     impl: str = "xla",
+    mesh=None,
 ) -> jax.Array:
     """q, k, v: (..., H, L, D); padding_mask: (..., L) True at PAD positions.
 
     Softmax is computed in float32 (both fair-esm and HF BERT upcast the
     softmax; ref: Stage1_source/model.py towers are fp32 on the demo path).
-    ``impl="pallas"`` dispatches to the flash-attention TPU kernel.
+    ``impl="pallas"`` dispatches to the flash-attention TPU kernel;
+    ``impl="ring"`` to sequence-parallel ring attention over ``mesh``.
     """
     if impl == "pallas":
         from biom3_tpu.ops.pallas.flash_attention_tpu import (
@@ -35,6 +37,13 @@ def full_attention(
         )
 
         return flash_attention_pallas(q, k, v, padding_mask=padding_mask)
+    if impl == "ring":
+        from biom3_tpu.ops.ring_attention import ring_attention
+
+        if mesh is None:
+            raise ValueError("impl='ring' needs a mesh")
+        axis = "tp" if "tp" in mesh.shape else list(mesh.shape)[-1]
+        return ring_attention(q, k, v, mesh, axis=axis, padding_mask=padding_mask)
     D = q.shape[-1]
     scale = D ** -0.5 if scale is None else scale
     logits = jnp.einsum("...id,...jd->...ij", q, k, precision=precision)

@@ -45,3 +45,24 @@ def test_ring_attention_long_context(sp_mesh, rng):
     ref = full_attention(q, k, v)
     out = ring_attention(q, k, v, sp_mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_esm2_with_ring_attention_matches_xla(sp_mesh, rng):
+    """Whole protein tower with sequence-parallel attention over 8 devices."""
+    from biom3_tpu.config import ESM2Config
+    from biom3_tpu.models.esm2 import ESM2
+
+    cfg = ESM2Config(num_layers=2, embed_dim=64, attention_heads=2, vocab_size=33)
+    tokens = np.concatenate(
+        [np.zeros((2, 1), np.int32),
+         rng.integers(4, 24, (2, 61)).astype(np.int32),
+         np.full((2, 1), 2, np.int32),
+         np.full((2, 1), 1, np.int32)],  # one pad
+        axis=1,
+    )
+    model_x = ESM2(cfg, attn_impl="xla")
+    params = model_x.init(jax.random.key(0), jnp.asarray(tokens))
+    ref = model_x.apply(params, jnp.asarray(tokens))["hidden"]
+    model_r = ESM2(cfg, attn_impl="ring", mesh=sp_mesh)
+    out = model_r.apply(params, jnp.asarray(tokens))["hidden"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
