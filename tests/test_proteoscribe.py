@@ -282,3 +282,38 @@ def test_sampler_with_top_k():
     path = sample_permutations(jax.random.key(8), 2, cfg.max_seq_len)
     x = np.asarray(sampler(params, jnp.zeros((2, cfg.cond_dim)), path, jax.random.key(9)))
     assert x.shape == (2, cfg.max_seq_len)
+
+
+def test_engine_injected_permutations_reproducible(tmp_path):
+    """Parity replay support: injecting the same permutation at temperature 0
+    must reproduce sequences exactly (PARITY.md gate 3)."""
+    import torch
+    import torch_golden
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+
+    torch.manual_seed(0)
+    tm = torch_golden.GoldenDiffTransformer(
+        num_classes=29, dim=32, depth=2, n_blocks=1, max_seq_len=64,
+        num_timesteps=64, heads=4, n_local_attn_heads=2,
+        local_attn_window_size=16, cond_dim=16,
+    )
+    ckpt = tmp_path / "m.bin"
+    torch.save({f"transformer.{k}": v for k, v in tm.state_dict().items()}, ckpt)
+    stage_cfg = Config({
+        "diffusion_steps": 64, "image_size": 8, "num_classes": 29,
+        "text_emb_dim": 16, "transformer_dim": 32, "transformer_heads": 4,
+        "transformer_depth": 2, "transformer_blocks": 1,
+        "transformer_local_heads": 2, "transformer_local_size": 16,
+    })
+    engine = ProteoScribeEngine(stage_cfg, str(ckpt), temperature=0.0, chunk_steps=32)
+    rng = np.random.default_rng(0)
+    paths = np.stack([rng.permutation(64) for _ in range(2)]).astype(np.int32)
+    z = rng.standard_normal((2, 16)).astype(np.float32)
+    a = engine.sample_batch(z, jax.random.key(1), paths=paths)
+    b = engine.sample_batch(z, jax.random.key(2), paths=paths)
+    np.testing.assert_array_equal(a, b)
+    # a different permutation changes the outcome
+    paths2 = np.stack([rng.permutation(64) for _ in range(2)]).astype(np.int32)
+    c = engine.sample_batch(z, jax.random.key(1), paths=paths2)
+    assert not np.array_equal(a, c)
