@@ -154,9 +154,11 @@ def main() -> None:
         print(f"resumed from step {int(state.step)}")
     total = args.max_steps or cfg.int("epochs", 10) * len(loader)
     done = False
+    key = jax.random.key(cfg.int("seed", 42) + 1)  # train-mode dropout stream
     while not done:
         for batch in loader:
-            state, aux = step_fn(state, batch)
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, batch, sub)
             step = int(state.step)
             if step % 20 == 0 or step == 1:
                 print(f"step {step}/{total} loss={float(aux['loss']):.4f} "

@@ -157,6 +157,12 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # HF BertConfig hidden_dropout_prob / attention_probs_dropout_prob
+    # (PubMedBERT-base ships 0.1/0.1); active only in train mode
+    # (``deterministic=False``) — the reference fine-tunes the tower through
+    # Lightning train mode, so these fire there (Stage1_source/model.py:91-99)
+    hidden_dropout: float = 0.1
+    attn_probs_dropout: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +252,15 @@ class ProteoScribeConfig:
     cond_dim: int = 512            # text_emb_dim (z_c dimension)
     ff_mult: int = 4
     rescale_steps: float = 4000.0  # SinusoidalPosEmb rescale (ref :10-42)
+    # Dropout knobs matching the reference's get_model wiring
+    # (cond_diff_transformer_layer.py:234-237): attn_layer_dropout comes from
+    # ``input_dp_rate`` (applied right after the attention output projection),
+    # ff_dropout/attn_dropout are hardcoded 0 there.  NOTE the config key
+    # ``transformer_dropout`` (stage3_config.json:57) is DEAD in the
+    # reference — get_model never reads args.transformer_dropout (it only
+    # appears as an argparse default, :193); we reproduce the real wiring.
+    attn_layer_dropout: float = 0.0  # input_dp_rate (stage3_config.json:54)
+    ff_dropout: float = 0.0          # hardcoded 0 at :235
 
     @property
     def head_dim(self) -> int:
@@ -258,6 +273,19 @@ class ProteoScribeConfig:
     @classmethod
     def from_stage_config(cls, cfg: Config) -> "ProteoScribeConfig":
         steps = cfg.int("diffusion_steps", 1024)
+        # Guard the lucidrains kwargs that would activate branches this
+        # framework intentionally does not reproduce (PARITY.md "pinned
+        # package settings").  ``get_model`` exposes exactly two of them to
+        # the config: reversible nets (cond_diff_transformer_layer.py:245 ←
+        # stage3_config.json:58; we use jax.checkpoint/remat instead) — any
+        # other lucidrains knob (ff_chunks/ff_glu/blindspot_size/
+        # attend_axially/linformer) is hardcoded to its no-op default there.
+        if cfg.get("transformer_reversible", False):
+            raise ValueError(
+                "transformer_reversible=true requests Reformer-style "
+                "reversible layers; use ProteoScribe(remat=True) "
+                "(jax.checkpoint) instead — same memory effect on TPU"
+            )
         return cls(
             num_classes=cfg.int("num_classes", 29),
             dim=cfg.int("transformer_dim", 512),
@@ -269,4 +297,5 @@ class ProteoScribeConfig:
             max_seq_len=steps,
             num_timesteps=steps,
             cond_dim=cfg.int("text_emb_dim", 512),
+            attn_layer_dropout=cfg.float("input_dp_rate", 0.0),
         )

@@ -31,7 +31,12 @@ class BertSelfAttention(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jax.Array, padding_mask: jax.Array | None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        padding_mask: jax.Array | None,
+        deterministic: bool = True,
+    ) -> jax.Array:
         cfg = self.config
         B, L, E = x.shape
         H = cfg.num_heads
@@ -39,7 +44,24 @@ class BertSelfAttention(nn.Module):
         dense = lambda name: nn.Dense(E, name=name, dtype=self.dtype)
         q, k, v = dense("query")(x), dense("key")(x), dense("value")(x)
         split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        out = full_attention(split(q), split(k), split(v), padding_mask=padding_mask, impl=self.attn_impl)
+        q, k, v = split(q), split(k), split(v)
+        if not deterministic and cfg.attn_probs_dropout > 0.0:
+            # HF applies Dropout to the softmax probabilities
+            # (attention_probs_dropout_prob); inline attention so the probs
+            # are visible — train mode only, inference keeps the fused paths.
+            logits = jnp.einsum(
+                "...id,...jd->...ij", q, k, precision=jax.lax.Precision.HIGHEST
+            ).astype(jnp.float32) * (Dh ** -0.5)
+            if padding_mask is not None:
+                logits = jnp.where(padding_mask[..., None, None, :], -1e9, logits)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(cfg.attn_probs_dropout, deterministic=False)(probs)
+            out = jnp.einsum(
+                "...ij,...jd->...id", probs.astype(v.dtype), v,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            out = full_attention(q, k, v, padding_mask=padding_mask, impl=self.attn_impl)
         return out.transpose(0, 2, 1, 3).reshape(B, L, E)
 
 
@@ -49,16 +71,25 @@ class BertLayer(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jax.Array, padding_mask: jax.Array | None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        padding_mask: jax.Array | None,
+        deterministic: bool = True,
+    ) -> jax.Array:
         cfg = self.config
         eps = cfg.layer_norm_eps
-        attn = BertSelfAttention(cfg, self.dtype, self.attn_impl, name="attention")(x, padding_mask)
+        drop = lambda z: nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(z)
+        attn = BertSelfAttention(cfg, self.dtype, self.attn_impl, name="attention")(
+            x, padding_mask, deterministic
+        )
         attn = nn.Dense(cfg.hidden_size, name="attention_output", dtype=self.dtype)(attn)
-        x = nn.LayerNorm(epsilon=eps, name="attention_norm")(x + attn)
+        # HF BertSelfOutput/BertOutput: Dense → Dropout → residual → LayerNorm
+        x = nn.LayerNorm(epsilon=eps, name="attention_norm")(x + drop(attn))
         h = nn.Dense(cfg.intermediate_size, name="intermediate", dtype=self.dtype)(x)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, name="output", dtype=self.dtype)(h)
-        return nn.LayerNorm(epsilon=eps, name="output_norm")(x + h)
+        return nn.LayerNorm(epsilon=eps, name="output_norm")(x + drop(h))
 
 
 class BertEncoder(nn.Module):
@@ -76,6 +107,7 @@ class BertEncoder(nn.Module):
         *,
         attention_mask: jax.Array | None = None,
         compute_logits: bool = False,
+        deterministic: bool = True,
     ) -> dict:
         cfg = self.config
         input_ids = input_ids.astype(jnp.int32)
@@ -94,6 +126,8 @@ class BertEncoder(nn.Module):
             + typ(jnp.zeros_like(input_ids))
         )
         x = nn.LayerNorm(epsilon=eps, name="embeddings_norm")(x).astype(self.dtype)
+        # HF BertEmbeddings ends with Dropout(hidden_dropout_prob)
+        x = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(x)
 
         # reference passes no attention mask (model.py:124,129): attends PADs.
         padding_mask = None
@@ -101,7 +135,9 @@ class BertEncoder(nn.Module):
             padding_mask = attention_mask == 0
 
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(x, padding_mask)
+            x = BertLayer(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(
+                x, padding_mask, deterministic
+            )
 
         out = {"hidden": x}
         if compute_logits:

@@ -62,12 +62,14 @@ class PenCL(nn.Module):
     ) -> dict:
         if compute_masked_logits:
             p = self.protein_encoder(x_p, compute_logits=True)
-            t = self.text_encoder(x_t, compute_logits=True)
+            t = self.text_encoder(
+                x_t, compute_logits=True, deterministic=deterministic
+            )
             return {
                 "text_masked_logits": t["logits"],
                 "protein_masked_logits": p["logits"],
             }
-        z_t = self.text_encoder(x_t)["hidden"][:, 0, :]
+        z_t = self.text_encoder(x_t, deterministic=deterministic)["hidden"][:, 0, :]
         z_p = self.protein_encoder(x_p)["hidden"][:, 0, :]
         return {
             "text_joint_latent": self.text_projection(
@@ -81,7 +83,7 @@ class PenCL(nn.Module):
     def encode_text(self, x_t: jax.Array, *, deterministic: bool = True) -> jax.Array:
         """Text-only path: caption tokens → projected z_t (used by the e2e
         pipeline, which never needs the protein tower at inference)."""
-        z_t = self.text_encoder(x_t)["hidden"][:, 0, :]
+        z_t = self.text_encoder(x_t, deterministic=deterministic)["hidden"][:, 0, :]
         return self.text_projection(z_t, deterministic=deterministic)
 
     def encode_protein(self, x_p: jax.Array, *, deterministic: bool = True) -> jax.Array:

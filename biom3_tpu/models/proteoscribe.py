@@ -58,7 +58,7 @@ class SplitHeadAttention(nn.Module):
     fused_qkv: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         B, L, _ = x.shape
         H, Dh = cfg.heads, cfg.head_dim
@@ -98,7 +98,11 @@ class SplitHeadAttention(nn.Module):
             outs.append(linear_attention(q[:, nl:], k[:, nl:], v[:, nl:]))
         out = jnp.concatenate(outs, axis=1)  # (B, H, L, Dh), local heads first
         out = out.transpose(0, 2, 1, 3).reshape(B, L, cfg.dim)
-        return nn.Dense(cfg.dim, use_bias=True, name="to_out", dtype=self.dtype)(out)
+        out = nn.Dense(cfg.dim, use_bias=True, name="to_out", dtype=self.dtype)(out)
+        # lucidrains SelfAttention ends with Dropout(attn_layer_dropout) on
+        # the output projection (get_model passes input_dp_rate there,
+        # cond_diff_transformer_layer.py:236)
+        return nn.Dropout(cfg.attn_layer_dropout, deterministic=deterministic)(out)
 
 
 class TransformerLayer(nn.Module):
@@ -111,15 +115,17 @@ class TransformerLayer(nn.Module):
     fused_qkv: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
         h = nn.LayerNorm(name="attn_norm")(x)  # norms accumulate in f32
         x = x + SplitHeadAttention(
             cfg, self.attn_impl, self.dtype, self.fused_qkv, name="attn"
-        )(h)
+        )(h, deterministic=deterministic)
         h = nn.LayerNorm(name="ff_norm")(x)
         h = nn.Dense(cfg.dim * cfg.ff_mult, name="ff_w1", dtype=self.dtype)(h)
         h = jax.nn.gelu(h, approximate=False)
+        # lucidrains FeedForward: dropout sits between activation and w2
+        h = nn.Dropout(cfg.ff_dropout, deterministic=deterministic)(h)
         h = nn.Dense(cfg.dim, name="ff_w2", dtype=self.dtype)(h)
         return x + h
 
@@ -131,13 +137,14 @@ class _ScanBody(nn.Module):
     attn_impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
     fused_qkv: bool = False
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, h: jax.Array, bias: jax.Array):
         h = TransformerLayer(
             self.config, self.attn_impl, self.dtype, self.fused_qkv,
             name="layer",
-        )(h + bias[:, None, :])
+        )(h + bias[:, None, :], deterministic=self.deterministic)
         return h, None
 
 
@@ -177,7 +184,12 @@ class ProteoScribe(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, t: jax.Array, z_c: jax.Array | None = None
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        z_c: jax.Array | None = None,
+        *,
+        deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.config
         B, L = x.shape
@@ -212,7 +224,7 @@ class ProteoScribe(nn.Module):
             scanner = nn.scan(
                 body,
                 variable_axes={"params": 0},
-                split_rngs={"params": True},
+                split_rngs={"params": True, "dropout": True},
                 in_axes=0,
                 length=cfg.depth,
             )
@@ -222,11 +234,14 @@ class ProteoScribe(nn.Module):
                 biases = jnp.moveaxis(time_bias[..., bi, :], -1, 0)
                 h, _ = scanner(
                     cfg, self.attn_impl, self.dtype, self.fused_qkv,
-                    name=f"block_{bi}",
+                    deterministic, name=f"block_{bi}",
                 )(h, biases)
         else:
             layer_cls = (
-                nn.remat(TransformerLayer) if self.remat else TransformerLayer
+                # deterministic (call arg 2; 0 is the module) is a static bool
+                nn.remat(TransformerLayer, static_argnums=(2,))
+                if self.remat
+                else TransformerLayer
             )
             for bi in range(cfg.n_blocks):
                 h = h + x_embed
@@ -235,7 +250,7 @@ class ProteoScribe(nn.Module):
                     h = layer_cls(
                         cfg, self.attn_impl, self.dtype, self.fused_qkv,
                         name=f"layer_{bi}_{li}",
-                    )(h + bias[:, None, :])
+                    )(h + bias[:, None, :], deterministic)
 
         h = nn.LayerNorm(name="final_norm")(h)
         return nn.Dense(cfg.num_classes, name="out_proj")(h)

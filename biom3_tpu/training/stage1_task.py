@@ -40,6 +40,7 @@ def stage1_loss_fn(
     dataset_type: str = "pfam",
     text_mask_id: int,
     protein_mask_id: int,
+    dropout_key: jax.Array | None = None,
 ):
     """batch keys: {text,protein}_tokens[,_masked] and pfam_* equivalents.
 
@@ -51,12 +52,27 @@ def stage1_loss_fn(
       * "pfam"         — dual SwissProt+Pfam batch, inter+intra+2×MLM
         (pfam_PL_PEN_CL:861),
       * "pfam_ablated" — pfam minus the intra loss (:1078-1089).
+
+    ``dropout_key`` activates train-mode dropout (projection heads' 0.1,
+    stage1_config.json:46, plus the BERT tower's internal dropout — the
+    reference trains through Lightning train mode so both fire there);
+    ``None`` keeps every forward deterministic (eval semantics).
     """
     has_pfam = "pfam_text_tokens" in batch
-    out_swiss = apply_fn(params, batch["text_tokens"], batch["protein_tokens"])
+
+    def fwd(key, *args, **kwargs):
+        if dropout_key is None:
+            return apply_fn(params, *args, **kwargs)
+        return apply_fn(
+            params, *args, **kwargs,
+            deterministic=False,
+            rngs={"dropout": jax.random.fold_in(dropout_key, key)},
+        )
+
+    out_swiss = fwd(0, batch["text_tokens"], batch["protein_tokens"])
     if has_pfam:
-        out_pfam = apply_fn(
-            params, batch["pfam_text_tokens"], batch["pfam_protein_tokens"]
+        out_pfam = fwd(
+            1, batch["pfam_text_tokens"], batch["pfam_protein_tokens"]
         )
         z_t_all = jnp.concatenate(
             [out_swiss["text_joint_latent"], out_pfam["text_joint_latent"]]
@@ -90,9 +106,7 @@ def stage1_loss_fn(
         all_text, all_protein = cat("text_tokens"), cat("protein_tokens")
         all_text_masked = cat("text_tokens_masked")
         all_protein_masked = cat("protein_tokens_masked")
-        mlm = apply_fn(
-            params, all_text_masked, all_protein_masked, compute_masked_logits=True
-        )
+        mlm = fwd(2, all_text_masked, all_protein_masked, compute_masked_logits=True)
         loss_text_mask = compute_masked_lang_loss(
             mlm["text_masked_logits"], all_text, all_text_masked, text_mask_id
         )
@@ -129,9 +143,11 @@ def make_stage1_train_step(
         protein_mask_id=protein_mask_id,
     )
 
-    def train_step(state: TrainState, batch: dict):
+    def train_step(state: TrainState, batch: dict, key: jax.Array | None = None):
+        """``key`` activates train-mode dropout (reference recipe); ``None``
+        runs the deterministic forward (also the reproducible-CI path)."""
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, batch, dropout_key=key
         )
         new_state = state.apply_gradients(grads, tx)
         logits = aux.pop("logits")

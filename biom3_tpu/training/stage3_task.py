@@ -30,13 +30,21 @@ from biom3_tpu.training.state import TrainState
 
 
 def stage3_loss_fn(apply_fn: Callable, params, key, tokens, z_c):
-    """Loss + aux for one microbatch. tokens: (B, L) shifted train ids."""
+    """Loss + aux for one microbatch. tokens: (B, L) shifted train ids.
+
+    The forward runs in train mode (``deterministic=False`` + dropout rng):
+    the model's dropout knobs (``attn_layer_dropout``/``ff_dropout``,
+    ProteoScribeConfig) fire when nonzero and are exact no-ops at the
+    published config (input_dp_rate=0.0, stage3_config.json:54)."""
     B, L = tokens.shape
-    k_path, k_t = jax.random.split(key)
+    k_path, k_t, k_drop = jax.random.split(key, 3)
     path = sample_random_paths(k_path, B, L)
     t = sample_timesteps(k_t, B, L)
     masked = mask_realizations(tokens, path, t)
-    logits = apply_fn(params, masked, t, z_c)
+    logits = apply_fn(
+        params, masked, t, z_c,
+        deterministic=False, rngs={"dropout": k_drop},
+    )
     loss = oa_ardm_loss(logits, tokens, masked, t)
 
     # cheap on-device diagnostics (full metric suite lives in training.metrics)

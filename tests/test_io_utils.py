@@ -51,6 +51,28 @@ def test_metric_logger_csv(tmp_path):
     assert len(content) == 3
 
 
+def test_metric_logger_header_growth_and_appends(tmp_path):
+    """New metric names (e.g. val_* rows) grow the header; earlier rows get
+    blanks in the new columns; logging stays append-only (VERDICT r1 #7)."""
+    import time
+
+    logger = MetricLogger(str(tmp_path))
+    logger.log(0, {"loss": 1.5})
+    logger.log(1, {"loss": 1.2, "val_loss": 0.9})  # header grows once
+    t0 = time.perf_counter()
+    for step in range(2, 5002):
+        logger.log(step, {"loss": 1.0 / step, "val_loss": 0.5})
+    elapsed = time.perf_counter() - t0
+    logger.close()
+    lines = (tmp_path / "metrics.csv").read_text().splitlines()
+    assert lines[0] == "step,loss,val_loss"
+    assert len(lines) == 5003
+    assert lines[1].split(",") == ["0", "1.5", ""]  # blank in grown column
+    # O(1) per call: 5k appends finish fast (the old O(n^2) rewrite took
+    # minutes at this scale); generous bound for slow CI hosts
+    assert elapsed < 5.0
+
+
 def test_step_timer_and_memory():
     timer = StepTimer(warmup=1)
     for _ in range(3):
