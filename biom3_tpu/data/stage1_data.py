@@ -4,8 +4,13 @@ Port of ``TextSeqPairing_Dataset`` (``Stage1_source/preprocess.py:25-108``):
 BERT wordpiece pad-to-512, ESM tokens pad-to-1024 with pad id 1 (Q3).  The
 reference's masked-dataset class was never shipped (SURVEY.md Q2 —
 ``MaskTextSeqPairing_Dataset`` is referenced but undefined), so the MLM
-masking here is the standard BERT recipe (15% of non-special positions →
-<mask>), which is what the published training description implies.
+corruption here is the standard BERT recipe: select 15% of non-special
+positions, then 80% → ``<mask>``, 10% → random token, 10% → unchanged.
+Note the interaction with the reference's shipped loss
+(``compute_masked_lang_loss``, Stage1_source/model.py:401-465): it scores
+only positions that carry the mask token in the corrupted input, so the
+random/keep corruptions act as input noise (unsupervised) — set
+``keep_prob=random_prob=0`` (scheme "all_mask") to score the full 15%.
 """
 
 from __future__ import annotations
@@ -22,14 +27,31 @@ def mask_tokens(
     special_ids: tuple,
     *,
     mask_prob: float = 0.15,
+    mask_frac: float = 0.8,
+    random_frac: float = 0.1,
+    random_ids: np.ndarray | None = None,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Replace ``mask_prob`` of non-special positions with the mask token."""
+    """BERT-style corruption of ``mask_prob`` of the non-special positions.
+
+    Of the selected positions: ``mask_frac`` become ``mask_token_id``,
+    ``random_frac`` become a uniform draw from ``random_ids``, and the rest
+    stay unchanged (the 80/10/10 split).  ``random_ids=None`` disables the
+    random-replacement bucket (those positions are masked instead), giving
+    the pure all-mask scheme when ``mask_frac=1``.
+    """
     rng = rng or np.random.default_rng(0)
     special = np.isin(tokens, np.asarray(special_ids))
-    mask = (rng.random(tokens.shape) < mask_prob) & ~special
+    selected = (rng.random(tokens.shape) < mask_prob) & ~special
+    u = rng.random(tokens.shape)
+    if random_ids is None:
+        random_frac = 0.0
+    to_mask = selected & (u < mask_frac)
+    to_random = selected & (u >= mask_frac) & (u < mask_frac + random_frac)
     out = tokens.copy()
-    out[mask] = mask_token_id
+    out[to_mask] = mask_token_id
+    if random_ids is not None:
+        out[to_random] = rng.choice(np.asarray(random_ids), size=int(to_random.sum()))
     return out
 
 
@@ -71,16 +93,26 @@ class TextSeqPairingDataset:
         if with_masks:
             tok = self.text_tokenizer.tokenizer
             ab = self.alphabet
+            text_specials = tuple(tok.all_special_ids)
+            text_random = np.setdiff1d(
+                np.arange(tok.vocab_size), np.asarray(text_specials)
+            )
+            # protein random bucket: the 20 standard amino acids
+            aa_random = np.asarray(
+                [ab.get_idx(a) for a in "ACDEFGHIKLMNPQRSTVWY"], np.int32
+            )
             batch["text_tokens_masked"] = mask_tokens(
                 text["input_ids"],
                 tok.mask_token_id,
-                tuple(tok.all_special_ids),
+                text_specials,
+                random_ids=text_random,
                 rng=rng,
             )
             batch["protein_tokens_masked"] = mask_tokens(
                 protein,
                 ab.mask_idx,
                 (ab.cls_idx, ab.padding_idx, ab.eos_idx),
+                random_ids=aa_random,
                 rng=rng,
             )
         return batch

@@ -4,8 +4,8 @@ BASELINE config #5 ("1k prompts × N samples with QC on a v5e pod"): the
 (prompt × replica) grid flattens into one global batch sharded over the
 mesh's (dp, fsdp) axes; every device denoises its shard under the same
 compiled scan; results gather on the host for decoding/QC.  Params are
-replicated (50-class 86M-param model fits every HBM) — replica throughput
-scales linearly with chips.
+replicated (the 29-class ~50M-param Stage-3 model fits every HBM) — replica
+throughput scales linearly with chips.
 """
 
 from __future__ import annotations

@@ -206,3 +206,35 @@ def test_eval_cli_stats_and_scoring(tmp_path):
     assert report["vs_reference"]["replica_0"]["hard_acc"] == pytest.approx(1.0)
     assert report["vs_reference"]["replica_0"]["blosum_soft_acc"] == pytest.approx(1.0)
     assert report["vs_reference"]["replica_1"]["hard_acc"] < 1.0
+
+
+def test_mask_tokens_801010_mix():
+    """BERT corruption: ~15% selected; of those 80% mask / 10% random / 10%
+    keep; specials untouched (stage1_data docstring; gap-fill for SURVEY Q2)."""
+    import numpy as np
+    from biom3_tpu.data.stage1_data import mask_tokens
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(4, 24, (200, 512)).astype(np.int32)
+    tokens[:, 0] = 0  # special at position 0
+    random_ids = np.arange(4, 24)
+    out = mask_tokens(
+        tokens, mask_token_id=32, special_ids=(0, 1, 2),
+        random_ids=random_ids, rng=np.random.default_rng(1),
+    )
+    assert (out[:, 0] == 0).all()  # specials untouched
+    changed = out != tokens
+    n = tokens.size - tokens.shape[0]
+    frac_mask = (out == 32).sum() / n
+    assert 0.10 < frac_mask < 0.14  # ≈ 15% × 80%
+    frac_random = (changed & (out != 32)).sum() / n
+    assert 0.005 < frac_random < 0.03  # ≈ 15% × 10% (minus same-token draws)
+    assert set(np.unique(out[changed])) <= set(random_ids.tolist()) | {32}
+
+    # all-mask scheme: no random bucket
+    out2 = mask_tokens(
+        tokens, mask_token_id=32, special_ids=(0, 1, 2),
+        mask_frac=1.0, rng=np.random.default_rng(1),
+    )
+    ch2 = out2 != tokens
+    assert (out2[ch2] == 32).all()
