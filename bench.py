@@ -1,19 +1,22 @@
-"""Benchmark harness: ProteoScribe end-to-end sampling throughput per chip.
+"""Benchmark harness: the three driver metrics on one chip (BASELINE.md:26).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the headline metric (ProteoScribe seqs/sec/chip)
+plus a ``metrics`` map carrying all three:
 
-The headline metric is the reference's throughput-critical path (SURVEY.md
-§3.3) at reference semantics: full 1024-step conditional denoising of a
-batch of 32 sequences, one position per step — what
-``run_ProteoScribe_sample.py`` does per prompt, but compiled as an on-device
-``lax.scan``.  ``detail.fast_mode`` additionally reports blocked any-order
-decoding (8 positions per forward), the framework's high-throughput serving
-mode.
+  * ``proteoscribe_seqs_per_sec_per_chip`` — the reference's
+    throughput-critical path (SURVEY.md §3.3) at reference semantics: full
+    1024-step conditional denoising of a batch of 32 sequences, one position
+    per step, compiled as an on-device ``lax.scan``.
+  * ``pencl_pairs_per_sec`` — Stage-1 embedding throughput: full-size
+    ESM2-650M (L=1024) + PubMedBERT (L=512) + projection heads, bf16.
+  * ``e2e_p50_latency_s`` — one prompt through all three stages
+    (text encode → facilitator → 5-replica 1024-step denoise), p50 of
+    steady-state runs (random weights; timing-only).
 
-The reference publishes no throughput numbers (BASELINE.md).  ``vs_baseline``
-is measured against an *estimated* A100 eager-PyTorch rate for the same
-workload, documented inline: ~103 GFLOP/seq/step × 1024 steps at ~20% fp16
-utilization of 312 TFLOPS plus per-step host sync ≈ 0.12 seqs/sec.
+Each metric reports achieved TFLOP/s and MFU (matmul-FLOP convention,
+``biom3_tpu.utils.flops``).  ``vs_baseline`` compares the headline against
+an *estimated* A100 eager-PyTorch rate — derivation pinned in BASELINE.md
+("A100 baseline estimate").
 """
 
 from __future__ import annotations
@@ -25,29 +28,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_EAGER_SEQS_PER_SEC_EST = 0.12
+A100_EAGER_SEQS_PER_SEC_EST = 0.12  # derivation: BASELINE.md "A100 baseline estimate"
 
 
-def _measure(sampler, params, z_c, path, runs=2):
+def _best_of(fn, *args, runs=2):
+    """Steady-state best wall time; first call (compile+warm) reported too.
+
+    Timing via host fetch (np.asarray) — block_until_ready can return early
+    through the TPU tunnel (CLAUDE.md).
+    """
     t0 = time.perf_counter()
-    np.asarray(sampler(params, z_c, path, jax.random.key(2)))  # compile+warm
+    np.asarray(fn(*args))
     warm_s = time.perf_counter() - t0
     best = float("inf")
-    for i in range(runs):
+    times = []
+    for _ in range(runs):
         t0 = time.perf_counter()
-        np.asarray(sampler(params, z_c, path, jax.random.key(3 + i)))
-        best = min(best, time.perf_counter() - t0)
-    return best, warm_s - best  # (steady-state, approx compile time)
+        np.asarray(fn(*args))
+        times.append(time.perf_counter() - t0)
+        best = min(best, times[-1])
+    return best, warm_s - best, times
 
 
-def main() -> None:
+def bench_proteoscribe(peak):
     from biom3_tpu.config import ProteoScribeConfig
     from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+    from biom3_tpu.models.fused_forward import make_fused_apply
     from biom3_tpu.models.proteoscribe import ProteoScribe
+    from biom3_tpu.utils.flops import proteoscribe_forward_flops
 
     cfg = ProteoScribeConfig()  # full reference config
-    model = ProteoScribe(cfg, dtype=jnp.bfloat16)
     B = 32  # reference batch_size_sample (stage3_config.json:16)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = ProteoScribe(cfg, dtype=jnp.bfloat16)
 
     params = model.init(
         jax.random.key(0),
@@ -58,35 +71,216 @@ def main() -> None:
     z_c = jnp.zeros((B, cfg.cond_dim), jnp.float32)
     path = sample_permutations(jax.random.key(1), B, cfg.max_seq_len)
 
+    # serving path: fused Pallas layer kernels (2 HBM passes/layer), hidden
+    # states returned and the output head applied only at the gathered
+    # positions; CPU falls back to the Flax/XLA graph
+    if on_tpu:
+        from biom3_tpu.models.fused_forward import final_head
+
+        apply_fn = make_fused_apply(cfg, return_hidden=True)
+        head_fn = lambda v, h: final_head(
+            cfg, v["params"] if "params" in v else v, h
+        )
+        attn_impl = "fused-pallas"
+    else:
+        apply_fn, head_fn, attn_impl = model.apply, None, "xla"
+
+    # on-chip numerics check: fused kernels vs the Flax/XLA graph
+    x_chk = jnp.zeros((2, cfg.max_seq_len), jnp.int32)
+    t_chk = jnp.zeros((2,), jnp.int32)
+    ref_logits = jax.jit(model.apply)(params, x_chk, t_chk, z_c[:2])
+    got_logits = jax.jit(make_fused_apply(cfg) if on_tpu else model.apply)(
+        params, x_chk, t_chk, z_c[:2]
+    )
+    attn_delta = float(jnp.max(jnp.abs(ref_logits - got_logits)))
+
     # parity mode: 1 position/step — chunked dispatch bounds single-execution
-    # wall clock (the tunnel runtime kills ~1-minute executions); timing via
-    # host fetch (block_until_ready is unreliable through the tunnel)
-    parity = make_sampler(model.apply, cfg.num_timesteps, chunk_steps=128)
-    best_parity, compile_s = _measure(parity, params, z_c, path)
+    # wall clock (the tunnel runtime kills ~1-minute executions)
+    parity = make_sampler(
+        apply_fn, cfg.num_timesteps, chunk_steps=128, head_fn=head_fn
+    )
+    best_parity, compile_s, _ = _best_of(
+        lambda k: parity(params, z_c, path, k), jax.random.key(2)
+    )
 
     # fast mode: blocked decoding, 8 positions per forward
     fast = make_sampler(
-        model.apply, cfg.num_timesteps, chunk_steps=128, positions_per_step=8
+        apply_fn, cfg.num_timesteps, chunk_steps=128, positions_per_step=8,
+        head_fn=head_fn,
     )
-    best_fast, _ = _measure(fast, params, z_c, path)
+    best_fast, _, _ = _best_of(
+        lambda k: fast(params, z_c, path, k), jax.random.key(3)
+    )
 
-    seqs_per_sec = B / best_parity
+    flops_total = proteoscribe_forward_flops(cfg, B) * cfg.num_timesteps
+    tflops = flops_total / best_parity / 1e12
+    return {
+        "value": round(B / best_parity, 3),
+        "unit": "seqs/sec (1024-step denoise, B=32, bf16, 1 pos/step)",
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
+        "detail": {
+            "batch": B,
+            "steps": cfg.num_timesteps,
+            "best_run_s": round(best_parity, 3),
+            "compile_s": round(compile_s, 1),
+            "attn_impl": attn_impl,
+            "fused_vs_xla_max_abs_logit_delta": attn_delta,
+            "fast_mode_seqs_per_sec": round(B / best_fast, 3),
+            "fast_mode": "blocked any-order decoding, 8 pos/forward",
+        },
+    }
+
+
+def bench_pencl(peak):
+    from biom3_tpu.config import PenCLConfig
+    from biom3_tpu.models.pencl import PenCL
+    from biom3_tpu.utils.flops import pencl_pair_forward_flops
+
+    cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
+    model = PenCL(cfg, dtype=jnp.bfloat16)
+    B, iters = 16, 8
+    x_t = jnp.zeros((B, cfg.text_max_length), jnp.int32)
+    x_p = jnp.ones((B, cfg.seq_max_length), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), x_t[:1], x_p[:1])
+
+    @jax.jit
+    def many(params, x_t, x_p):
+        def body(carry, _):
+            out = model.apply(params, x_t + carry, x_p)
+            s = out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
+            # feed a scalar back so the scan iterations stay sequential
+            return (s.astype(jnp.int32) % 2) * 0, s
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
+        return sums
+
+    best, compile_s, _ = _best_of(lambda: many(params, x_t, x_p))
+    pairs_per_sec = B * iters / best
+    flops = pencl_pair_forward_flops(cfg) * B * iters
+    tflops = flops / best / 1e12
+    return {
+        "value": round(pairs_per_sec, 2),
+        "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, bf16)",
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
+        "detail": {"batch": B, "iters": iters, "compile_s": round(compile_s, 1)},
+    }
+
+
+def bench_e2e(peak):
+    """Text → protein p50 latency: encode prompt, facilitate, denoise 5
+    replicas (the reference's num_replicas, stage3_config.json:15)."""
+    from biom3_tpu.config import (
+        FacilitatorConfig,
+        PenCLConfig,
+        ProteoScribeConfig,
+    )
+    from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+    from biom3_tpu.models.facilitator import Facilitator
+    from biom3_tpu.models.pencl import PenCL
+    from biom3_tpu.models.proteoscribe import ProteoScribe
+    from biom3_tpu.utils.flops import (
+        pencl_pair_forward_flops,
+        proteoscribe_forward_flops,
+    )
+
+    from biom3_tpu.models.fused_forward import make_fused_apply
+
+    R = 5  # replicas per prompt
+    p_cfg = PenCLConfig()
+    f_cfg = FacilitatorConfig()
+    s_cfg = ProteoScribeConfig()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    attn_impl = "fused-pallas" if on_tpu else "xla"
+
+    pencl = PenCL(p_cfg, dtype=jnp.bfloat16)
+    x_t = jnp.zeros((1, p_cfg.text_max_length), jnp.int32)
+    p_params = jax.jit(pencl.init)(
+        jax.random.key(0), x_t, jnp.ones((1, 8), jnp.int32)
+    )
+    encode = jax.jit(
+        lambda p, x: pencl.apply(p, x, method=PenCL.encode_text)
+    )
+
+    fac = Facilitator(f_cfg)
+    f_params = fac.init(jax.random.key(1), jnp.zeros((1, f_cfg.in_dim)))
+    facilitate = jax.jit(fac.apply)
+
+    ps = ProteoScribe(s_cfg, dtype=jnp.bfloat16)
+    s_params = ps.init(
+        jax.random.key(2),
+        jnp.zeros((1, s_cfg.max_seq_len), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, s_cfg.cond_dim)),
+    )
+    if on_tpu:
+        from biom3_tpu.models.fused_forward import final_head
+
+        s_apply = make_fused_apply(s_cfg, return_hidden=True)
+        s_head = lambda v, h: final_head(
+            s_cfg, v["params"] if "params" in v else v, h
+        )
+    else:
+        s_apply, s_head = ps.apply, None
+    sampler = make_sampler(
+        s_apply, s_cfg.num_timesteps, chunk_steps=128, head_fn=s_head
+    )
+    path = sample_permutations(jax.random.key(3), R, s_cfg.max_seq_len)
+
+    def pipeline(key):
+        z_t = encode(p_params, x_t)
+        z_c = facilitate(f_params, z_t.astype(jnp.float32))
+        z_c = jnp.tile(z_c, (R, 1))
+        return sampler(s_params, z_c, path, key)
+
+    _, compile_s, _ = _best_of(lambda: pipeline(jax.random.key(4)), runs=1)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(pipeline(jax.random.key(5 + i)))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    flops = (
+        pencl_pair_forward_flops(p_cfg) * 0.4  # text tower + head only (~40%)
+        + proteoscribe_forward_flops(s_cfg, R) * s_cfg.num_timesteps
+    )
+    tflops = flops / p50 / 1e12
+    return {
+        "value": round(p50, 2),
+        "unit": "s p50 latency, 1 prompt -> 5 replicas (1024-step denoise)",
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
+        "detail": {
+            "replicas": R,
+            "runs_s": [round(t, 2) for t in times],
+            "compile_s": round(compile_s, 1),
+            "attn_impl": attn_impl,
+        },
+    }
+
+
+def main() -> None:
+    from biom3_tpu.utils.flops import device_peak_flops
+
+    peak = device_peak_flops()
+    metrics = {}
+    metrics["pencl_pairs_per_sec"] = bench_pencl(peak)
+    metrics["proteoscribe_seqs_per_sec_per_chip"] = bench_proteoscribe(peak)
+    metrics["e2e_p50_latency_s"] = bench_e2e(peak)
+
+    head = metrics["proteoscribe_seqs_per_sec_per_chip"]
     print(
         json.dumps(
             {
                 "metric": "proteoscribe_seqs_per_sec_per_chip",
-                "value": round(seqs_per_sec, 3),
-                "unit": "seqs/sec (1024-step denoise, B=32, bf16, 1 pos/step)",
-                "vs_baseline": round(seqs_per_sec / A100_EAGER_SEQS_PER_SEC_EST, 2),
-                "detail": {
-                    "batch": B,
-                    "steps": cfg.num_timesteps,
-                    "best_run_s": round(best_parity, 3),
-                    "compile_s": round(compile_s, 1),
-                    "fast_mode_seqs_per_sec": round(B / best_fast, 3),
-                    "fast_mode": "blocked any-order decoding, 8 pos/forward",
-                    "device": str(jax.devices()[0]),
-                },
+                "value": head["value"],
+                "unit": head["unit"],
+                "vs_baseline": round(
+                    head["value"] / A100_EAGER_SEQS_PER_SEC_EST, 2
+                ),
+                "metrics": metrics,
+                "device": str(jax.devices()[0]),
+                "peak_flops_assumed": peak,
             }
         )
     )

@@ -66,6 +66,7 @@ def make_sampler(
     positions_per_step: int = 1,
     top_k: int | None = None,
     top_p: float | None = None,
+    head_fn: Callable | None = None,
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -86,6 +87,14 @@ def make_sampler(
     reference's one-position-per-step semantics; k>1 is an approximation
     (positions within a block don't condition on each other).
 
+    ``head_fn(params, h) → logits`` switches to the gather-before-head
+    contract: ``apply_fn`` returns the final hidden states (B, L, D) and the
+    output head runs only on the k gathered positions per step — identical
+    math (the head is per-position), one less (B, L, C) materialization per
+    step.  Pair with ``make_fused_apply(cfg, return_hidden=True)`` +
+    ``final_head``.  Incompatible with ``legacy_batch_update`` (which needs
+    the full logit grid to reproduce Q5).
+
     The default path gathers only the positions being written (via the
     precomputed inverse permutation) before sampling — same distribution as
     the reference's full-grid ``OneHotCategorical`` + argmax, without
@@ -105,6 +114,9 @@ def make_sampler(
         )
     if legacy_batch_update and k != 1:
         raise ValueError("legacy_batch_update requires positions_per_step=1")
+    if legacy_batch_update and head_fn is not None:
+        raise ValueError("legacy_batch_update needs full-grid logits; "
+                         "drop head_fn")
 
     def legacy_step(params, z_c, path, carry, t):
         x, key = carry
@@ -128,11 +140,12 @@ def make_sampler(
         B = x.shape[0]
         key, sub = jax.random.split(key)
         t = i * k
-        logits = apply_fn(params, x, jnp.full((B,), t, jnp.int32), z_c)
+        out = apply_fn(params, x, jnp.full((B,), t, jnp.int32), z_c)
         pos = jax.lax.dynamic_slice_in_dim(inv, t, k, axis=1)      # (B, k)
-        lg = jnp.take_along_axis(
-            logits.astype(jnp.float32), pos[..., None], axis=1
-        )                                                           # (B, k, C)
+        picked = jnp.take_along_axis(out, pos[..., None], axis=1)  # (B, k, ·)
+        if head_fn is not None:
+            picked = head_fn(params, picked)                       # (B, k, C)
+        lg = picked.astype(jnp.float32)
         if top_k is not None or top_p is not None:
             lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)
         if temperature == 0.0:

@@ -1,6 +1,7 @@
 from biom3_tpu.models.bert import BertEncoder
 from biom3_tpu.models.esm2 import ESM2
 from biom3_tpu.models.facilitator import Facilitator
+from biom3_tpu.models.fused_forward import make_fused_apply
 from biom3_tpu.models.pencl import PenCL, ProjectionHead
 from biom3_tpu.models.proteoscribe import ProteoScribe
 
@@ -11,4 +12,5 @@ __all__ = [
     "PenCL",
     "ProjectionHead",
     "ProteoScribe",
+    "make_fused_apply",
 ]
