@@ -31,6 +31,22 @@ import numpy as np
 A100_EAGER_SEQS_PER_SEC_EST = 0.12  # derivation: BASELINE.md "A100 baseline estimate"
 
 
+def _host_init(init_fn, *shaped_args):
+    """Random params via eval_shape + host RNG — avoids compiling a giant
+    on-device init graph for the 650M-param towers (bench times forwards,
+    not inits)."""
+    shapes = jax.eval_shape(init_fn, jax.random.key(0), *shaped_args)
+    rng = np.random.default_rng(0)
+    leaves, treedef = jax.tree.flatten(shapes)
+    arrs = [
+        jnp.asarray(
+            (rng.standard_normal(l.shape) * 0.02).astype(l.dtype)
+        )
+        for l in leaves
+    ]
+    return jax.tree.unflatten(treedef, arrs)
+
+
 def _best_of(fn, *args, runs=2):
     """Steady-state best wall time; first call (compile+warm) reported too.
 
@@ -142,7 +158,7 @@ def bench_pencl(peak):
     B, iters = 16, 8
     x_t = jnp.zeros((B, cfg.text_max_length), jnp.int32)
     x_p = jnp.ones((B, cfg.seq_max_length), jnp.int32)
-    params = jax.jit(model.init)(jax.random.key(0), x_t[:1], x_p[:1])
+    params = _host_init(model.init, x_t[:1], x_p[:1])
 
     @jax.jit
     def many(params, x_t, x_p):
@@ -195,9 +211,7 @@ def bench_e2e(peak):
 
     pencl = PenCL(p_cfg, dtype=jnp.bfloat16)
     x_t = jnp.zeros((1, p_cfg.text_max_length), jnp.int32)
-    p_params = jax.jit(pencl.init)(
-        jax.random.key(0), x_t, jnp.ones((1, 8), jnp.int32)
-    )
+    p_params = _host_init(pencl.init, x_t, jnp.ones((1, 8), jnp.int32))
     encode = jax.jit(
         lambda p, x: pencl.apply(p, x, method=PenCL.encode_text)
     )

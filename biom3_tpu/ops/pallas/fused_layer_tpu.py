@@ -187,7 +187,6 @@ def fused_attn_half(
     single = pl.Buffered(buffer_count=1)
     row = lambda r, c: pl.BlockSpec(
         (1, r, c), lambda b: (b, 0, 0), memory_space=pltpu.VMEM,
-        pipeline_mode=single,
     )
     const2 = lambda r, c: pl.BlockSpec(
         (r, c), lambda b: (0, 0), memory_space=pltpu.VMEM,
@@ -252,7 +251,7 @@ def fused_ff_half(
     w2: jax.Array,
     b2: jax.Array,
     *,
-    block_l: int = 256,
+    block_l: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """x: (B, L, d) → x + FF(LN(x)); FF = Dense(4d) → exact GELU → Dense(d)."""
@@ -266,7 +265,6 @@ def fused_ff_half(
     single = pl.Buffered(buffer_count=1)
     tile = pl.BlockSpec(
         (1, block_l, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM,
-        pipeline_mode=single,
     )
     const2 = lambda r, c: pl.BlockSpec(
         (r, c), lambda b, i: (0, 0), memory_space=pltpu.VMEM,

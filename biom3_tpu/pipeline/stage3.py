@@ -35,6 +35,7 @@ class ProteoScribeEngine:
         legacy_batch_update: bool = False,
         chunk_steps: int | None = 128,
         positions_per_step: int = 1,
+        use_fused: bool | None = None,
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -55,13 +56,38 @@ class ProteoScribeEngine:
         chunk = chunk_steps if chunk_steps else None
         if chunk and (chunk > outer or outer % chunk != 0):
             chunk = None
+        # default TPU serving path: fused Pallas layer kernels with the
+        # output head applied at the gathered positions only (~3× the
+        # per-op XLA graph on-chip); the Flax graph remains the fallback
+        # (CPU, f32 parity mode, legacy Q5 replay — which needs the full
+        # logit grid)
+        if use_fused is None:
+            use_fused = (
+                jax.devices()[0].platform not in ("cpu",)
+                and dtype == jnp.bfloat16
+                and not legacy_batch_update
+            )
+        self.use_fused = bool(use_fused)
+        if self.use_fused:
+            from biom3_tpu.models.fused_forward import (
+                final_head,
+                make_fused_apply,
+            )
+
+            apply_fn = make_fused_apply(self.config, return_hidden=True)
+            head_fn = lambda v, h: final_head(
+                self.config, v["params"] if "params" in v else v, h
+            )
+        else:
+            apply_fn, head_fn = self.model.apply, None
         self.sampler = make_sampler(
-            self.model.apply,
+            apply_fn,
             self.config.num_timesteps,
             temperature=temperature,
             legacy_batch_update=legacy_batch_update,
             chunk_steps=chunk,
             positions_per_step=positions_per_step,
+            head_fn=head_fn,
         )
 
     def sample_batch(
