@@ -273,10 +273,35 @@ def bench_e2e(peak):
     }
 
 
+def measure_gemm_peak() -> float:
+    """Sustained bf16 GEMM rate via a dependent matmul chain (512→2048→512,
+    the Stage-3 FF shape).  The tunnel device has been observed to sustain
+    well above its 'v5 lite' label's 197 TF/s — MFU is reported against
+    max(label peak, this measurement) so it stays ≤ 1 and meaningful."""
+    M, K, N = 32768, 512, 2048
+    key = jax.random.key(0)
+    w1 = jax.random.normal(key, (K, N), jnp.bfloat16) * 0.02
+    w2 = jax.random.normal(key, (N, K), jnp.bfloat16) * 0.02
+    iters = 64
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            return (c @ w1) @ w2, ()
+        out, _ = jax.lax.scan(body, x, None, length=iters)
+        return out[0, :8]  # tiny host fetch — large fetches dominate timing
+
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    best, _, _ = _best_of(lambda: chain(x), runs=3)
+    return iters * 2 * 2 * M * K * N / best
+
+
 def main() -> None:
     from biom3_tpu.utils.flops import device_peak_flops
 
-    peak = device_peak_flops()
+    label_peak = device_peak_flops()
+    gemm_tflops = measure_gemm_peak()
+    peak = max(label_peak or 0.0, gemm_tflops) or None
     metrics = {}
     metrics["pencl_pairs_per_sec"] = bench_pencl(peak)
     metrics["proteoscribe_seqs_per_sec_per_chip"] = bench_proteoscribe(peak)
@@ -294,7 +319,9 @@ def main() -> None:
                 ),
                 "metrics": metrics,
                 "device": str(jax.devices()[0]),
-                "peak_flops_assumed": peak,
+                "peak_flops_basis": peak,
+                "peak_label_flops": label_peak,
+                "measured_gemm_tflops": round(gemm_tflops / 1e12, 1),
             }
         )
     )

@@ -181,6 +181,9 @@ class ProteoScribe(nn.Module):
     remat: bool = False        # rematerialize layers in the backward pass
     scan_layers: bool = False  # lax.scan over depth (stacked params; ~depth×
                                # smaller HLO → much faster compiles)
+    scan_unroll: int = 1       # unroll factor inside the layer scan — trades
+                               # compile size back for cross-layer fusion
+                               # (BACKLOG: plain scan runs ~50% slower)
 
     @nn.compact
     def __call__(
@@ -227,6 +230,7 @@ class ProteoScribe(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0,
                 length=cfg.depth,
+                unroll=self.scan_unroll,
             )
             for bi in range(cfg.n_blocks):
                 h = h + x_embed
