@@ -69,7 +69,7 @@ def _best_of(fn, *args, runs=2):
 def bench_proteoscribe(peak):
     from biom3_tpu.config import ProteoScribeConfig
     from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
-    from biom3_tpu.models.fused_forward import make_fused_apply
+    from biom3_tpu.models.fused_forward import make_stack_apply
     from biom3_tpu.models.proteoscribe import ProteoScribe
     from biom3_tpu.utils.flops import proteoscribe_forward_flops
 
@@ -87,33 +87,36 @@ def bench_proteoscribe(peak):
     z_c = jnp.zeros((B, cfg.cond_dim), jnp.float32)
     path = sample_permutations(jax.random.key(1), B, cfg.max_seq_len)
 
-    # serving path: fused Pallas layer kernels (2 HBM passes/layer), hidden
-    # states returned and the output head applied only at the gathered
-    # positions; CPU falls back to the Flax/XLA graph
+    # serving path (= ProteoScribeEngine default on TPU): the whole-stack
+    # resident Pallas kernel — ONE kernel per model call, all 16 layers'
+    # weights VMEM-resident, head applied at the decode positions only
+    # (ops/pallas/stack_kernel_tpu); CPU falls back to the Flax/XLA graph
     if on_tpu:
-        from biom3_tpu.models.fused_forward import final_head
-
-        apply_fn = make_fused_apply(cfg, return_hidden=True)
-        head_fn = lambda v, h: final_head(
-            cfg, v["params"] if "params" in v else v, h
-        )
-        attn_impl = "fused-pallas"
+        apply_fn = make_stack_apply(cfg, gelu="tanh", resident=True)
+        takes_pos, attn_impl = True, "stack-pallas-resident(tanh-gelu)"
     else:
-        apply_fn, head_fn, attn_impl = model.apply, None, "xla"
+        apply_fn, takes_pos, attn_impl = model.apply, False, "xla"
 
-    # on-chip numerics check: fused kernels vs the Flax/XLA graph
+    # on-chip numerics check: stack kernel vs the Flax/XLA graph at 8
+    # gathered positions (includes the documented tanh-GELU deviation)
     x_chk = jnp.zeros((2, cfg.max_seq_len), jnp.int32)
     t_chk = jnp.zeros((2,), jnp.int32)
-    ref_logits = jax.jit(model.apply)(params, x_chk, t_chk, z_c[:2])
-    got_logits = jax.jit(make_fused_apply(cfg) if on_tpu else model.apply)(
-        params, x_chk, t_chk, z_c[:2]
+    pos_chk = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None] * 100, (2, 1))
+    ref_logits = jnp.take_along_axis(
+        jax.jit(model.apply)(params, x_chk, t_chk, z_c[:2]),
+        pos_chk[..., None], axis=1,
     )
+    if on_tpu:
+        got_logits = apply_fn(params, x_chk, t_chk, z_c[:2], pos_chk)
+    else:
+        got_logits = ref_logits
     attn_delta = float(jnp.max(jnp.abs(ref_logits - got_logits)))
 
     # parity mode: 1 position/step — chunked dispatch bounds single-execution
     # wall clock (the tunnel runtime kills ~1-minute executions)
     parity = make_sampler(
-        apply_fn, cfg.num_timesteps, chunk_steps=128, head_fn=head_fn
+        apply_fn, cfg.num_timesteps, chunk_steps=128,
+        apply_takes_positions=takes_pos,
     )
     best_parity, compile_s, _ = _best_of(
         lambda k: parity(params, z_c, path, k), jax.random.key(2)
@@ -122,7 +125,7 @@ def bench_proteoscribe(peak):
     # fast mode: blocked decoding, 8 positions per forward
     fast = make_sampler(
         apply_fn, cfg.num_timesteps, chunk_steps=128, positions_per_step=8,
-        head_fn=head_fn,
+        apply_takes_positions=takes_pos,
     )
     best_fast, _, _ = _best_of(
         lambda k: fast(params, z_c, path, k), jax.random.key(3)
@@ -141,7 +144,7 @@ def bench_proteoscribe(peak):
             "best_run_s": round(best_parity, 3),
             "compile_s": round(compile_s, 1),
             "attn_impl": attn_impl,
-            "fused_vs_xla_max_abs_logit_delta": attn_delta,
+            "stack_vs_flax_max_abs_logit_delta": attn_delta,
             "fast_mode_seqs_per_sec": round(B / best_fast, 3),
             "fast_mode": "blocked any-order decoding, 8 pos/forward",
         },
@@ -200,14 +203,14 @@ def bench_e2e(peak):
         proteoscribe_forward_flops,
     )
 
-    from biom3_tpu.models.fused_forward import make_fused_apply
+    from biom3_tpu.models.fused_forward import make_stack_apply
 
     R = 5  # replicas per prompt
     p_cfg = PenCLConfig()
     f_cfg = FacilitatorConfig()
     s_cfg = ProteoScribeConfig()
     on_tpu = jax.devices()[0].platform != "cpu"
-    attn_impl = "fused-pallas" if on_tpu else "xla"
+    attn_impl = "stack-pallas-resident(tanh-gelu)" if on_tpu else "xla"
 
     pencl = PenCL(p_cfg, dtype=jnp.bfloat16)
     x_t = jnp.zeros((1, p_cfg.text_max_length), jnp.int32)
@@ -228,16 +231,13 @@ def bench_e2e(peak):
         jnp.zeros((1, s_cfg.cond_dim)),
     )
     if on_tpu:
-        from biom3_tpu.models.fused_forward import final_head
-
-        s_apply = make_fused_apply(s_cfg, return_hidden=True)
-        s_head = lambda v, h: final_head(
-            s_cfg, v["params"] if "params" in v else v, h
-        )
+        s_apply = make_stack_apply(s_cfg, gelu="tanh", resident=True)
+        s_takes_pos = True
     else:
-        s_apply, s_head = ps.apply, None
+        s_apply, s_takes_pos = ps.apply, False
     sampler = make_sampler(
-        s_apply, s_cfg.num_timesteps, chunk_steps=128, head_fn=s_head
+        s_apply, s_cfg.num_timesteps, chunk_steps=128,
+        apply_takes_positions=s_takes_pos,
     )
     path = sample_permutations(jax.random.key(3), R, s_cfg.max_seq_len)
 

@@ -31,15 +31,28 @@ def parse_arguments():
     parser.add_argument("--positions-per-step", type=int, default=1,
                         help=">1 enables blocked any-order decoding "
                              "(k-fold fewer forwards; approximation)")
+    parser.add_argument("--dtype", choices=["auto", "bf16", "f32"],
+                        default="auto",
+                        help="auto = bf16 serving path (whole-stack Pallas "
+                             "kernel) on TPU, f32 parity path on CPU")
     return parser.parse_args()
 
 
 def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
     args = parse_arguments()
     config = load_json_config(args.json_path)
+    if args.dtype == "auto":
+        on_accel = jax.devices()[0].platform != "cpu"
+        dtype = jnp.bfloat16 if on_accel else jnp.float32
+    else:
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     engine = ProteoScribeEngine(
         config,
         args.model_path,
+        dtype=dtype,
         temperature=args.temperature,
         legacy_batch_update=args.legacy_batch_update,
         positions_per_step=args.positions_per_step,

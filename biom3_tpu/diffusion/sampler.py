@@ -67,6 +67,7 @@ def make_sampler(
     top_k: int | None = None,
     top_p: float | None = None,
     head_fn: Callable | None = None,
+    apply_takes_positions: bool = False,
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -101,6 +102,11 @@ def make_sampler(
     generating (B, L, C) random bits per step.  ``legacy_batch_update``
     keeps the full-grid sampling so the reference's batched-update quirk
     (SURVEY.md Q5, sampling_analysis.py:254-256) reproduces bit-for-bit.
+
+    ``apply_takes_positions`` switches to the whole-stack-kernel contract
+    (``make_stack_apply``): ``apply_fn(params, x, t, z_c, pos (B,k)) →
+    (B, k, C)`` logits at the decode positions — embedding, layers, gather
+    and head all live inside one Pallas call.
     """
     k = positions_per_step
     if num_steps % k != 0:
@@ -117,6 +123,11 @@ def make_sampler(
     if legacy_batch_update and head_fn is not None:
         raise ValueError("legacy_batch_update needs full-grid logits; "
                          "drop head_fn")
+    if apply_takes_positions and (legacy_batch_update or head_fn is not None):
+        raise ValueError(
+            "apply_takes_positions is a complete contract — incompatible "
+            "with legacy_batch_update/head_fn"
+        )
 
     def legacy_step(params, z_c, path, carry, t):
         x, key = carry
@@ -140,11 +151,16 @@ def make_sampler(
         B = x.shape[0]
         key, sub = jax.random.split(key)
         t = i * k
-        out = apply_fn(params, x, jnp.full((B,), t, jnp.int32), z_c)
         pos = jax.lax.dynamic_slice_in_dim(inv, t, k, axis=1)      # (B, k)
-        picked = jnp.take_along_axis(out, pos[..., None], axis=1)  # (B, k, ·)
-        if head_fn is not None:
-            picked = head_fn(params, picked)                       # (B, k, C)
+        if apply_takes_positions:
+            picked = apply_fn(
+                params, x, jnp.full((B,), t, jnp.int32), z_c, pos
+            )                                                      # (B, k, C)
+        else:
+            out = apply_fn(params, x, jnp.full((B,), t, jnp.int32), z_c)
+            picked = jnp.take_along_axis(out, pos[..., None], axis=1)
+            if head_fn is not None:
+                picked = head_fn(params, picked)                   # (B, k, C)
         lg = picked.astype(jnp.float32)
         if top_k is not None or top_p is not None:
             lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)

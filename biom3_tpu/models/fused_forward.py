@@ -56,6 +56,90 @@ def time_bias_table(cfg: ProteoScribeConfig, p) -> jax.Array:
     return _cond_mlp(p["time_mlp"], emb)
 
 
+def make_stack_apply(
+    cfg: ProteoScribeConfig,
+    *,
+    dtype=jnp.bfloat16,
+    conditional: bool = True,
+    rows: int = 1,
+    ff_buffers: int = 1,
+    gelu: str = "erf",
+    resident: bool = True,
+    ff_block_l: int = 256,
+    vmem_limit_mb: int | None = None,
+    interpret: bool = False,
+):
+    """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
+    Pallas call per model call — embedding, all layers, and the output head
+    at the decode positions, with the residual stream resident in VMEM.
+
+    Returns ``fn(variables, x (B,L) int, t (B,) int, z_c, pos (B,k) int)
+    → (B, k, C) f32`` — the sampler's ``apply_takes_positions`` contract.
+    All parameter packing (stacking per-layer weights to (depth, …),
+    transposing the bias table) is loop-invariant, so XLA hoists it out of
+    the sampling scan.  Requires ``n_blocks == 1`` (the reference config).
+    """
+    from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
+
+    if cfg.n_blocks != 1:
+        raise ValueError("stack kernel supports n_blocks=1 (reference config)")
+    depth = cfg.depth
+
+    def apply_fn(variables, x, t, z_c=None, pos=None, **_ignored):
+        if pos is None:
+            raise ValueError("stack apply requires decode positions")
+        p = variables["params"] if "params" in variables else variables
+        B, L = x.shape
+
+        # (T, depth, d) time-bias table — one gather per step under the scan
+        table = time_bias_table(cfg, p).reshape(
+            cfg.num_timesteps, cfg.dim, depth
+        ).transpose(0, 2, 1)
+        bias = jnp.take(table, t, axis=0)                   # (B, depth, d)
+        if conditional:
+            if z_c is None:
+                raise ValueError("conditional model requires z_c")
+            yb = _cond_mlp(p["y_mlp"], z_c).reshape(
+                z_c.shape[0], cfg.dim, depth
+            ).transpose(0, 2, 1)
+            bias = bias + yb
+
+        pos_emb = (
+            p["ax_row"][:, None, :] + p["ax_col"][None, :, :]
+        ).reshape(cfg.max_seq_len, cfg.dim)[:L].astype(dtype)
+
+        def stack(getter):
+            return jnp.stack([getter(p[f"layer_0_{li}"]) for li in range(depth)])
+
+        return fused_stack_logits(
+            x.astype(jnp.int32), pos.astype(jnp.int32), bias,
+            p["tok_emb"]["embedding"].astype(dtype), pos_emb,
+            stack(lambda lp: lp["attn_norm"]["scale"]),
+            stack(lambda lp: lp["attn_norm"]["bias"]),
+            stack(lambda lp: lp["attn"]["to_q_kernel"]).astype(dtype),
+            stack(lambda lp: lp["attn"]["to_k_kernel"]).astype(dtype),
+            stack(lambda lp: lp["attn"]["to_v_kernel"]).astype(dtype),
+            stack(lambda lp: lp["attn"]["to_out"]["kernel"]).astype(dtype),
+            stack(lambda lp: lp["attn"]["to_out"]["bias"]),
+            stack(lambda lp: lp["ff_norm"]["scale"]),
+            stack(lambda lp: lp["ff_norm"]["bias"]),
+            stack(lambda lp: lp["ff_w1"]["kernel"]).astype(dtype),
+            stack(lambda lp: lp["ff_w1"]["bias"]),
+            stack(lambda lp: lp["ff_w2"]["kernel"]).astype(dtype),
+            stack(lambda lp: lp["ff_w2"]["bias"]),
+            p["final_norm"]["scale"], p["final_norm"]["bias"],
+            p["out_proj"]["kernel"].astype(dtype), p["out_proj"]["bias"],
+            local_heads=cfg.local_heads, heads=cfg.heads,
+            window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
+            gelu=gelu, resident=resident, ff_block_l=ff_block_l,
+            vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
+                           else (120 if resident else 40)),
+            interpret=interpret,
+        )
+
+    return apply_fn
+
+
 def make_fused_apply(
     cfg: ProteoScribeConfig,
     *,
@@ -64,6 +148,7 @@ def make_fused_apply(
     interpret: bool = False,
     time_table: bool = True,
     return_hidden: bool = False,
+    gelu: str = "erf",
 ):
     """``time_table`` trades a (T, dim·layers) precompute (loop-invariant,
     hoisted out of sampling scans) for the per-step time-MLP.
@@ -117,7 +202,7 @@ def make_fused_apply(
                     lp["ff_norm"]["scale"], lp["ff_norm"]["bias"],
                     lp["ff_w1"]["kernel"].astype(dtype), lp["ff_w1"]["bias"],
                     lp["ff_w2"]["kernel"].astype(dtype), lp["ff_w2"]["bias"],
-                    interpret=interpret,
+                    gelu=gelu, interpret=interpret,
                 )
 
         if return_hidden:

@@ -27,7 +27,7 @@ def _kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref,
     *, scale: float, blk_k: int, precision,
 ):
-    # q_ref: (1, 1, BLK_Q, D); k/v_ref: (1, 1, L, D); mask_ref: (1, L)
+    # q_ref: (1, 1, BLK_Q, D); k/v_ref: (1, 1, L, D); mask_ref: (1, 1, L)
     q = q_ref[0, 0].astype(jnp.float32) * scale
     L = k_ref.shape[2]
     BLK_Q, D = q.shape
@@ -41,7 +41,7 @@ def _kernel(
         m, s, acc = carry
         k = k_ref[0, 0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(i * blk_k, blk_k), :]
-        pad = mask_ref[0, pl.ds(i * blk_k, blk_k)]          # (blk_k,) i32
+        pad = mask_ref[0, 0, pl.ds(i * blk_k, blk_k)]       # (blk_k,) i32
         dots = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -103,8 +103,12 @@ def flash_attention_pallas(
                 (1, 1, L, D), lambda b, h, i: (b, h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # (B, 1, L) with a (1, 1, L) block: the trailing two block dims
+            # equal the array dims — a (1, L) 2-D block violates Mosaic's
+            # sublane-divisibility rule on real TPUs
             pl.BlockSpec(
-                (1, L), lambda b, h, i: (b, 0), memory_space=pltpu.VMEM
+                (1, 1, L), lambda b, h, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -112,4 +116,4 @@ def flash_attention_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, L, D), v.dtype),
-    )(q, k, v, mask)
+    )(q, k, v, mask[:, None, :])

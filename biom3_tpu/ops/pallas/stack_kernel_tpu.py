@@ -1,0 +1,452 @@
+"""Whole-stack fused ProteoScribe kernel (Pallas TPU).
+
+One ``pallas_call`` runs the FULL serving forward for the sampling hot loop
+(ref ``Stage3_source/sampling_analysis.py:204-265``): token+axial embedding,
+all ``depth`` transformer layers (local-window + linear attention, FF), and
+the final norm + output head at the k positions being decoded this step.
+
+Motivation (measured, see tools/profile_sampler.py): the two-kernels-per-
+layer path costs ~0.8 ms/layer while pure matmul time is ~0.45 ms — the gap
+is per-call overhead and the residual stream round-tripping HBM between
+kernels (2×32 MB per layer at B=32).  Here the residual stream h lives in a
+VMEM scratch for the whole stack and ONLY the per-layer weights stream from
+HBM:
+
+  grid = (B/rows, depth)      # layer index innermost
+  * per-layer weights are stacked host-side as (depth, …) arrays whose
+    BlockSpec index_map selects layer l — Pallas pipelines the DMAs;
+  * h (rows, L, d) persists in scratch across the layer steps of a group;
+  * at l == 0 the kernel embeds the int tokens in-VMEM (one-hot matmul +
+    positional table) — the (B, L, d) embedded activations never touch HBM;
+  * at l == depth-1 it gathers the k decode positions (one-hot matmul),
+    applies the final LayerNorm + Linear(→C) and writes ONLY the (rows, k, C)
+    logits — the full hidden grid never leaves the chip.
+
+HBM traffic per model call drops from ~2.1 GB (B=32) to
+``B/rows × depth × ~6 MB`` of weight streaming + a few MB of I/O.
+
+Layer math is identical to ``ops/pallas/fused_layer_tpu`` (verified against
+the Flax graph in tests/test_stack_kernel.py): pre-norm, bias-free q/k/v,
+local heads first with ±1-window joint softmax (f32), linear attention with
+feature/sequence softmaxes, exact GELU FF.  bf16 MXU inputs, f32
+accumulation/softmax throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+
+
+def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
+               window, precision, cdtype):
+    """xb: (L, d) residual+bias → attention output + residual (f32 math as
+    fused_layer_tpu._attn_kernel; operates on one row)."""
+    L, d = xb.shape
+    Dh = d // heads
+    nw = L // window
+    nl, ng = local_heads, heads - local_heads
+    W = window
+    scale = Dh ** -0.5
+
+    xnt = _layernorm(xb, ls, lb).astype(cdtype).T           # (d, L)
+
+    def projt(wt):
+        return jax.lax.dot_general(
+            wt, xnt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(cdtype)
+
+    qt, kt, vt = projt(wqt), projt(wkt), projt(wvt)
+
+    qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
+    ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
+    vtl = vt[:nl * Dh, :].reshape(nl, Dh, L)
+    w_strips = []
+    for w in range(nw):
+        lo = max(0, (w - 1) * W)
+        hi = min(L, (w + 2) * W)
+        qw = qtl[:, :, w * W:(w + 1) * W]
+        kn = ktl[:, :, lo:hi]
+        vn = vtl[:, :, lo:hi]
+        dots = jax.lax.dot_general(
+            qw, kn, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale
+        m = jnp.max(dots, axis=-1, keepdims=True)
+        e = jnp.exp(dots - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+        avt = jax.lax.dot_general(
+            vn, p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(cdtype)
+        w_strips.append(avt.reshape(nl * Dh, W))
+    local_t = jnp.concatenate(w_strips, axis=1)
+
+    qtg = qt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
+    ktg = kt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
+    vtg = vt[nl * Dh:, :].reshape(ng, Dh, L)
+    qf = (jax.nn.softmax(qtg, axis=1) * scale).astype(cdtype)
+    kf = jax.nn.softmax(ktg, axis=2).astype(cdtype)
+    ctx = jax.lax.dot_general(
+        kf, vtg, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(cdtype)
+    lin_t = jax.lax.dot_general(
+        ctx, qf, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(cdtype)
+
+    attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    outt = jax.lax.dot_general(
+        wot, attnt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return xb.astype(jnp.float32) + outt.T + bo.astype(jnp.float32)
+
+
+def _ff_body(x, ls, lb, w1, b1, w2, b2, *, block_l, precision, cdtype, gelu):
+    """x: (L, d) f32 → x + FF(LN(x)), tiled over L to bound the f32 hidden."""
+    L, d = x.shape
+    chunks = []
+    for i in range(0, L, block_l):
+        xc = x[i:i + block_l]
+        xn = _layernorm(xc, ls, lb).astype(cdtype)
+        h = jax.lax.dot_general(
+            xn, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + b1.astype(jnp.float32)
+        h = _gelu(h, gelu).astype(cdtype)
+        out = jax.lax.dot_general(
+            h, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + b2.astype(jnp.float32)
+        chunks.append(xc + out)
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
+
+def _stack_kernel(
+    # inputs (refs), in order:
+    ids_ref, pos_ref, bias_ref,
+    tok_ref, pemb_ref,
+    ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    fns_ref, fnb_ref, hw_ref, hb_ref,
+    # output:
+    o_ref,
+    # scratch:
+    h_ref,
+    *, depth, rows, local_heads, heads, window, ff_block_l, precision,
+    gelu,
+):
+    l = pl.program_id(1)
+    cdtype = h_ref.dtype
+    L, d = h_ref.shape[1], h_ref.shape[2]
+    C = hw_ref.shape[1]
+    k = pos_ref.shape[1]
+
+    # ---- l == 0: embed tokens + positions straight into VMEM scratch ----
+    @pl.when(l == 0)
+    def _embed():
+        V = tok_ref.shape[0]
+        table = tok_ref[:].astype(cdtype)                    # (V, d)
+        pemb = pemb_ref[:].astype(cdtype)                    # (L, d)
+        for r in range(rows):
+            ids = ids_ref[r, 0]                              # (L,) int32
+            oh = (
+                ids[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (L, V), 1)
+            ).astype(cdtype)
+            h_ref[r] = jax.lax.dot_general(
+                oh, table, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cdtype) + pemb
+
+    # ---- one transformer layer on every row in the group ----
+    for r in range(rows):
+        xb = (
+            h_ref[r].astype(jnp.float32)
+            + bias_ref[r, 0, 0].astype(jnp.float32)
+        )
+        xb = _attn_body(
+            xb, ls1_ref[0], lb1_ref[0],
+            wqt_ref[0], wkt_ref[0], wvt_ref[0], wot_ref[0], bo_ref[0],
+            local_heads=local_heads, heads=heads, window=window,
+            precision=precision, cdtype=cdtype,
+        )
+        xb = _ff_body(
+            xb, ls2_ref[0], lb2_ref[0],
+            w1_ref[0], b1_ref[0], w2_ref[0], b2_ref[0],
+            block_l=ff_block_l, precision=precision, cdtype=cdtype,
+            gelu=gelu,
+        )
+        h_ref[r] = xb.astype(cdtype)
+
+    # ---- l == depth-1: gather decode positions, final norm + head ----
+    @pl.when(l == depth - 1)
+    def _head():
+        for r in range(rows):
+            pos = pos_ref[r, 0]                              # (k,) int32
+            oh = (
+                pos[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (k, L), 1)
+            ).astype(cdtype)
+            hk = jax.lax.dot_general(                        # (k, d)
+                oh, h_ref[r], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hn = _layernorm(hk, fns_ref[0], fnb_ref[0])
+            logits = jax.lax.dot_general(
+                hn.astype(cdtype), hw_ref[:].astype(cdtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + hb_ref[0].astype(jnp.float32)
+            o_ref[r] = logits.astype(o_ref.dtype)
+
+
+def _resident_kernel(
+    ids_ref, pos_ref, bias_ref,
+    tok_ref, pemb_ref,
+    ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    fns_ref, fnb_ref, hw_ref, hb_ref,
+    o_ref,
+    h_ref,
+    *, depth, rows, local_heads, heads, window, ff_block_l, precision,
+    gelu,
+):
+    """All-weights-resident variant: ONE grid axis (batch groups); the layer
+    loop runs inside the kernel (`fori_loop` + dynamic leading-dim indexing
+    into the stacked weight refs, which stay in VMEM for the whole call).
+    Weight HBM traffic per model call: 96 MB once — not per batch row."""
+    cdtype = h_ref.dtype
+    L, d = h_ref.shape[1], h_ref.shape[2]
+    C = hw_ref.shape[1]
+    k = pos_ref.shape[2]
+    V = tok_ref.shape[0]
+
+    table = tok_ref[:].astype(cdtype)
+    pemb = pemb_ref[:].astype(cdtype)
+    for r in range(rows):
+        ids = ids_ref[r, 0]
+        oh = (
+            ids[:, None] == jax.lax.broadcasted_iota(jnp.int32, (L, V), 1)
+        ).astype(cdtype)
+        h_ref[r] = jax.lax.dot_general(
+            oh, table, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdtype) + pemb
+
+    def layer(l, _):
+        for r in range(rows):
+            xb = (
+                h_ref[r].astype(jnp.float32)
+                + bias_ref[r, l, 0].astype(jnp.float32)
+            )
+            xb = _attn_body(
+                xb, ls1_ref[l, 0], lb1_ref[l, 0],
+                wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l], bo_ref[l, 0],
+                local_heads=local_heads, heads=heads, window=window,
+                precision=precision, cdtype=cdtype,
+            )
+            xb = _ff_body(
+                xb, ls2_ref[l, 0], lb2_ref[l, 0],
+                w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+                block_l=ff_block_l, precision=precision, cdtype=cdtype,
+                gelu=gelu,
+            )
+            h_ref[r] = xb.astype(cdtype)
+        return _
+
+    jax.lax.fori_loop(0, depth, layer, None)
+
+    for r in range(rows):
+        pos = pos_ref[r, 0]
+        oh = (
+            pos[:, None] == jax.lax.broadcasted_iota(jnp.int32, (k, L), 1)
+        ).astype(cdtype)
+        hk = jax.lax.dot_general(
+            oh, h_ref[r], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hn = _layernorm(hk, fns_ref[0], fnb_ref[0])
+        logits = jax.lax.dot_general(
+            hn.astype(cdtype), hw_ref[:].astype(cdtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + hb_ref[0].astype(jnp.float32)
+        o_ref[r] = logits.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "local_heads", "heads", "window", "rows", "ff_block_l",
+        "ff_buffers", "gelu", "vmem_limit_mb", "resident", "interpret",
+    ),
+)
+def fused_stack_logits(
+    ids: jax.Array,          # (B, L) int32 current tokens
+    pos: jax.Array,          # (B, k) int32 positions to decode
+    bias: jax.Array,         # (B, depth, d) per-layer additive bias (time+cond)
+    tok_table: jax.Array,    # (V, d) token embedding
+    pos_emb: jax.Array,      # (L, d) axial positional embedding, pre-summed
+    ln1_scale: jax.Array, ln1_bias: jax.Array,     # (depth, d)
+    wq: jax.Array, wk: jax.Array, wv: jax.Array,   # (depth, d, d) — layout (d_in, d_out)
+    wo: jax.Array, bo: jax.Array,                  # (depth, d, d), (depth, d)
+    ln2_scale: jax.Array, ln2_bias: jax.Array,     # (depth, d)
+    w1: jax.Array, b1: jax.Array,                  # (depth, d, ff), (depth, ff)
+    w2: jax.Array, b2: jax.Array,                  # (depth, ff, d), (depth, d)
+    fn_scale: jax.Array, fn_bias: jax.Array,       # (d,)
+    head_w: jax.Array, head_b: jax.Array,          # (d, C), (C,)
+    *,
+    local_heads: int,
+    heads: int,
+    window: int = 128,
+    rows: int = 1,
+    ff_block_l: int = 256,
+    ff_buffers: int = 1,
+    gelu: str = "erf",
+    vmem_limit_mb: int = 40,
+    resident: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full serving forward → (B, k, C) f32 logits at the decode positions.
+
+    ``rows`` = batch rows per program (VMEM scratch is rows·L·d·2 bytes).
+    ``ff_buffers`` = pipeline buffer count for the two FF weight streams
+    (2 overlaps their DMA with compute at +4 MB VMEM).
+    ``resident=True`` keeps ALL layers' stacked weights in VMEM for the
+    whole call (~96 MB at the reference config — fits v5e's 128 MB) and
+    loops layers inside the kernel: weight HBM traffic drops from
+    B/rows·depth·6 MB to one 96 MB prefetch.  Needs ``vmem_limit_mb``
+    ≈ 110+.
+    """
+    B, L = ids.shape
+    depth = ln1_scale.shape[0]
+    d = tok_table.shape[1]
+    ff = w1.shape[2]
+    k = pos.shape[1]
+    C = head_w.shape[1]
+    if B % rows:
+        raise ValueError(f"B={B} not divisible by rows={rows}")
+    cdtype = tok_table.dtype
+    precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+
+    single = pl.Buffered(buffer_count=1)
+    ffmode = pl.Buffered(buffer_count=ff_buffers)
+
+    if resident:
+        # one grid axis (batch groups); every weight array is a whole-array
+        # constant block that stays in VMEM across the in-kernel layer loop
+        def lyr(r, c, mode=None):
+            return pl.BlockSpec(
+                (depth, r, c), lambda g: (0, 0, 0), memory_space=pltpu.VMEM,
+                pipeline_mode=single,
+            )
+
+        def cst(r, c):
+            return pl.BlockSpec(
+                (r, c), lambda g: (0, 0), memory_space=pltpu.VMEM,
+                pipeline_mode=single,
+            )
+
+        grid = (B // rows,)
+        grp3 = lambda m, n: pl.BlockSpec(
+            (rows, m, n), lambda g: (g, 0, 0), memory_space=pltpu.VMEM,
+        )
+        io_specs = dict(
+            ids_spec=grp3(1, L),
+            pos_spec=grp3(1, k),
+            bias_spec=pl.BlockSpec(
+                (rows, depth, 1, d), lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_spec=pl.BlockSpec(
+                (rows, k, C), lambda g: (g, 0, 0), memory_space=pltpu.VMEM,
+            ),
+        )
+        kernel = functools.partial(
+            _resident_kernel, depth=depth, rows=rows,
+            local_heads=local_heads, heads=heads, window=window,
+            ff_block_l=ff_block_l, precision=precision, gelu=gelu,
+        )
+    else:
+        def lyr(r, c, mode=None):    # (1, r, c) block at layer l
+            return pl.BlockSpec(
+                (1, r, c), lambda g, l: (l, 0, 0), memory_space=pltpu.VMEM,
+                **({"pipeline_mode": mode} if mode is not None else {}),
+            )
+
+        def cst(r, c):               # whole-array constant
+            return pl.BlockSpec(
+                (r, c), lambda g, l: (0, 0), memory_space=pltpu.VMEM,
+                pipeline_mode=single,
+            )
+
+        grid = (B // rows, depth)
+        io_specs = dict(
+            ids_spec=pl.BlockSpec((rows, 1, L), lambda g, l: (g, 0, 0),
+                                  memory_space=pltpu.VMEM),
+            pos_spec=pl.BlockSpec((rows, 1, k), lambda g, l: (g, 0, 0),
+                                  memory_space=pltpu.VMEM),
+            bias_spec=pl.BlockSpec((rows, 1, 1, d), lambda g, l: (g, l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_spec=pl.BlockSpec((rows, k, C), lambda g, l: (g, 0, 0),
+                                  memory_space=pltpu.VMEM),
+        )
+        kernel = functools.partial(
+            _stack_kernel, depth=depth, rows=rows, local_heads=local_heads,
+            heads=heads, window=window, ff_block_l=ff_block_l,
+            precision=precision, gelu=gelu,
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # ids/pos/bias carry singleton dims so the trailing two block
+            # dims equal the array dims (Mosaic block-shape rule)
+            io_specs["ids_spec"],                             # ids (B,1,L)
+            io_specs["pos_spec"],                             # pos (B,1,k)
+            io_specs["bias_spec"],                            # bias (B,depth,1,d)
+            cst(tok_table.shape[0], d),                       # tok table
+            cst(L, d),                                        # pos emb
+            lyr(1, d), lyr(1, d),                             # ln1 s/b
+            lyr(d, d), lyr(d, d), lyr(d, d),                  # wqᵀ wkᵀ wvᵀ
+            lyr(d, d), lyr(1, d),                             # woᵀ bo
+            lyr(1, d), lyr(1, d),                             # ln2 s/b
+            lyr(d, ff, ffmode), lyr(1, ff),                   # w1 b1
+            lyr(ff, d, ffmode), lyr(1, d),                    # w2 b2
+            cst(1, d), cst(1, d),                             # final norm s/b
+            cst(d, C), cst(1, C),                             # head w/b
+        ],
+        out_specs=io_specs["out_spec"],
+        out_shape=jax.ShapeDtypeStruct((B, k, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, L, d), cdtype)],
+        # the residual stream + streamed weights + f32 working set exceed
+        # XLA's conservative 16 MB scoped-vmem default; v5e/v6e have far
+        # more physical VMEM (128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        ids[:, None, :], pos[:, None, :],
+        bias[:, :, None, :].astype(cdtype),
+        tok_table, pos_emb,
+        ln1_scale[:, None, :], ln1_bias[:, None, :],
+        # weights pre-transposed to (d_out-major) for the in-kernel
+        # transposed-activation matmuls; host-side, hoisted out of scans
+        jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
+        jnp.swapaxes(wo, 1, 2), bo[:, None, :],
+        ln2_scale[:, None, :], ln2_bias[:, None, :],
+        w1, b1[:, None, :], w2, b2[:, None, :],
+        fn_scale[None, :], fn_bias[None, :],
+        head_w, head_b[None, :],
+    )

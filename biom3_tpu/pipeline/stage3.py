@@ -36,6 +36,8 @@ class ProteoScribeEngine:
         chunk_steps: int | None = 128,
         positions_per_step: int = 1,
         use_fused: bool | None = None,
+        use_stack: bool | None = None,
+        gelu: str | None = None,
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -61,20 +63,41 @@ class ProteoScribeEngine:
         # per-op XLA graph on-chip); the Flax graph remains the fallback
         # (CPU, f32 parity mode, legacy Q5 replay — which needs the full
         # logit grid)
+        on_accel = (
+            jax.devices()[0].platform not in ("cpu",)
+            and dtype == jnp.bfloat16
+            and not legacy_batch_update
+        )
+        # serving default on TPU: the whole-stack Pallas kernel (ONE kernel
+        # per model call — embedding, all layers, head at the decode
+        # positions; ops/pallas/stack_kernel_tpu) with tanh-GELU (deviation
+        # 4.7e-4 ≪ bf16 rounding).  The per-layer fused kernels remain as
+        # ``use_stack=False``; the Flax graph covers CPU, f32 parity mode,
+        # and legacy Q5 replay (which needs the full logit grid).
+        if use_stack is None:
+            use_stack = on_accel and self.config.n_blocks == 1
         if use_fused is None:
-            use_fused = (
-                jax.devices()[0].platform not in ("cpu",)
-                and dtype == jnp.bfloat16
-                and not legacy_batch_update
-            )
+            use_fused = on_accel
+        self.use_stack = bool(use_stack)
         self.use_fused = bool(use_fused)
-        if self.use_fused:
+        if gelu is None:
+            gelu = "tanh" if self.use_stack else "erf"
+        self.gelu = gelu
+        apply_takes_positions = False
+        if self.use_stack:
+            from biom3_tpu.models.fused_forward import make_stack_apply
+
+            apply_fn, head_fn = make_stack_apply(self.config, gelu=gelu), None
+            apply_takes_positions = True
+        elif self.use_fused:
             from biom3_tpu.models.fused_forward import (
                 final_head,
                 make_fused_apply,
             )
 
-            apply_fn = make_fused_apply(self.config, return_hidden=True)
+            apply_fn = make_fused_apply(
+                self.config, return_hidden=True, gelu=gelu
+            )
             head_fn = lambda v, h: final_head(
                 self.config, v["params"] if "params" in v else v, h
             )
@@ -88,6 +111,7 @@ class ProteoScribeEngine:
             chunk_steps=chunk,
             positions_per_step=positions_per_step,
             head_fn=head_fn,
+            apply_takes_positions=apply_takes_positions,
         )
 
     def sample_batch(

@@ -1,0 +1,117 @@
+"""Whole-stack Pallas kernel (ops/pallas/stack_kernel_tpu) vs the Flax graph.
+
+Interpret-mode (CPU) checks: the stack kernel computes embedding → all
+layers → final head at the decode positions in one pallas_call; it must
+match ``ProteoScribe.apply`` followed by a host-side gather.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.models.fused_forward import make_stack_apply
+from biom3_tpu.models.proteoscribe import ProteoScribe
+
+SMALL = ProteoScribeConfig(
+    num_classes=29, dim=64, depth=3, n_blocks=1, heads=4, local_heads=2,
+    local_window=32, max_seq_len=128, num_timesteps=128, cond_dim=48,
+)
+
+
+def _setup(rng, B=4):
+    model = ProteoScribe(SMALL)
+    x = jnp.asarray(rng.integers(0, 29, (B, SMALL.max_seq_len)).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 128, (B,)).astype(np.int32))
+    z = jnp.asarray(rng.standard_normal((B, SMALL.cond_dim)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x[:1], t[:1], z[:1])
+    return model, variables, x, t, z
+
+
+import pytest
+
+
+@pytest.mark.parametrize("resident", [True, False])
+def test_stack_kernel_matches_flax_f32(rng, resident):
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+
+    ref = model.apply(variables, x, t, z)                    # (B, L, C)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)  # (B, k, C)
+
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=resident, interpret=True
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("resident", [True, False])
+def test_stack_kernel_rows2_and_k1(rng, resident):
+    model, variables, x, t, z = _setup(rng, B=4)
+    pos = jnp.asarray(rng.integers(0, SMALL.max_seq_len, (4, 1)).astype(np.int32))
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, rows=2, resident=resident, interpret=True
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stack_kernel_tanh_gelu_close(rng):
+    """tanh-GELU serving option stays within its documented deviation
+    (4.7e-4 per activation; logits tolerance scaled for accumulation)."""
+    model, variables, x, t, z = _setup(rng, B=2)
+    pos = jnp.asarray(rng.integers(0, SMALL.max_seq_len, (2, 2)).astype(np.int32))
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, gelu="tanh", interpret=True
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_stack_kernel_bf16_close(rng):
+    # CPU XLA cannot execute bf16 dots (DotThunk UNIMPLEMENTED) — the bf16
+    # numerics check runs on real TPU via bench.py's stack-vs-flax delta.
+    if jax.devices()[0].platform == "cpu":
+        import pytest
+
+        pytest.skip("bf16 dot unsupported on CPU backend")
+    model, variables, x, t, z = _setup(rng, B=2)
+    pos = jnp.asarray(rng.integers(0, SMALL.max_seq_len, (2, 2)).astype(np.int32))
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(SMALL, dtype=jnp.bfloat16)
+    got = apply_fn(variables, x, t, z, pos)
+    # bf16 storage per layer → logits agree to ~1e-1 absolute on toy scales
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.15, atol=0.15)
+
+
+def test_stack_sampler_contract(rng):
+    """Sampler with apply_takes_positions reproduces the gather-path tokens
+    at temperature 0."""
+    from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+
+    model, variables, x, t, z = _setup(rng, B=2)
+    path = sample_permutations(jax.random.key(1), 2, SMALL.max_seq_len)
+
+    base = make_sampler(model.apply, SMALL.max_seq_len, temperature=0.0)
+    want = base(variables, z, path, jax.random.key(2))
+
+    stack_apply = make_stack_apply(SMALL, dtype=jnp.float32, interpret=True)
+    fast = make_sampler(
+        stack_apply, SMALL.max_seq_len, temperature=0.0,
+        apply_takes_positions=True,
+    )
+    got = fast(variables, z, path, jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
