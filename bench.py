@@ -111,6 +111,13 @@ def bench_proteoscribe(peak):
     else:
         got_logits = ref_logits
     attn_delta = float(jnp.max(jnp.abs(ref_logits - got_logits)))
+    # loud numerics gate: bf16 storage + tanh-GELU accumulate to ~2e-2 over
+    # 16 layers on random init; an order of magnitude above that means the
+    # kernel diverged from the Flax graph
+    if attn_delta > 0.2:
+        raise AssertionError(
+            f"stack kernel vs Flax logits diverged: {attn_delta:.3f}"
+        )
 
     # parity mode: 1 position/step — chunked dispatch bounds single-execution
     # wall clock (the tunnel runtime kills ~1-minute executions)
@@ -277,23 +284,32 @@ def measure_gemm_peak() -> float:
     """Sustained bf16 GEMM rate via a dependent matmul chain (512→2048→512,
     the Stage-3 FF shape).  The tunnel device has been observed to sustain
     well above its 'v5 lite' label's 197 TF/s — MFU is reported against
-    max(label peak, this measurement) so it stays ≤ 1 and meaningful."""
+    max(label peak, this measurement, any achieved rate) so it stays ≤ 1
+    and meaningful.  The tunnel adds ~0.2 s of constant dispatch latency
+    per execution, which once under-reported this probe by 4× — so the
+    rate is taken from the TIME DIFFERENCE between a short and a long
+    chain (same dispatch path, overhead cancels)."""
     M, K, N = 32768, 512, 2048
     key = jax.random.key(0)
     w1 = jax.random.normal(key, (K, N), jnp.bfloat16) * 0.02
     w2 = jax.random.normal(key, (N, K), jnp.bfloat16) * 0.02
-    iters = 64
+    short, long = 128, 1024
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            return (c @ w1) @ w2, ()
-        out, _ = jax.lax.scan(body, x, None, length=iters)
-        return out[0, :8]  # tiny host fetch — large fetches dominate timing
+    def chain(iters):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return (c @ w1) @ w2, ()
+            out, _ = jax.lax.scan(body, x, None, length=iters)
+            return out[0, :8]  # tiny host fetch — large fetches skew timing
+        return run
 
     x = jax.random.normal(key, (M, K), jnp.bfloat16)
-    best, _, _ = _best_of(lambda: chain(x), runs=3)
-    return iters * 2 * 2 * M * K * N / best
+    t_short, _, _ = _best_of(chain(short), x, runs=3)
+    t_long, _, _ = _best_of(chain(long), x, runs=3)
+    if t_long <= t_short:  # tunnel noise swamped the difference
+        return long * 2 * 2 * M * K * N / t_long
+    return (long - short) * 2 * 2 * M * K * N / (t_long - t_short)
 
 
 def main() -> None:
@@ -306,6 +322,18 @@ def main() -> None:
     metrics["pencl_pairs_per_sec"] = bench_pencl(peak)
     metrics["proteoscribe_seqs_per_sec_per_chip"] = bench_proteoscribe(peak)
     metrics["e2e_p50_latency_s"] = bench_e2e(peak)
+
+    # MFU basis must dominate every ACHIEVED rate (the GEMM probe reads low
+    # when tunnel dispatch latency swamps it; an achieved rate is itself a
+    # peak lower bound) — recompute so mfu ≤ 1 by construction
+    achieved = max(
+        (m["tflops"] or 0.0) * 1e12 for m in metrics.values()
+    )
+    if peak is None or achieved > peak:
+        peak = max(peak or 0.0, achieved)
+        for m in metrics.values():
+            if m.get("tflops"):
+                m["mfu"] = round(m["tflops"] * 1e12 / peak, 3)
 
     head = metrics["proteoscribe_seqs_per_sec_per_chip"]
     print(

@@ -56,6 +56,91 @@ def time_bias_table(cfg: ProteoScribeConfig, p) -> jax.Array:
     return _cond_mlp(p["time_mlp"], emb)
 
 
+#: physical VMEM per TensorCore on the targeted generations (v4/v5e/v5p/v6e
+#: all carry 128 MB); Mosaic needs some slack for spills/double-buffering.
+_VMEM_PHYSICAL_MB = 128
+_VMEM_SLACK_MB = 8
+
+
+def plan_stack_kernel(
+    cfg: ProteoScribeConfig,
+    *,
+    rows: int = 1,
+    ff_buffers: int = 1,
+    ff_block_l: int = 256,
+    weight_bytes: int = 2,
+    vmem_mb: int = _VMEM_PHYSICAL_MB,
+) -> dict:
+    """Decide how (whether) the whole-stack kernel can serve ``cfg``.
+
+    Returns ``{"supported", "resident", "vmem_limit_mb", "reason"}``:
+    ``supported=False`` → fall back to the per-layer fused kernels or the
+    Flax/XLA graph; otherwise ``resident`` says whether all ``depth``
+    layers' weights fit VMEM at once (one 96 MB-class prefetch per call)
+    or must stream per layer (``grid=(B/rows, depth)``).
+
+    The budget mirrors ``fused_stack_logits``'s allocation: stacked layer
+    weights (q/k/v/out + 2 FF mats = ``(4 + 8·ff_mult/4)·d²`` elements per
+    layer), constant tables, the (rows, L, d) residual scratch, and the f32
+    working set of one layer body (dominated by the FF hidden chunk and the
+    local-attention strips).  Generalizes the kernel beyond the published
+    shape class — BACKLOG #7.
+    """
+    d, L = cfg.dim, cfg.max_seq_len
+    ff = 4 * d
+    mb = 1024 * 1024
+
+    shape_bar = None
+    if cfg.n_blocks != 1:
+        shape_bar = f"n_blocks={cfg.n_blocks} (kernel assumes a single block)"
+    elif d % cfg.heads or d % 128 or L % 128:
+        shape_bar = (f"dim={d}/heads={cfg.heads}/L={L} not MXU-tileable "
+                     "(need d%heads==0, d%128==0, L%128==0)")
+    elif L % cfg.local_window:
+        shape_bar = f"L={L} not divisible by window={cfg.local_window}"
+
+    def _plan(supported, resident, limit, reason):
+        return {
+            "supported": supported and shape_bar is None,
+            "resident": resident,
+            "vmem_limit_mb": int(limit),
+            "reason": shape_bar or reason,
+        }
+
+    per_layer_w = (4 * d * d + 2 * d * ff) * weight_bytes
+    const = (cfg.num_classes * d + L * d + d * cfg.num_classes) * weight_bytes
+    scratch = rows * L * d * 2  # bf16 residual stream
+    # f32 working set of one layer body (one row): residual xb + LN copy,
+    # transposed q/k/t activations (3 d×L bf16), FF hidden chunk, local
+    # attention dot strips (nl, W, 3W) f32
+    nl = cfg.local_heads
+    work = (
+        2 * (L * d * 4)
+        + 3 * (L * d * 2)
+        + ff_block_l * ff * 4
+        + nl * cfg.local_window * 3 * cfg.local_window * 4
+    )
+    budget = (vmem_mb - _VMEM_SLACK_MB) * mb
+
+    resident_total = cfg.depth * per_layer_w + const + scratch + work
+    if resident_total <= budget:
+        return _plan(True, True, min(vmem_mb - _VMEM_SLACK_MB,
+                                     (resident_total // mb) + 16),
+                     f"resident: {resident_total // mb} MB of {vmem_mb} MB")
+
+    stream_total = (1 + ff_buffers) * per_layer_w + const + scratch + work
+    if stream_total <= budget:
+        return _plan(True, False, min(vmem_mb - _VMEM_SLACK_MB,
+                                      (stream_total // mb) + 16),
+                     f"streamed: {stream_total // mb} MB/layer-step of "
+                     f"{vmem_mb} MB (resident needs "
+                     f"{resident_total // mb} MB)")
+
+    return _plan(False, False, 0,
+                 f"one layer's working set ({stream_total // mb} MB) "
+                 f"exceeds VMEM ({vmem_mb} MB)")
+
+
 def make_stack_apply(
     cfg: ProteoScribeConfig,
     *,
@@ -64,7 +149,7 @@ def make_stack_apply(
     rows: int = 1,
     ff_buffers: int = 1,
     gelu: str = "erf",
-    resident: bool = True,
+    resident: bool | None = None,
     ff_block_l: int = 256,
     vmem_limit_mb: int | None = None,
     interpret: bool = False,
@@ -77,12 +162,23 @@ def make_stack_apply(
     → (B, k, C) f32`` — the sampler's ``apply_takes_positions`` contract.
     All parameter packing (stacking per-layer weights to (depth, …),
     transposing the bias table) is loop-invariant, so XLA hoists it out of
-    the sampling scan.  Requires ``n_blocks == 1`` (the reference config).
+    the sampling scan.
+
+    ``resident=None`` resolves weight residency (and the VMEM limit) from
+    ``plan_stack_kernel`` — all-layers-resident when the stacked weights
+    fit VMEM, per-layer streaming otherwise; raises for configs the kernel
+    cannot tile (callers gate on the plan instead, see the engine).
     """
     from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
 
-    if cfg.n_blocks != 1:
-        raise ValueError("stack kernel supports n_blocks=1 (reference config)")
+    plan = plan_stack_kernel(cfg, rows=rows, ff_buffers=ff_buffers,
+                             ff_block_l=ff_block_l)
+    # interpret mode (CPU emulation for tests) has no tiling/VMEM limits
+    if not plan["supported"] and not interpret:
+        raise ValueError(f"stack kernel cannot serve this config: "
+                         f"{plan['reason']}")
+    if resident is None:
+        resident = plan["resident"]
     depth = cfg.depth
 
     def apply_fn(variables, x, t, z_c=None, pos=None, **_ignored):
@@ -133,7 +229,7 @@ def make_stack_apply(
             window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
             gelu=gelu, resident=resident, ff_block_l=ff_block_l,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
-                           else (120 if resident else 40)),
+                           else plan["vmem_limit_mb"]),
             interpret=interpret,
         )
 

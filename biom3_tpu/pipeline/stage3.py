@@ -71,11 +71,18 @@ class ProteoScribeEngine:
         # serving default on TPU: the whole-stack Pallas kernel (ONE kernel
         # per model call — embedding, all layers, head at the decode
         # positions; ops/pallas/stack_kernel_tpu) with tanh-GELU (deviation
-        # 4.7e-4 ≪ bf16 rounding).  The per-layer fused kernels remain as
-        # ``use_stack=False``; the Flax graph covers CPU, f32 parity mode,
-        # and legacy Q5 replay (which needs the full logit grid).
+        # 4.7e-4 ≪ bf16 rounding).  ``plan_stack_kernel`` gates it by shape
+        # tileability and VMEM budget (weight residency auto-resolves, so
+        # non-reference configs stream per layer or fall through).  The
+        # per-layer fused kernels remain as ``use_stack=False``; the Flax
+        # graph covers CPU, f32 parity mode, and legacy Q5 replay (which
+        # needs the full logit grid).
         if use_stack is None:
-            use_stack = on_accel and self.config.n_blocks == 1
+            from biom3_tpu.models.fused_forward import plan_stack_kernel
+
+            use_stack = (
+                on_accel and plan_stack_kernel(self.config)["supported"]
+            )
         if use_fused is None:
             use_fused = on_accel
         self.use_stack = bool(use_stack)

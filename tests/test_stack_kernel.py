@@ -97,6 +97,51 @@ def test_stack_kernel_bf16_close(rng):
                                rtol=0.15, atol=0.15)
 
 
+def test_plan_stack_kernel_budgets():
+    """VMEM planner (BACKLOG #7): residency resolves from the config's
+    footprint — resident for the reference shape, streamed when the stacked
+    weights outgrow VMEM, unsupported when one layer's working set does."""
+    from biom3_tpu.models.fused_forward import plan_stack_kernel
+
+    ref = plan_stack_kernel(ProteoScribeConfig())
+    assert ref["supported"] and ref["resident"]
+    assert 100 <= ref["vmem_limit_mb"] <= 120
+
+    # 4× the parameters (d=1024, depth=32): ~50 MB/layer-pair stacked weights
+    # exceed VMEM resident but stream fine
+    big = plan_stack_kernel(
+        ProteoScribeConfig(dim=1024, depth=32, heads=16, local_heads=8)
+    )
+    assert big["supported"] and not big["resident"]
+
+    # d=4096: a single layer's weights + working set blow VMEM entirely
+    huge = plan_stack_kernel(
+        ProteoScribeConfig(dim=4096, depth=8, heads=32, local_heads=16)
+    )
+    assert not huge["supported"]
+    assert "exceeds VMEM" in huge["reason"]
+
+    # non-tileable shapes are rejected with a reason (toy test config)
+    toy = plan_stack_kernel(SMALL)
+    assert not toy["supported"]
+    assert "tileable" in toy["reason"]
+
+    # multi-block graphs aren't covered by the kernel
+    nb = plan_stack_kernel(ProteoScribeConfig(n_blocks=2, depth=8))
+    assert not nb["supported"] and "n_blocks" in nb["reason"]
+
+
+def test_stack_apply_raises_outside_plan():
+    """Real (non-interpret) stack apply refuses configs the plan rejects —
+    the engine gates on the plan so users fall back to fused/Flax paths."""
+    import pytest
+
+    from biom3_tpu.models.fused_forward import make_stack_apply
+
+    with pytest.raises(ValueError, match="cannot serve"):
+        make_stack_apply(SMALL)  # dim=64 not tileable, interpret=False
+
+
 def test_stack_sampler_contract(rng):
     """Sampler with apply_takes_positions reproduces the gather-path tokens
     at temperature 0."""

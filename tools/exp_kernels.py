@@ -291,8 +291,12 @@ def run_stack(variables, steps, runs, combos):
     ids0 = jnp.zeros((B, CFG.max_seq_len), jnp.int32)
     pos = jnp.tile(jnp.arange(1, dtype=jnp.int32)[None], (B, 1))
 
-    for rows, ffb, gelu in combos:
-        apply_fn = make_stack_apply(CFG, rows=rows, ff_buffers=ffb, gelu=gelu)
+    for rows, ffb, gelu, *rest in combos:
+        kw = rest[0] if rest else {}
+        label_extra = "".join(f"_{k}{v}" for k, v in kw.items())
+        apply_fn = make_stack_apply(
+            CFG, rows=rows, ff_buffers=ffb, gelu=gelu, **kw
+        )
 
         @jax.jit
         def run(v, ids, apply_fn=apply_fn):
@@ -307,7 +311,7 @@ def run_stack(variables, steps, runs, combos):
             return out[0, :8]
 
         timed(run, variables, ids0, steps=steps, runs=runs,
-              label=f"stack_r{rows}b{ffb}_{gelu}")
+              label=f"stack_r{rows}b{ffb}_{gelu}{label_extra}")
 
 
 def main():
@@ -327,6 +331,15 @@ def main():
         run_stack(variables, args.steps, args.runs,
                   combos=[(1, 1, "erf"), (1, 2, "tanh"), (1, 1, "tanh"),
                           (2, 1, "tanh")])
+    if args.which == "stack2":
+        # round-3 follow-ups: batch-rows interleaving (independent chains
+        # the scheduler can overlap) and FF L-tiling
+        run_stack(variables, args.steps, args.runs,
+                  combos=[(1, 1, "tanh"),
+                          (2, 1, "tanh"), (4, 1, "tanh"),
+                          (1, 1, "tanh", {"ff_block_l": 512}),
+                          (1, 1, "tanh", {"ff_block_l": 1024}),
+                          (2, 1, "tanh", {"ff_block_l": 512})])
 
 
 if __name__ == "__main__":
