@@ -150,6 +150,7 @@ def make_stack_apply(
     ff_buffers: int = 1,
     gelu: str = "erf",
     resident: bool | None = None,
+    stream: str = "ld",
     ff_block_l: int = 256,
     vmem_limit_mb: int | None = None,
     interpret: bool = False,
@@ -227,7 +228,8 @@ def make_stack_apply(
             p["out_proj"]["kernel"].astype(dtype), p["out_proj"]["bias"],
             local_heads=cfg.local_heads, heads=cfg.heads,
             window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
-            gelu=gelu, resident=resident, ff_block_l=ff_block_l,
+            gelu=gelu, resident=resident, stream=stream,
+            ff_block_l=ff_block_l,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

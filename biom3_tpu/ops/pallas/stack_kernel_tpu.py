@@ -111,6 +111,105 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     return xb.astype(jnp.float32) + outt.T + bo.astype(jnp.float32)
 
 
+def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
+                  window, precision, cdtype):
+    """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
+    per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
+    ``outt.T``) vanish; every matmul already consumes/produces the
+    d-major layout.  Math identical (f32 softmax/accum)."""
+    d, L = xb.shape
+    Dh = d // heads
+    nw = L // window
+    nl, ng = local_heads, heads - local_heads
+    W = window
+    scale = Dh ** -0.5
+
+    # LayerNorm over the feature axis = sublane axis in (d, L)
+    xf = xb.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=0, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=0, keepdims=True)
+    xnt = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+           * ls[:, None] + lb[:, None]).astype(cdtype)
+
+    def projt(wt):
+        return jax.lax.dot_general(
+            wt, xnt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(cdtype)
+
+    qt, kt, vt = projt(wqt), projt(wkt), projt(wvt)
+
+    qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
+    ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
+    vtl = vt[:nl * Dh, :].reshape(nl, Dh, L)
+    w_strips = []
+    for w in range(nw):
+        lo = max(0, (w - 1) * W)
+        hi = min(L, (w + 2) * W)
+        qw = qtl[:, :, w * W:(w + 1) * W]
+        kn = ktl[:, :, lo:hi]
+        vn = vtl[:, :, lo:hi]
+        dots = jax.lax.dot_general(
+            qw, kn, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale
+        m = jnp.max(dots, axis=-1, keepdims=True)
+        e = jnp.exp(dots - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+        avt = jax.lax.dot_general(
+            vn, p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(cdtype)
+        w_strips.append(avt.reshape(nl * Dh, W))
+    local_t = jnp.concatenate(w_strips, axis=1)
+
+    qtg = qt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
+    ktg = kt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
+    vtg = vt[nl * Dh:, :].reshape(ng, Dh, L)
+    qf = (jax.nn.softmax(qtg, axis=1) * scale).astype(cdtype)
+    kf = jax.nn.softmax(ktg, axis=2).astype(cdtype)
+    ctx = jax.lax.dot_general(
+        kf, vtg, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(cdtype)
+    lin_t = jax.lax.dot_general(
+        ctx, qf, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(cdtype)
+
+    attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    outt = jax.lax.dot_general(
+        wot, attnt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return xb.astype(jnp.float32) + outt + bo[:, None].astype(jnp.float32)
+
+
+def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, *, block_l, precision, cdtype,
+                gelu):
+    """Transposed-stream FF: x (d, L) → x + FFᵀ(LNᵀ(x)); weights arrive
+    pre-transposed ((ff, d) and (d, ff)) so both matmuls are d-major."""
+    d, L = x.shape
+    chunks = []
+    for i in range(0, L, block_l):
+        xc = x[:, i:i + block_l]
+        mean = jnp.mean(xc, axis=0, keepdims=True)
+        var = jnp.mean((xc - mean) ** 2, axis=0, keepdims=True)
+        xn = ((xc - mean) * jax.lax.rsqrt(var + 1e-6)
+              * ls[:, None] + lb[:, None]).astype(cdtype)
+        h = jax.lax.dot_general(
+            w1t, xn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + b1.astype(jnp.float32)[:, None]
+        h = _gelu(h, gelu).astype(cdtype)
+        out = jax.lax.dot_general(
+            w2t, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + b2.astype(jnp.float32)[:, None]
+        chunks.append(xc + out)
+    return jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+
+
 def _ff_body(x, ls, lb, w1, b1, w2, b2, *, block_l, precision, cdtype, gelu):
     """x: (L, d) f32 → x + FF(LN(x)), tiled over L to bound the f32 hidden."""
     L, d = x.shape
@@ -284,11 +383,89 @@ def _resident_kernel(
         o_ref[r] = logits.astype(o_ref.dtype)
 
 
+def _resident_kernel_dl(
+    ids_ref, pos_ref, bias_ref,
+    tok_ref, pemb_ref,
+    ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    fns_ref, fnb_ref, hw_ref, hb_ref,
+    o_ref,
+    h_ref,
+    *, depth, rows, local_heads, heads, window, ff_block_l, precision,
+    gelu,
+):
+    """Transposed-stream resident variant: the residual scratch is (rows,
+    d, L) and every stage works d-major — no per-layer activation
+    transposes.  tok/pos tables and FF weights arrive pre-transposed
+    (host-side, loop-invariant)."""
+    cdtype = h_ref.dtype
+    d, L = h_ref.shape[1], h_ref.shape[2]
+    C = hw_ref.shape[1]
+    k = pos_ref.shape[2]
+    V = tok_ref.shape[1]                                 # tok_ref: (d, V)
+
+    tablet = tok_ref[:].astype(cdtype)
+    pembt = pemb_ref[:].astype(cdtype)                   # (d, L)
+    for r in range(rows):
+        ids = ids_ref[r, 0]
+        oht = (
+            jax.lax.broadcasted_iota(jnp.int32, (V, L), 0) == ids[None, :]
+        ).astype(cdtype)                                 # (V, L)
+        h_ref[r] = jax.lax.dot_general(
+            tablet, oht, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cdtype) + pembt
+
+    def layer(l, _):
+        for r in range(rows):
+            xb = (
+                h_ref[r].astype(jnp.float32)
+                + bias_ref[r, l, 0].astype(jnp.float32)[:, None]
+            )
+            xb = _attn_body_dl(
+                xb, ls1_ref[l, 0], lb1_ref[l, 0],
+                wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l], bo_ref[l, 0],
+                local_heads=local_heads, heads=heads, window=window,
+                precision=precision, cdtype=cdtype,
+            )
+            xb = _ff_body_dl(
+                xb, ls2_ref[l, 0], lb2_ref[l, 0],
+                w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+                block_l=ff_block_l, precision=precision, cdtype=cdtype,
+                gelu=gelu,
+            )
+            h_ref[r] = xb.astype(cdtype)
+        return _
+
+    jax.lax.fori_loop(0, depth, layer, None)
+
+    for r in range(rows):
+        pos = pos_ref[r, 0]
+        oh = (
+            pos[:, None] == jax.lax.broadcasted_iota(jnp.int32, (k, L), 1)
+        ).astype(cdtype)                                 # (k, L)
+        # (k, d) orientation: the (d, L)·(k, L)→(d, k) form hits a Mosaic
+        # vector.broadcast element-type verification bug on the lane-size-1
+        # output; one-hot row-picking is exact in bf16 (h is stored bf16)
+        hk = jax.lax.dot_general(                        # (k, d)
+            oh, h_ref[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hn = _layernorm(hk, fns_ref[0], fnb_ref[0])
+        logits = jax.lax.dot_general(                    # (k, C)
+            hn.astype(cdtype), hw_ref[:].astype(cdtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) + hb_ref[0].astype(jnp.float32)
+        o_ref[r] = logits.astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "local_heads", "heads", "window", "rows", "ff_block_l",
-        "ff_buffers", "gelu", "vmem_limit_mb", "resident", "interpret",
+        "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
+        "interpret",
     ),
 )
 def fused_stack_logits(
@@ -315,6 +492,7 @@ def fused_stack_logits(
     gelu: str = "erf",
     vmem_limit_mb: int = 40,
     resident: bool = False,
+    stream: str = "ld",
     interpret: bool = False,
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
@@ -327,6 +505,9 @@ def fused_stack_logits(
     loops layers inside the kernel: weight HBM traffic drops from
     B/rows·depth·6 MB to one 96 MB prefetch.  Needs ``vmem_limit_mb``
     ≈ 110+.
+    ``stream``: residual-stream layout — "ld" ((L, d), transposes the
+    activations around each projection block) or "dl" ((d, L) d-major the
+    whole way; resident-only; removes the two per-layer transposes).
     """
     B, L = ids.shape
     depth = ln1_scale.shape[0]
@@ -373,7 +554,8 @@ def fused_stack_logits(
             ),
         )
         kernel = functools.partial(
-            _resident_kernel, depth=depth, rows=rows,
+            _resident_kernel_dl if stream == "dl" else _resident_kernel,
+            depth=depth, rows=rows,
             local_heads=local_heads, heads=heads, window=window,
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
         )
@@ -406,6 +588,25 @@ def fused_stack_logits(
             heads=heads, window=window, ff_block_l=ff_block_l,
             precision=precision, gelu=gelu,
         )
+    if stream == "dl":
+        # d-major residual stream: tok/pos tables + FF weights transposed
+        # host-side (loop-invariant under sampling scans), scratch (rows,d,L)
+        if not resident:
+            raise ValueError("stream='dl' is implemented for resident=True")
+        tok_in, pemb_in = tok_table.T, pos_emb.T          # (d,V), (d,L)
+        w1_in, w2_in = jnp.swapaxes(w1, 1, 2), jnp.swapaxes(w2, 1, 2)
+        tok_spec, pemb_spec = cst(d, tok_table.shape[0]), cst(d, L)
+        w1_spec, w2_spec = lyr(ff, d, ffmode), lyr(d, ff, ffmode)
+        scratch = pltpu.VMEM((rows, d, L), cdtype)
+    elif stream == "ld":
+        tok_in, pemb_in = tok_table, pos_emb
+        w1_in, w2_in = w1, w2
+        tok_spec, pemb_spec = cst(tok_table.shape[0], d), cst(L, d)
+        w1_spec, w2_spec = lyr(d, ff, ffmode), lyr(ff, d, ffmode)
+        scratch = pltpu.VMEM((rows, L, d), cdtype)
+    else:
+        raise ValueError(f"unknown stream layout {stream!r}")
+
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -415,20 +616,20 @@ def fused_stack_logits(
             io_specs["ids_spec"],                             # ids (B,1,L)
             io_specs["pos_spec"],                             # pos (B,1,k)
             io_specs["bias_spec"],                            # bias (B,depth,1,d)
-            cst(tok_table.shape[0], d),                       # tok table
-            cst(L, d),                                        # pos emb
+            tok_spec,                                         # tok table
+            pemb_spec,                                        # pos emb
             lyr(1, d), lyr(1, d),                             # ln1 s/b
             lyr(d, d), lyr(d, d), lyr(d, d),                  # wqᵀ wkᵀ wvᵀ
             lyr(d, d), lyr(1, d),                             # woᵀ bo
             lyr(1, d), lyr(1, d),                             # ln2 s/b
-            lyr(d, ff, ffmode), lyr(1, ff),                   # w1 b1
-            lyr(ff, d, ffmode), lyr(1, d),                    # w2 b2
+            w1_spec, lyr(1, ff),                              # w1 b1
+            w2_spec, lyr(1, d),                               # w2 b2
             cst(1, d), cst(1, d),                             # final norm s/b
             cst(d, C), cst(1, C),                             # head w/b
         ],
         out_specs=io_specs["out_spec"],
         out_shape=jax.ShapeDtypeStruct((B, k, C), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rows, L, d), cdtype)],
+        scratch_shapes=[scratch],
         # the residual stream + streamed weights + f32 working set exceed
         # XLA's conservative 16 MB scoped-vmem default; v5e/v6e have far
         # more physical VMEM (128 MB)
@@ -439,14 +640,14 @@ def fused_stack_logits(
     )(
         ids[:, None, :], pos[:, None, :],
         bias[:, :, None, :].astype(cdtype),
-        tok_table, pos_emb,
+        tok_in, pemb_in,
         ln1_scale[:, None, :], ln1_bias[:, None, :],
         # weights pre-transposed to (d_out-major) for the in-kernel
         # transposed-activation matmuls; host-side, hoisted out of scans
         jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
         jnp.swapaxes(wo, 1, 2), bo[:, None, :],
         ln2_scale[:, None, :], ln2_bias[:, None, :],
-        w1, b1[:, None, :], w2, b2[:, None, :],
+        w1_in, b1[:, None, :], w2_in, b2[:, None, :],
         fn_scale[None, :], fn_bias[None, :],
         head_w, head_b[None, :],
     )

@@ -64,6 +64,49 @@ def test_stack_kernel_rows2_and_k1(rng, resident):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_stack_kernel_dl_stream_matches_flax(rng):
+    """Transposed (d, L) residual-stream variant — removes the per-layer
+    activation transposes — must match the Flax graph like the default."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_stack_kernel_dl_requires_resident():
+    import pytest
+
+    from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
+
+    cfg = SMALL
+    d, L, depth, ff = cfg.dim, cfg.max_seq_len, cfg.depth, 4 * cfg.dim
+    zeros = jnp.zeros
+    with pytest.raises(ValueError, match="resident"):
+        fused_stack_logits(
+            zeros((2, L), jnp.int32), zeros((2, 1), jnp.int32),
+            zeros((2, depth, d)), zeros((29, d)), zeros((L, d)),
+            zeros((depth, d)), zeros((depth, d)),
+            zeros((depth, d, d)), zeros((depth, d, d)), zeros((depth, d, d)),
+            zeros((depth, d, d)), zeros((depth, d)),
+            zeros((depth, d)), zeros((depth, d)),
+            zeros((depth, d, ff)), zeros((depth, ff)),
+            zeros((depth, ff, d)), zeros((depth, d)),
+            zeros((d,)), zeros((d,)), zeros((d, 29)), zeros((29,)),
+            local_heads=cfg.local_heads, heads=cfg.heads,
+            window=cfg.local_window, resident=False, stream="dl",
+            interpret=True,
+        )
+
+
 def test_stack_kernel_tanh_gelu_close(rng):
     """tanh-GELU serving option stays within its documented deviation
     (4.7e-4 per activation; logits tolerance scaled for accumulation)."""

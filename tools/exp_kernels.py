@@ -300,11 +300,17 @@ def run_stack(variables, steps, runs, combos):
 
         @jax.jit
         def run(v, ids, apply_fn=apply_fn):
+            onehot0 = (jnp.arange(CFG.max_seq_len, dtype=jnp.int32)[None]
+                       == 0)                                   # (1, L)
+
             def body(c, i):
                 lg = apply_fn(v, c, jnp.full((B,), i % 1024,
                                              jnp.int32), z_c, pos)
-                nc = c.at[:, 0].set(
-                    jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32))
+                tok = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)
+                # one-hot broadcast write — .at[:, 0].set inside a scan
+                # triggers the scatter-in-scan compile pathology
+                # (630 ms/iter + 7-min compiles measured)
+                nc = jnp.where(onehot0, tok[:, None], c)
                 return nc, ()
             out, _ = jax.lax.scan(body, ids,
                                   jnp.arange(steps, dtype=jnp.int32))
@@ -336,10 +342,13 @@ def main():
         # the scheduler can overlap) and FF L-tiling
         run_stack(variables, args.steps, args.runs,
                   combos=[(1, 1, "tanh"),
+                          (1, 1, "tanh", {"stream": "dl"}),
                           (2, 1, "tanh"), (4, 1, "tanh"),
+                          (2, 1, "tanh", {"stream": "dl"}),
                           (1, 1, "tanh", {"ff_block_l": 512}),
                           (1, 1, "tanh", {"ff_block_l": 1024}),
-                          (2, 1, "tanh", {"ff_block_l": 512})])
+                          (1, 1, "tanh", {"stream": "dl",
+                                          "ff_block_l": 1024})])
 
 
 if __name__ == "__main__":
