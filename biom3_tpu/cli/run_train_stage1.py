@@ -41,6 +41,12 @@ def parse_arguments():
                    help="HF pytorch_model.bin to seed the text tower")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize tower layers in the backward pass — "
+                        "required to fit full-size (650M-tower) training on "
+                        "a single 16 GB chip (tools/bench_train_stage1.py); "
+                        "numerically identical (test_stage1_remat_matches_"
+                        "plain)")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
@@ -66,7 +72,7 @@ def main() -> None:
           + (f", pfam: {len(pfam_dataset)}" if pfam_dataset else ""))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = PenCL(model_cfg, dtype=dtype)
+    model = PenCL(model_cfg, dtype=dtype, remat=args.remat)
     params = model.init(
         jax.random.key(cfg.int("seed", 42)),
         jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
@@ -100,13 +106,15 @@ def main() -> None:
         dataset_type = "pfam"
     tx = make_stage1_optimizer(cfg)
     state = TrainState.create(params, tx)
+    # donate the state: without aliasing, input+output params/moments
+    # double-buffer the ~9 GB f32 training state of the full-size towers
     step_fn = jax.jit(make_stage1_train_step(
         model.apply, tx,
         temperature=model_cfg.temperature,
         dataset_type=dataset_type,
         text_mask_id=dataset.text_tokenizer.mask_token_id,
         protein_mask_id=dataset.alphabet.mask_idx,
-    ))
+    ), donate_argnums=(0,))
 
     batch_size = cfg.int("batch_size", 80)
     rng = np.random.default_rng(cfg.int("seed", 42))

@@ -120,7 +120,7 @@ def main() -> None:
     state = TrainState.create(params, tx, with_ema=True)
     step_fn = jax.jit(make_stage3_train_step(
         model.apply, tx, accum_steps=cfg.int("acc_grad_batches", 1)
-    ))
+    ), donate_argnums=(0,))  # alias in/out state — halves state HBM
     eval_fn = jax.jit(make_stage3_eval_step(model.apply))
 
     from biom3_tpu.io.orbax_io import CheckpointManager

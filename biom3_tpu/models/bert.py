@@ -99,6 +99,7 @@ class BertEncoder(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize layers in the backward pass
 
     @nn.compact
     def __call__(
@@ -134,8 +135,12 @@ class BertEncoder(nn.Module):
         if attention_mask is not None:
             padding_mask = attention_mask == 0
 
+        # deterministic (call arg 3; 0 is the module) is a static bool
+        layer_cls = (
+            nn.remat(BertLayer, static_argnums=(3,)) if self.remat else BertLayer
+        )
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(
+            x = layer_cls(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(
                 x, padding_mask, deterministic
             )
 

@@ -85,6 +85,8 @@ class ESM2(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     mesh: object = None  # for attn_impl="ring": long-protein sequence parallelism
+    remat: bool = False  # rematerialize layers in the backward pass — fits
+                         # full-size (650M) training on a single 16 GB chip
 
     @nn.compact
     def __call__(self, tokens: jax.Array, *, compute_logits: bool = False) -> dict:
@@ -107,8 +109,9 @@ class ESM2(nn.Module):
         x = x * (1.0 - padding_mask[..., None].astype(x.dtype))
         x = x.astype(self.dtype)
 
+        layer_cls = nn.remat(ESM2Layer) if self.remat else ESM2Layer
         for i in range(cfg.num_layers):
-            x = ESM2Layer(cfg, self.dtype, self.attn_impl, self.mesh, name=f"layers_{i}")(x, padding_mask)
+            x = layer_cls(cfg, self.dtype, self.attn_impl, self.mesh, name=f"layers_{i}")(x, padding_mask)
 
         x = nn.LayerNorm(epsilon=1e-5, name="emb_layer_norm_after")(x)
         out = {"hidden": x}

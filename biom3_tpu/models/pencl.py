@@ -44,11 +44,17 @@ class PenCL(nn.Module):
     config: PenCLConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize tower layers in the backward pass —
+                         # full-size contrastive training fits a 16 GB chip
 
     def setup(self):
         cfg = self.config
-        self.protein_encoder = ESM2(cfg.esm, self.dtype, self.attn_impl)
-        self.text_encoder = BertEncoder(cfg.bert, self.dtype, self.attn_impl)
+        self.protein_encoder = ESM2(
+            cfg.esm, self.dtype, self.attn_impl, remat=self.remat
+        )
+        self.text_encoder = BertEncoder(
+            cfg.bert, self.dtype, self.attn_impl, remat=self.remat
+        )
         self.protein_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)
         self.text_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)
 

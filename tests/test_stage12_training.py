@@ -62,6 +62,40 @@ def test_stage1_train_step(rng):
     assert int(state.step) == 1
 
 
+def test_stage1_remat_matches_plain(rng):
+    """remat towers (single-chip full-size memory path) change nothing
+    numerically: same loss, and gradients equal to float tolerance (Adam
+    would amplify last-ulp recompute differences, so compare grads, not
+    post-step params)."""
+    import functools
+
+    from biom3_tpu.training.stage1_task import stage1_loss_fn
+
+    batch = _batch(rng)
+    results = []
+    for remat in (False, True):
+        model = PenCL(TINY, remat=remat)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+            jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+        )
+        loss_fn = functools.partial(
+            stage1_loss_fn, model.apply, temperature=0.8,
+            dataset_type="pfam", text_mask_id=5, protein_mask_id=32,
+        )
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(loss_fn, has_aux=True)
+        )(params, batch)
+        flat = jnp.concatenate(
+            [g.ravel() for g in jax.tree.leaves(grads)]
+        )
+        results.append((float(loss), np.asarray(flat)))
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    rel_l2 = np.linalg.norm(g0 - g1) / max(np.linalg.norm(g0), 1e-30)
+    assert rel_l2 < 1e-5, f"grad relative L2 {rel_l2}"
+
+
 def test_stage1_ablated_drops_intra(rng):
     model = PenCL(TINY)
     params = model.init(
