@@ -49,16 +49,19 @@ class BertSelfAttention(nn.Module):
             # HF applies Dropout to the softmax probabilities
             # (attention_probs_dropout_prob); inline attention so the probs
             # are visible — train mode only, inference keeps the fused paths.
+            prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                    else None)
             logits = jnp.einsum(
-                "...id,...jd->...ij", q, k, precision=jax.lax.Precision.HIGHEST
-            ).astype(jnp.float32) * (Dh ** -0.5)
+                "...id,...jd->...ij", q, k, precision=prec,
+                preferred_element_type=jnp.float32,
+            ) * (Dh ** -0.5)
             if padding_mask is not None:
                 logits = jnp.where(padding_mask[..., None, None, :], -1e9, logits)
             probs = jax.nn.softmax(logits, axis=-1)
             probs = nn.Dropout(cfg.attn_probs_dropout, deterministic=False)(probs)
             out = jnp.einsum(
                 "...ij,...jd->...id", probs.astype(v.dtype), v,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
         else:
             out = full_attention(q, k, v, padding_mask=padding_mask, impl=self.attn_impl)

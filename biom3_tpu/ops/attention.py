@@ -20,7 +20,7 @@ def full_attention(
     *,
     padding_mask: jax.Array | None = None,
     scale: float | None = None,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,
     impl: str = "xla",
     mesh=None,
 ) -> jax.Array:
@@ -30,7 +30,17 @@ def full_attention(
     softmax; ref: Stage1_source/model.py towers are fp32 on the demo path).
     ``impl="pallas"`` dispatches to the flash-attention TPU kernel;
     ``impl="ring"`` to sequence-parallel ring attention over ``mesh``.
+
+    ``precision=None`` resolves by dtype (the repo-wide convention):
+    HIGHEST for the f32 parity path, hardware-default for bf16 — the MXU
+    accumulates bf16 matmuls in f32 natively, and forcing HIGHEST on bf16
+    inputs triggers the ~6-pass f32-emulation (measured 6x attention cost
+    in the Stage-1 towers).
     """
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+        )
     if impl == "pallas":
         from biom3_tpu.ops.pallas.flash_attention_tpu import (
             flash_attention_pallas,
@@ -46,8 +56,11 @@ def full_attention(
         return ring_attention(q, k, v, mesh, axis=axis, padding_mask=padding_mask)
     D = q.shape[-1]
     scale = D ** -0.5 if scale is None else scale
-    logits = jnp.einsum("...id,...jd->...ij", q, k, precision=precision)
-    logits = logits.astype(jnp.float32) * scale
+    logits = jnp.einsum(
+        "...id,...jd->...ij", q, k, precision=precision,
+        preferred_element_type=jnp.float32,  # f32 accumulation off the MXU
+    )
+    logits = logits * scale
     if padding_mask is not None:
         # broadcast over heads and query positions: mask key positions
         logits = jnp.where(
