@@ -28,7 +28,10 @@ def _kernel(
     *, scale: float, blk_k: int, precision,
 ):
     # q_ref: (1, 1, BLK_Q, D); k/v_ref: (1, 1, L, D); mask_ref: (1, 1, L)
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    # QK^T runs in the INPUT dtype with f32 accumulation: bf16 inputs use
+    # single-pass MXU matmuls (casting to f32 here would force the multi-
+    # pass f32 emulation); f32 inputs keep HIGHEST via ``precision``.
+    q = q_ref[0, 0]
     L = k_ref.shape[2]
     BLK_Q, D = q.shape
     num_kv = L // blk_k
@@ -39,13 +42,13 @@ def _kernel(
 
     def body(i, carry):
         m, s, acc = carry
-        k = k_ref[0, 0, pl.ds(i * blk_k, blk_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(i * blk_k, blk_k), :]
         v = v_ref[0, 0, pl.ds(i * blk_k, blk_k), :]
         pad = mask_ref[0, 0, pl.ds(i * blk_k, blk_k)]       # (blk_k,) i32
         dots = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )                                                    # (BLK_Q, blk_k)
+        ) * scale                                            # (BLK_Q, blk_k)
         dots = jnp.where(pad[None, :] != 0, NEG_INF, dots)
         m_new = jnp.maximum(m, jnp.max(dots, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)

@@ -74,3 +74,17 @@ def test_esm2_with_pallas_attention_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         out = model_p.apply(params, jnp.asarray(tokens))["hidden"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_attention_kernel_bf16(rng):
+    """bf16 inputs: the kernel dots in bf16 with f32 accumulation (the perf
+    convention) — must track the XLA bf16 path within bf16 drift."""
+    q, k, v = (t.astype(jnp.bfloat16) for t in _qkv(rng, B=2, H=2, L=128, D=64))
+    mask = jnp.asarray(rng.random((2, 128)) < 0.25)
+    ref = full_attention(q, k, v, padding_mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_pallas(q, k, v, padding_mask=mask, blk_q=64, blk_k=64)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
