@@ -173,10 +173,15 @@ def bench_pencl(peak):
     @jax.jit
     def many(params, x_t, x_p):
         def body(carry, _):
-            out = model.apply(params, x_t + carry, x_p)
+            # BOTH tower inputs must depend on the carry, and the carry on
+            # the outputs: a severable chain (the old ``carry * 0``) lets
+            # XLA's while-loop LICM hoist the towers out of the scan, and
+            # an invariant x_p alone lets it hoist the whole ESM tower —
+            # either way "iters forwards" silently times ~one forward
+            # (this inflated pairs/s ~2x vs the chip's measured GEMM peak).
+            out = model.apply(params, x_t + carry, x_p + carry)
             s = out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
-            # feed a scalar back so the scan iterations stay sequential
-            return (s.astype(jnp.int32) % 2) * 0, s
+            return jnp.abs(s).astype(jnp.int32) % 2, s
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
         return sums
 

@@ -96,7 +96,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--peak", type=float, default=394.0,
+    ap.add_argument("--peak", type=float, default=190.0,
                     help="measured bf16 GEMM TF/s (bench.py calibration)")
     ap.add_argument("--variants", nargs="*", default=list(VARIANTS))
     ap.add_argument("--toy", action="store_true",

@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--dataset-type", default="default",
                     choices=["default", "masked", "pfam", "pfam_ablated"])
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--peak", type=float, default=394.0,
+    ap.add_argument("--peak", type=float, default=190.0,
                     help="measured bf16 GEMM TF/s for the MFU estimate")
     args = ap.parse_args()
 

@@ -31,9 +31,11 @@ def time_impl(impl: str, cfg, params, x_t, x_p, iters: int, runs: int):
     @jax.jit
     def many(params, x_t, x_p):
         def body(carry, _):
-            out = model.apply(params, x_t + carry, x_p)
+            # both inputs carry-dependent: see bench.py bench_pencl — an
+            # invariant input lets XLA LICM hoist that tower out of the scan
+            out = model.apply(params, x_t + carry, x_p + carry)
             s = out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
-            return (s.astype(jnp.int32) % 2) * 0, s
+            return jnp.abs(s).astype(jnp.int32) % 2, s
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
         return sums
 
