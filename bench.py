@@ -164,7 +164,13 @@ def bench_pencl(peak):
     from biom3_tpu.utils.flops import pencl_pair_forward_flops
 
     cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
-    model = PenCL(cfg, dtype=jnp.bfloat16)
+    # measured TPU serving default (tools/exp_tower_attn.py): single-pass
+    # flash kernel 51.4 vs XLA 46.6 pairs/s in bf16
+    tower_impl = (
+        "pallas:1024:1024"
+        if jax.devices()[0].platform != "cpu" else "xla"
+    )
+    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=tower_impl)
     B, iters = 16, 8
     x_t = jnp.zeros((B, cfg.text_max_length), jnp.int32)
     x_p = jnp.ones((B, cfg.seq_max_length), jnp.int32)
@@ -194,7 +200,9 @@ def bench_pencl(peak):
         "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, bf16)",
         "tflops": round(tflops, 1),
         "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
-        "detail": {"batch": B, "iters": iters, "compile_s": round(compile_s, 1)},
+        "detail": {"batch": B, "iters": iters,
+                   "compile_s": round(compile_s, 1),
+                   "attn_impl": tower_impl},
     }
 
 

@@ -32,6 +32,24 @@ from biom3_tpu.ops.attention import full_attention
 from biom3_tpu.ops.rotary import apply_rotary, rotary_cos_sin
 
 
+class _ProjParams(nn.Module):
+    """kernel/bias params with nn.Dense's exact names, shapes and inits —
+    returned raw (not applied) so callers can fuse several projections into
+    one matmul while keeping the checkpoint layout of separate Denses."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ESM2SelfAttention(nn.Module):
     config: ESM2Config
     dtype: jnp.dtype = jnp.float32
@@ -44,10 +62,18 @@ class ESM2SelfAttention(nn.Module):
         B, L, E = x.shape
         H, Dh = cfg.attention_heads, cfg.head_dim
 
-        dense = lambda name: nn.Dense(E, use_bias=True, name=name, dtype=self.dtype)
-        q, k, v = dense("q_proj")(x), dense("k_proj")(x), dense("v_proj")(x)
+        # fused QKV: one (E, 3E) matmul.  _ProjParams keeps the param tree
+        # identical to three nn.Dense modules (q_proj/kernel … v_proj/bias),
+        # so converters/checkpoints are untouched; the weight concat is
+        # 9.8 MB bf16/layer, negligible next to the GEMM it fuses.
+        wq, bq = _ProjParams(E, E, name="q_proj")()
+        wk, bk = _ProjParams(E, E, name="k_proj")()
+        wv, bv = _ProjParams(E, E, name="v_proj")()
+        w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+        b = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w + b
         split = lambda z: z.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        q, k, v = split(q), split(k), split(v)
+        q, k, v = (split(z) for z in jnp.split(qkv, 3, axis=-1))
 
         cos, sin = rotary_cos_sin(L, Dh, dtype=q.dtype)
         q = apply_rotary(q, cos, sin)
@@ -55,7 +81,7 @@ class ESM2SelfAttention(nn.Module):
 
         out = full_attention(q, k, v, padding_mask=padding_mask, impl=self.attn_impl, mesh=self.mesh)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
-        return dense("out_proj")(out)
+        return nn.Dense(E, use_bias=True, name="out_proj", dtype=self.dtype)(out)
 
 
 class ESM2Layer(nn.Module):

@@ -41,12 +41,16 @@ def full_attention(
         precision = (
             jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
         )
-    if impl == "pallas":
+    if impl == "pallas" or impl.startswith("pallas:"):
         from biom3_tpu.ops.pallas.flash_attention_tpu import (
             flash_attention_pallas,
         )
 
-        return flash_attention_pallas(q, k, v, padding_mask=padding_mask)
+        kw = {}
+        if ":" in impl:  # "pallas:BLKQ:BLKK" — block-size override for A/Bs
+            _, bq, bk = impl.split(":")
+            kw = {"blk_q": int(bq), "blk_k": int(bk)}
+        return flash_attention_pallas(q, k, v, padding_mask=padding_mask, **kw)
     if impl == "ring":
         from biom3_tpu.ops.ring_attention import ring_attention
 

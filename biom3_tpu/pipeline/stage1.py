@@ -44,10 +44,21 @@ class PenCLEngine:
         dtype=jnp.float32,
         text_tokenizer=None,
         text_only: bool = False,
+        attn_impl: str | None = None,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
-        self.model = PenCL(self.config, dtype=dtype)
+        if attn_impl is None:
+            # measured TPU serving default (tools/exp_tower_attn.py): the
+            # single-pass flash kernel beats XLA attention 51.4 vs 46.6
+            # pairs/s in bf16; the f32 parity path keeps XLA (bit-parity
+            # reference, HIGHEST precision)
+            on_tpu = jax.devices()[0].platform not in ("cpu",)
+            attn_impl = (
+                "pallas:1024:1024" if on_tpu and dtype == jnp.bfloat16
+                else "xla"
+            )
+        self.model = PenCL(self.config, dtype=dtype, attn_impl=attn_impl)
         self.alphabet = ESMAlphabet()
         self._text_tokenizer = text_tokenizer
 

@@ -25,16 +25,25 @@ from biom3_tpu.models.pencl import PenCL
 from biom3_tpu.utils.flops import pencl_pair_forward_flops
 
 
-def time_impl(impl: str, cfg, params, x_t, x_p, iters: int, runs: int):
+def time_impl(impl: str, cfg, params, x_t, x_p, iters: int, runs: int,
+              tower: str = "pencl"):
     model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=impl)
+
+    def fwd(params, x_t, x_p):
+        if tower == "esm":
+            return model.apply(params, x_p,
+                               method=PenCL.encode_protein).sum()
+        if tower == "bert":
+            return model.apply(params, x_t, method=PenCL.encode_text).sum()
+        out = model.apply(params, x_t, x_p)
+        return out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
 
     @jax.jit
     def many(params, x_t, x_p):
         def body(carry, _):
             # both inputs carry-dependent: see bench.py bench_pencl — an
             # invariant input lets XLA LICM hoist that tower out of the scan
-            out = model.apply(params, x_t + carry, x_p + carry)
-            s = out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
+            s = fwd(params, x_t + carry, x_p + carry)
             return jnp.abs(s).astype(jnp.int32) % 2, s
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
         return sums
@@ -56,6 +65,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--impls", default="xla,pallas")
+    ap.add_argument("--tower", default="pencl",
+                    choices=["pencl", "esm", "bert"])
     args = ap.parse_args()
 
     cfg = PenCLConfig()
@@ -74,10 +85,11 @@ def main():
     ])
     flops = pencl_pair_forward_flops(cfg) * B * args.iters
 
-    print(f"device: {jax.devices()[0].device_kind}  B={B} iters={args.iters}")
+    print(f"device: {jax.devices()[0].device_kind}  B={B} iters={args.iters} "
+          f"tower={args.tower}")
     for impl in args.impls.split(","):
         best, compile_s = time_impl(impl, cfg, params, x_t, x_p,
-                                    args.iters, args.runs)
+                                    args.iters, args.runs, tower=args.tower)
         pairs = B * args.iters / best
         tf = flops / best / 1e12
         print(f"  {impl:8s} {best*1e3:8.1f} ms  {pairs:7.1f} pairs/s "
