@@ -164,13 +164,12 @@ def bench_pencl(peak):
     from biom3_tpu.utils.flops import pencl_pair_forward_flops
 
     cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
-    # measured TPU serving default (tools/exp_tower_attn.py): single-pass
-    # flash kernel 51.4 vs XLA 46.6 pairs/s in bf16
-    tower_impl = (
-        "pallas:1024:1024"
-        if jax.devices()[0].platform != "cpu" else "xla"
-    )
-    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=tower_impl)
+    # measured TPU serving defaults (tools/exp_tower_attn.py): single-pass
+    # flash kernel + MXU rotary + tanh-GELU (drift recorded below)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    tower_impl = "pallas:1024:1024" if on_tpu else "xla"
+    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=tower_impl,
+                  gelu="tanh" if on_tpu else "erf")
     B, iters = 16, 8
     x_t = jnp.zeros((B, cfg.text_max_length), jnp.int32)
     x_p = jnp.ones((B, cfg.seq_max_length), jnp.int32)
@@ -195,6 +194,27 @@ def bench_pencl(peak):
     pairs_per_sec = B * iters / best
     flops = pencl_pair_forward_flops(cfg) * B * iters
     tflops = flops / best / 1e12
+
+    # serving-vs-parity drift gate: protein embedding cosine between the
+    # perf graph (flash + tanh-GELU) and the erf/XLA reference graph, same
+    # bf16 params, one batch (mirrors the stack kernel's drift record)
+    drift_cos = None
+    if on_tpu:
+        ref_model = PenCL(cfg, dtype=jnp.bfloat16)
+        z_fast = jax.jit(
+            lambda p, x: model.apply(p, x, method=PenCL.encode_protein)
+        )(params, x_p[:4])
+        z_ref = jax.jit(
+            lambda p, x: ref_model.apply(p, x, method=PenCL.encode_protein)
+        )(params, x_p[:4])
+        zf = np.asarray(z_fast, np.float32)
+        zr = np.asarray(z_ref, np.float32)
+        cos = (zf * zr).sum(-1) / (
+            np.linalg.norm(zf, axis=-1) * np.linalg.norm(zr, axis=-1)
+        )
+        drift_cos = round(float(cos.min()), 6)
+        assert drift_cos > 0.999, f"serving-graph drift: cosine {drift_cos}"
+
     return {
         "value": round(pairs_per_sec, 2),
         "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, bf16)",
@@ -202,7 +222,9 @@ def bench_pencl(peak):
         "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
         "detail": {"batch": B, "iters": iters,
                    "compile_s": round(compile_s, 1),
-                   "attn_impl": tower_impl},
+                   "attn_impl": tower_impl,
+                   "gelu": "tanh" if on_tpu else "erf",
+                   "fast_vs_ref_min_cosine": drift_cos},
     }
 
 

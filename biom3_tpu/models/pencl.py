@@ -46,11 +46,14 @@ class PenCL(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False  # rematerialize tower layers in the backward pass —
                          # full-size contrastive training fits a 16 GB chip
+    gelu: str = "erf"    # ESM2 FF activation; "tanh" = serving perf mode
+                         # (drift recorded — parity/training keep "erf")
 
     def setup(self):
         cfg = self.config
         self.protein_encoder = ESM2(
-            cfg.esm, self.dtype, self.attn_impl, remat=self.remat
+            cfg.esm, self.dtype, self.attn_impl, remat=self.remat,
+            gelu=self.gelu,
         )
         self.text_encoder = BertEncoder(
             cfg.bert, self.dtype, self.attn_impl, remat=self.remat

@@ -48,17 +48,18 @@ class PenCLEngine:
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        perf_mode = on_tpu and dtype == jnp.bfloat16
         if attn_impl is None:
-            # measured TPU serving default (tools/exp_tower_attn.py): the
+            # measured TPU serving defaults (tools/exp_tower_attn.py):
             # single-pass flash kernel beats XLA attention 51.4 vs 46.6
-            # pairs/s in bf16; the f32 parity path keeps XLA (bit-parity
-            # reference, HIGHEST precision)
-            on_tpu = jax.devices()[0].platform not in ("cpu",)
-            attn_impl = (
-                "pallas:1024:1024" if on_tpu and dtype == jnp.bfloat16
-                else "xla"
-            )
-        self.model = PenCL(self.config, dtype=dtype, attn_impl=attn_impl)
+            # pairs/s in bf16, and tanh-GELU saves another 366 ms/fwd; the
+            # f32 parity path keeps XLA + erf (bit-parity reference)
+            attn_impl = "pallas:1024:1024" if perf_mode else "xla"
+        self.model = PenCL(
+            self.config, dtype=dtype, attn_impl=attn_impl,
+            gelu="tanh" if perf_mode else "erf",
+        )
         self.alphabet = ESMAlphabet()
         self._text_tokenizer = text_tokenizer
 

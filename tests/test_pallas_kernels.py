@@ -88,3 +88,24 @@ def test_flash_attention_kernel_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_mxu_rotary_bit_exact(rng):
+    """The ±1-permutation-matmul rotate_half must be BIT-exact with the
+    split/concat reference (each output lane is ±x_i plus exact-zero
+    products) in both f32 and bf16."""
+    from biom3_tpu.ops.rotary import (
+        _rotate_half_mxu, apply_rotary, rotate_half, rotary_cos_sin,
+    )
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(
+            rng.standard_normal((2, 3, 32, 64)).astype(np.float32)
+        ).astype(dtype)
+        ref = rotate_half(x)
+        out = _rotate_half_mxu(x)
+        assert out.dtype == ref.dtype
+        assert jnp.array_equal(out, ref), dtype
+        cos, sin = rotary_cos_sin(32, 64, dtype=dtype)
+        full = apply_rotary(x, cos, sin)
+        assert jnp.array_equal(full, x * cos + ref * sin), dtype

@@ -26,8 +26,8 @@ from biom3_tpu.utils.flops import pencl_pair_forward_flops
 
 
 def time_impl(impl: str, cfg, params, x_t, x_p, iters: int, runs: int,
-              tower: str = "pencl"):
-    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=impl)
+              tower: str = "pencl", gelu: str = "erf"):
+    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=impl, gelu=gelu)
 
     def fwd(params, x_t, x_p):
         if tower == "esm":
@@ -67,7 +67,22 @@ def main():
     ap.add_argument("--impls", default="xla,pallas")
     ap.add_argument("--tower", default="pencl",
                     choices=["pencl", "esm", "bert"])
+    ap.add_argument("--gelu-tanh", action="store_true",
+                    help="tanh-approx GELU (the bf16 serving mode)")
+    ap.add_argument("--no-rotary", action="store_true",
+                    help="cost probe: skip rotary embeddings (wrong math)")
+    ap.add_argument("--rotary-vpu", action="store_true",
+                    help="cost probe: pre-MXU split/concat rotate_half")
     args = ap.parse_args()
+
+    if args.no_rotary:  # cost probe (wrong math, representative cost)
+        import biom3_tpu.models.esm2 as _esm2
+        _esm2.apply_rotary = lambda x, cos, sin: x
+    if args.rotary_vpu:  # cost probe: the pre-MXU rotate_half formulation
+        import biom3_tpu.ops.rotary as _rot
+        import biom3_tpu.models.esm2 as _esm2
+        _esm2.apply_rotary = (
+            lambda x, cos, sin: x * cos + _rot.rotate_half(x) * sin)
 
     cfg = PenCLConfig()
     B = args.batch
@@ -89,7 +104,8 @@ def main():
           f"tower={args.tower}")
     for impl in args.impls.split(","):
         best, compile_s = time_impl(impl, cfg, params, x_t, x_p,
-                                    args.iters, args.runs, tower=args.tower)
+                                    args.iters, args.runs, tower=args.tower,
+                                    gelu="tanh" if args.gelu_tanh else "erf")
         pairs = B * args.iters / best
         tf = flops / best / 1e12
         print(f"  {impl:8s} {best*1e3:8.1f} ms  {pairs:7.1f} pairs/s "
