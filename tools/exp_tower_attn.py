@@ -73,8 +73,18 @@ def main():
                     help="cost probe: skip rotary embeddings (wrong math)")
     ap.add_argument("--rotary-vpu", action="store_true",
                     help="cost probe: pre-MXU split/concat rotate_half")
+    ap.add_argument("--ln-bf16", action="store_true",
+                    help="cost probe: LayerNorm outputs in bf16")
     args = ap.parse_args()
 
+    if args.ln_bf16:  # cost probe: bf16 LN output (stats still f32)
+        import flax.linen as _nn
+        _LN = _nn.LayerNorm
+        class _LNbf16(_LN):
+            pass
+        import biom3_tpu.models.esm2 as _esm2m
+        _esm2m.nn.LayerNorm = lambda **kw: _LN(
+            **{**kw, "dtype": jnp.bfloat16})
     if args.no_rotary:  # cost probe (wrong math, representative cost)
         import biom3_tpu.models.esm2 as _esm2
         _esm2.apply_rotary = lambda x, cos, sin: x
