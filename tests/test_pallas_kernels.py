@@ -109,3 +109,38 @@ def test_mxu_rotary_bit_exact(rng):
         cos, sin = rotary_cos_sin(32, 64, dtype=dtype)
         full = apply_rotary(x, cos, sin)
         assert jnp.array_equal(full, x * cos + ref * sin), dtype
+
+
+def test_pencl_serving_graph_matches_reference(rng):
+    """The composed TPU serving graph (single-pass flash + tanh-GELU +
+    MXU rotary) must track the parity graph (XLA attention + erf) on the
+    protein embedding — the CPU twin of bench.py's on-chip drift gate."""
+    from biom3_tpu.config import ESM2Config, PenCLConfig
+    from biom3_tpu.models.pencl import PenCL
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        PenCLConfig(),
+        esm=ESM2Config(num_layers=2, embed_dim=64, attention_heads=2,
+                       vocab_size=33),
+        protein_embedding=64,
+    )
+    x_p = jnp.asarray(
+        np.concatenate([
+            np.zeros((2, 1), np.int32),
+            rng.integers(4, 24, (2, 126)).astype(np.int32),
+            np.full((2, 1), 2, np.int32),
+        ], axis=1)
+    )
+    ref = PenCL(cfg, dtype=jnp.bfloat16)
+    params = ref.init(jax.random.key(0), x_p[:, :8], x_p)
+    z_ref = ref.apply(params, x_p, method=PenCL.encode_protein)
+    fast = PenCL(cfg, dtype=jnp.bfloat16, attn_impl="pallas:64:128",
+                 gelu="tanh")
+    with pltpu.force_tpu_interpret_mode():
+        z_fast = fast.apply(params, x_p, method=PenCL.encode_protein)
+    zr = np.asarray(z_ref, np.float32)
+    zf = np.asarray(z_fast, np.float32)
+    cos = (zr * zf).sum(-1) / (
+        np.linalg.norm(zr, axis=-1) * np.linalg.norm(zf, axis=-1))
+    assert cos.min() > 0.999, cos
