@@ -78,6 +78,115 @@ def test_facilitator_cli(tmp_path, tmp_facilitator):
     np.testing.assert_allclose(np.asarray(saved["z_c"]), ref, atol=2e-5)
 
 
+def _write_wordpiece_tokenizer(dirpath) -> int:
+    """Minimal PubMedBERT-style wordpiece tokenizer dir (no downloads).
+
+    Returns the vocab size.  The reference's text tower tokenizes with HF
+    ``AutoTokenizer`` (Stage1_source/preprocess.py:45-61)."""
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    pieces = ["##" + ch for ch in letters]
+    words = ["protein", "enzyme", "binding", "membrane", "kinase", "the",
+             "a", "of", "with", "activity", "catalyzes", "transport"]
+    vocab = specials + letters + pieces + words
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    (dirpath / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "BertTokenizer", "do_lower_case": True,
+        "model_max_length": 512,
+    }))
+    return len(vocab)
+
+
+def test_pencl_cli(tmp_path):
+    """Stage-1 CLI end-to-end as a subprocess (VERDICT r1 weak #5): tiny
+    random towers in the published pfam_PEN_CL checkpoint layout + a
+    synthetic wordpiece vocab; asserts the reference's print surface
+    (run_PenCL_inference.py:132-166) and the saved .pt dict schema."""
+    import torch
+    import torch.nn as nn
+    from transformers import BertConfig as HFBertConfig, BertForMaskedLM
+    from transformers import EsmConfig, EsmForMaskedLM
+
+    from test_towers import _hf_esm_state_to_fairesm
+
+    tok_dir = tmp_path / "pubmedbert_tiny"
+    vocab_size = _write_wordpiece_tokenizer(tok_dir)
+
+    cfg = {
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": vocab_size,
+        "bert_max_position_embeddings": 32,
+        "proj_embedding_dim": 8, "temperature": 0.8, "dropout": 0.1,
+        "text_max_length": 32,
+        "text_model_path": str(tok_dir),
+    }
+    cfg_path = tmp_path / "stage1_tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # synthetic checkpoint in the published layout (pfam_PEN_CL state dict:
+    # protein_encoder.model.* fair-esm names, text_encoder.model.* HF names,
+    # {text,protein}_projection.* heads — Stage1_source/model.py:178-207)
+    torch.manual_seed(0)
+    hf_esm = EsmForMaskedLM(EsmConfig(
+        vocab_size=33, mask_token_id=32, pad_token_id=1, hidden_size=16,
+        num_attention_heads=2, num_hidden_layers=1, intermediate_size=64,
+        position_embedding_type="rotary", token_dropout=True,
+        emb_layer_norm_before=False, layer_norm_eps=1e-5,
+    ))
+    hf_bert = BertForMaskedLM(HFBertConfig(
+        vocab_size=vocab_size, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, hidden_act="gelu",
+    ))
+
+    def proj_head(in_dim, proj_dim):
+        return {
+            "projection": nn.Linear(in_dim, proj_dim),
+            "fc": nn.Linear(proj_dim, proj_dim),
+            "layer_norm": nn.LayerNorm(proj_dim),
+        }
+
+    sd = {}
+    for k, v in _hf_esm_state_to_fairesm(hf_esm.state_dict()).items():
+        sd[f"protein_encoder.model.{k}"] = torch.from_numpy(v.copy())
+    for k, v in hf_bert.state_dict().items():
+        sd[f"text_encoder.model.{k}"] = v
+    for tower, head in (("protein", proj_head(16, 8)), ("text", proj_head(16, 8))):
+        for name, mod in head.items():
+            for pk, pv in mod.state_dict().items():
+                sd[f"{tower}_projection.{name}.{pk}"] = pv
+    ckpt = tmp_path / "pencl_tiny.bin"
+    torch.save(sd, ckpt)
+
+    out_path = tmp_path / "pencl_out.pt"
+    r = run_cli(
+        "biom3_tpu.cli.run_pencl_inference",
+        "--json_path", str(cfg_path),
+        "--model_path", str(ckpt),
+        "--output_path", str(out_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for banner in (
+        "=== Inference Results ===",
+        "=== Dot Product Scores Matrix ===",
+        "=== Normalized Probabilities ===",
+        "=== Homology Matrix (Dot Product of Normalized z_p) ===",
+    ):
+        assert banner in r.stdout, banner
+    saved = torch.load(out_path, weights_only=False)
+    assert set(saved) == {"sequence", "text_prompts", "z_t", "z_p"}
+    assert len(saved["sequence"]) == 5 and len(saved["text_prompts"]) == 5
+    z_t, z_p = np.asarray(saved["z_t"]), np.asarray(saved["z_p"])
+    assert z_t.shape == (5, 8) and z_p.shape == (5, 8)
+    assert np.isfinite(z_t).all() and np.isfinite(z_p).all()
+    # homology matrix is a normalized self-similarity: diagonal == 1
+    z_p_n = z_p / np.linalg.norm(z_p, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.diag(z_p_n @ z_p_n.T), 1.0, atol=1e-5)
+
+
 TINY_STAGE3 = {
     "num_replicas": 3, "batch_size_sample": 2, "diffusion_steps": 64,
     "seed": 42, "image_size": 8, "num_classes": 29, "task": "proteins",
