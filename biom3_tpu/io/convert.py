@@ -70,7 +70,11 @@ def proteoscribe_params_from_torch(state_dict: dict, cfg: ProteoScribeConfig) ->
     params["ax_col"] = np.asarray(sd["axial_pos_emb.weights_1"], np.float32).reshape(
         cfg.local_window, cfg.dim
     )
-    params["y_mlp"] = {"fc1": _dense(sd, "y_mlp.0"), "fc2": _dense(sd, "y_mlp.2")}
+    if "y_mlp.0.weight" in sd:  # absent in the unconditional variant
+        # (ref Stage3_source/diff_transformer_layer.py:145-168 — time-only)
+        params["y_mlp"] = {
+            "fc1": _dense(sd, "y_mlp.0"), "fc2": _dense(sd, "y_mlp.2")
+        }
     params["time_mlp"] = {"fc1": _dense(sd, "mlp.0"), "fc2": _dense(sd, "mlp.2")}
 
     for bi in range(cfg.n_blocks):

@@ -9,7 +9,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from biom3_tpu.config import FacilitatorConfig, ProteoScribeConfig
+from biom3_tpu.config import (
+    BertConfig,
+    ESM2Config,
+    FacilitatorConfig,
+    PenCLConfig,
+    ProteoScribeConfig,
+)
 
 
 def _t(x) -> np.ndarray:
@@ -74,4 +80,105 @@ def proteoscribe_params_to_torch(params: dict, cfg: ProteoScribeConfig) -> dict:
 
     ln("transformer.norm", p["final_norm"])
     dense("transformer.out", p["out_proj"])
+    return sd
+
+
+# --- Stage-1 exporters (inverses of io/convert_stage1.py) -------------------
+
+
+def _dense_out(sd: dict, prefix: str, leaf: dict) -> None:
+    sd[f"{prefix}.weight"] = _t(leaf["kernel"])
+    if "bias" in leaf:
+        sd[f"{prefix}.bias"] = np.asarray(leaf["bias"], np.float32)
+
+
+def _ln_out(sd: dict, prefix: str, leaf: dict) -> None:
+    sd[f"{prefix}.weight"] = np.asarray(leaf["scale"], np.float32)
+    sd[f"{prefix}.bias"] = np.asarray(leaf["bias"], np.float32)
+
+
+def esm2_params_to_torch(params: dict, cfg: ESM2Config) -> dict:
+    """Flax ESM2 tree → fair-esm ESM2 state-dict names (the layout inside the
+    published ``BioM3_PenCL`` .bin's ``protein_encoder.model.*`` subtree,
+    ref Stage1_source/model.py:51-57)."""
+    p = params.get("params", params)
+    sd: dict = {
+        "embed_tokens.weight": np.asarray(
+            p["embed_tokens"]["embedding"], np.float32
+        )
+    }
+    for i in range(cfg.num_layers):
+        layer = p[f"layers_{i}"]
+        b = f"layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _dense_out(sd, f"{b}.self_attn.{name}", layer["self_attn"][name])
+        _ln_out(sd, f"{b}.self_attn_layer_norm", layer["self_attn_layer_norm"])
+        _dense_out(sd, f"{b}.fc1", layer["fc1"])
+        _dense_out(sd, f"{b}.fc2", layer["fc2"])
+        _ln_out(sd, f"{b}.final_layer_norm", layer["final_layer_norm"])
+    _ln_out(sd, "emb_layer_norm_after", p["emb_layer_norm_after"])
+    if "lm_head_dense" in p:
+        _dense_out(sd, "lm_head.dense", p["lm_head_dense"])
+        _ln_out(sd, "lm_head.layer_norm", p["lm_head_layer_norm"])
+        sd["lm_head.bias"] = np.asarray(p["lm_head_bias"], np.float32)
+        # fair-esm ties lm_head.weight to embed_tokens
+        sd["lm_head.weight"] = sd["embed_tokens.weight"]
+    return sd
+
+
+def bert_params_to_torch(params: dict, cfg: BertConfig) -> dict:
+    """Flax BERT tree → HF BertForMaskedLM state-dict names
+    (``text_encoder.model.*`` subtree of the published .bin,
+    ref Stage1_source/model.py:91-99)."""
+    p = params.get("params", params)
+    emb = "bert.embeddings"
+    sd: dict = {}
+    for flax_name, hf_name in (
+        ("word_embeddings", "word_embeddings"),
+        ("position_embeddings", "position_embeddings"),
+        ("token_type_embeddings", "token_type_embeddings"),
+    ):
+        sd[f"{emb}.{hf_name}.weight"] = np.asarray(
+            p[flax_name]["embedding"], np.float32
+        )
+    _ln_out(sd, f"{emb}.LayerNorm", p["embeddings_norm"])
+    for i in range(cfg.num_layers):
+        layer = p[f"layer_{i}"]
+        b = f"bert.encoder.layer.{i}"
+        for name in ("query", "key", "value"):
+            _dense_out(sd, f"{b}.attention.self.{name}", layer["attention"][name])
+        _dense_out(sd, f"{b}.attention.output.dense", layer["attention_output"])
+        _ln_out(sd, f"{b}.attention.output.LayerNorm", layer["attention_norm"])
+        _dense_out(sd, f"{b}.intermediate.dense", layer["intermediate"])
+        _dense_out(sd, f"{b}.output.dense", layer["output"])
+        _ln_out(sd, f"{b}.output.LayerNorm", layer["output_norm"])
+    if "mlm_dense" in p:
+        _dense_out(sd, "cls.predictions.transform.dense", p["mlm_dense"])
+        _ln_out(sd, "cls.predictions.transform.LayerNorm", p["mlm_norm"])
+        sd["cls.predictions.bias"] = np.asarray(p["mlm_bias"], np.float32)
+    return sd
+
+
+def projection_head_params_to_torch(leaf: dict) -> dict:
+    sd: dict = {}
+    _dense_out(sd, "projection", leaf["projection"])
+    _dense_out(sd, "fc", leaf["fc"])
+    _ln_out(sd, "layer_norm", leaf["layer_norm"])
+    return sd
+
+
+def pencl_params_to_torch(params: dict, cfg: PenCLConfig) -> dict:
+    """Flax PenCL params → the published pfam_PEN_CL .bin layout
+    (ref Stage1_source/model.py:178-207); inverse of
+    ``io.convert_stage1.pencl_params_from_torch``."""
+    p = params["params"]
+    sd: dict = {}
+    for k, v in esm2_params_to_torch(p["protein_encoder"], cfg.esm).items():
+        sd[f"protein_encoder.model.{k}"] = v
+    for k, v in bert_params_to_torch(p["text_encoder"], cfg.bert).items():
+        sd[f"text_encoder.model.{k}"] = v
+    for tower in ("protein", "text"):
+        head = projection_head_params_to_torch(p[f"{tower}_projection"])
+        for k, v in head.items():
+            sd[f"{tower}_projection.{k}"] = v
     return sd
