@@ -262,6 +262,24 @@ class ProteoScribeConfig:
     attn_layer_dropout: float = 0.0  # input_dp_rate (stage3_config.json:54)
     ff_dropout: float = 0.0          # hardcoded 0 at :235
 
+    def __post_init__(self):
+        """Shape guards (the reference only asserts window divisibility,
+        cond_diff_transformer_layer.py:79; head divisibility fails deep
+        inside a reshape there — fail loudly here instead)."""
+        if self.dim % self.heads != 0:
+            raise ValueError(
+                f"dim {self.dim} not divisible by heads {self.heads}"
+            )
+        if not 0 <= self.local_heads <= self.heads:
+            raise ValueError(
+                f"local_heads {self.local_heads} outside [0, {self.heads}]"
+            )
+        if self.local_heads > 0 and self.max_seq_len % self.local_window != 0:
+            raise ValueError(
+                f"max_seq_len {self.max_seq_len} not divisible by "
+                f"local_window {self.local_window}"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.dim // self.heads

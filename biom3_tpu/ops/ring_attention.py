@@ -88,8 +88,6 @@ def ring_attention(
     """Full arrays in, full arrays out; sequence dim sharded over ``axis``.
 
     q, k, v: (B, H, L, D) with L divisible by the axis size."""
-    from jax.experimental.shard_map import shard_map
-
     qkv_spec = P(None, None, axis, None)
     mask_spec = P(None, axis)
 
@@ -102,11 +100,11 @@ def ring_attention(
             q_s, k_s, v_s, axis_name=axis, padding_mask=mask_s
         )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, padding_mask)
