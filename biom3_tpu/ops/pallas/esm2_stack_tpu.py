@@ -1,0 +1,378 @@
+"""Whole-tower fused ESM2 kernel with streamed weights (Pallas TPU).
+
+One ``pallas_call`` runs the FULL ESM2 protein-tower forward for Stage-1
+serving (ref tower: ``Stage1_source/model.py:59-76`` — CLS of repr layer 33):
+token embedding (+fair-esm token-dropout rescale), all ``depth`` pre-norm
+rotary-attention transformer layers, the final ``emb_layer_norm_after``, and
+emits ONLY the (B, E) CLS vectors.
+
+Design (the ``stack_kernel_tpu`` template at ESM2-650M scale — 650M params
+can't sit VMEM-resident, so the *residual stream* is resident and the
+*weights* stream):
+
+  grid = (B/rows, depth)            # layer index innermost
+  * the residual h (rows, L, E) lives in VMEM scratch across all layer
+    steps of a group — activations never touch HBM between layers;
+  * per-layer weights are stacked host-side as (depth, …) arrays whose
+    BlockSpec index_map selects layer l — Pallas double-buffers the DMAs
+    (~39 MB/layer streamed against ~0.5 ms/layer of matmul);
+  * at l == 0 the kernel embeds tokens in-VMEM (one-hot matmul + fair-esm
+    token-dropout ×(1−0.12)/(1−mask_ratio) rescale + pad/mask zeroing);
+  * at l == depth−1 it LayerNorms the CLS row and writes (rows, 1, E).
+
+Per-layer math matches ``models/esm2.ESM2Layer`` exactly (verified in
+tests/test_esm2_stack.py): pre-LN (eps 1e-5), fused-qkv projection with
+bias, GPT-NeoX rotary over the full head dim (rotate_half as a ±1
+permutation matmul — MXU, bit-exact; see ops/rotary._rotate_half_mxu), f32
+softmax with key-padding mask derived from ``tokens == pad_idx`` (SURVEY
+Q3), out-proj + residual, pre-LN FF (E→4E GELU→E) + residual.  Head slicing
+happens on the SUBLANE axis (q/k/v kept transposed (E, L)) — lane-axis head
+slicing would relayout on every access.
+
+bf16 inputs run the serving fast path (bf16 MXU, f32 accumulation/softmax);
+f32 inputs run HIGHEST-precision (parity twin).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+
+NEG_INF = -1e9
+
+
+def _esm2_stack_kernel(
+    # inputs (refs), in order:
+    ids_ref,                                     # (rows, 1, L) i32
+    tok_ref,                                     # (V, E) embedding table
+    cost_ref, sint_ref, pt_ref,                  # (Dh, L), (Dh, L), (Dh, Dh)
+    ls1_ref, lb1_ref,                            # (1, 1, E) attn LN
+    wqt_ref, wkt_ref, wvt_ref,                   # (1, E, E) pre-transposed
+    bq_ref, bk_ref, bv_ref,                      # (1, 1, E)
+    wo_ref, bo_ref,                              # (1, E, E) (in,out), (1, 1, E)
+    ls2_ref, lb2_ref,                            # (1, 1, E) final LN (pre-FF)
+    w1_ref, b1_ref,                              # (1, E, F), (1, 1, F)
+    w2_ref, b2_ref,                              # (1, F, E), (1, 1, E)
+    fns_ref, fnb_ref,                            # (1, E) emb_layer_norm_after
+    # output:
+    o_ref,                                       # (rows, 1, E) f32 CLS
+    # scratch:
+    h_ref,                                       # (rows, L, E) cdtype
+    attn_ref,                                    # (E, L) cdtype
+    qkv_ref,                                     # (3E, L) cdtype
+    xres_ref,                                    # (L, E) f32
+    *, depth, rows, heads, ff_block_l, precision, gelu,
+    pad_idx, mask_idx, token_dropout,
+):
+    l = pl.program_id(1)
+    cdtype = h_ref.dtype
+    L, E = h_ref.shape[1], h_ref.shape[2]
+    V = tok_ref.shape[0]
+    Dh = E // heads
+    scale = Dh ** -0.5
+
+    # ---- l == 0: embed tokens straight into the VMEM residual ----
+    @pl.when(l == 0)
+    def _embed():
+        table = tok_ref[:].astype(cdtype)
+        for r in range(rows):
+            ids = ids_ref[r, 0]                                  # (L,) i32
+            oh = (
+                ids[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (L, V), 1)
+            ).astype(jnp.float32)                                # (L, V)
+            x = jax.lax.dot_general(
+                oh.astype(cdtype), table, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # (L, E) f32
+            is_pad = oh[:, pad_idx:pad_idx + 1]                  # (L, 1)
+            if token_dropout:
+                # fair-esm: zero <mask> embeddings, rescale by
+                # (1-0.12)/(1-observed mask ratio) (models/esm2.py:130-137)
+                is_mask = oh[:, mask_idx:mask_idx + 1]
+                n_mask = jnp.sum(is_mask)
+                n_tok = jnp.maximum(1.0, jnp.sum(1.0 - is_pad))
+                x = x * (1.0 - is_mask)
+                x = x * (0.88 / (1.0 - n_mask / n_tok))
+            x = x * (1.0 - is_pad)                               # Q3 pad zero
+            h_ref[r] = x.astype(cdtype)
+
+    # ---- one transformer layer on every row of the group ----
+    for r in range(rows):
+        ids2d = ids_ref[r]                                       # (1, L) i32
+        padneg = jnp.where(ids2d == pad_idx, NEG_INF, 0.0)       # (1, L) f32
+
+        xres_ref[:] = h_ref[r].astype(jnp.float32)               # (L, E)
+        xnt = _layernorm(
+            xres_ref[:], ls1_ref[0, 0], lb1_ref[0, 0], eps=1e-5
+        ).astype(cdtype).T                                       # (E, L)
+
+        def projt(dst, wt_ref, b_ref):
+            # (E, L) = Wᵀ (E,E) @ xnt + bᵀ; staged into the qkv scratch so
+            # the head fori_loop can dynamic-slice a ref (Mosaic cannot
+            # dynamic_slice values)
+            out = jax.lax.dot_general(
+                wt_ref[0].astype(cdtype), xnt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            qkv_ref[dst * E:(dst + 1) * E, :] = (
+                out + b_ref[0, 0].astype(jnp.float32)[:, None]
+            ).astype(cdtype)
+
+        projt(0, wqt_ref, bq_ref)
+        projt(1, wkt_ref, bk_ref)
+        projt(2, wvt_ref, bv_ref)
+
+        cost = cost_ref[:].astype(cdtype)                        # (Dh, L)
+        sint = sint_ref[:].astype(cdtype)
+        pt = pt_ref[:].astype(cdtype)                            # (Dh, Dh)
+
+        # heads as a fori_loop (NOT a python unroll): per-head f32 score
+        # intermediates are 8 MB each — unrolling keeps all `heads` of them
+        # live at once and blows the 128 MB VMEM budget; the loop reuses
+        # one set of buffers
+        def head_body(hd, _):
+            off = pl.multiple_of(hd * Dh, Dh)
+
+            def rot(zt):
+                # GPT-NeoX rotary, transposed: z·cos + (Pᵀ z)·sin — bit-
+                # exact rotate_half as a ±1 permutation matmul (MXU)
+                zp = jax.lax.dot_general(
+                    pt, zt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ).astype(cdtype)
+                return zt * cost + zp * sint
+
+            qh = rot(qkv_ref[pl.ds(off, Dh), :])
+            kh = rot(qkv_ref[pl.ds(E + off, Dh), :])
+            vh = qkv_ref[pl.ds(2 * E + off, Dh), :]
+            dots = jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * scale                                            # (Lq, Lk) f32
+            dots = dots + padneg                                 # mask PAD keys
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp(dots - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            attn_ref[pl.ds(off, Dh), :] = jax.lax.dot_general(
+                vh, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)                                     # (Dh, Lq)
+            return _
+
+        jax.lax.fori_loop(0, heads, head_body, None)
+
+        # out projection (kernel (in,out) laid out for the transposed attn):
+        # out (L, E) = attnᵀ @ Wo  ⇒  computed as (Woᵀ? no) —
+        # dot_general contracting attn_ref's E axis with Wo's in axis,
+        # outputting (L, E) directly avoids transposing the big attn matrix:
+        # out[l, o] = Σ_e attn[e, l]·Wo[e, o]
+        out = jax.lax.dot_general(
+            attn_ref[:], wo_ref[0].astype(cdtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                                        # (L, E) f32
+        xres_ref[:] = xres_ref[:] + out + bo_ref[0, 0].astype(jnp.float32)
+
+        # ---- FF block (pre-LN, E→4E GELU→E), tiled over L ----
+        # fori_loop for the same VMEM-liveness reason as the head loop
+        def ff_body(i, _):
+            off = pl.multiple_of(i * ff_block_l, ff_block_l)
+            xc = xres_ref[pl.ds(off, ff_block_l), :]
+            xn = _layernorm(
+                xc, ls2_ref[0, 0], lb2_ref[0, 0], eps=1e-5
+            ).astype(cdtype)
+            h1 = jax.lax.dot_general(
+                xn, w1_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b1_ref[0, 0].astype(jnp.float32)
+            h1 = _gelu(h1, gelu).astype(cdtype)
+            out = jax.lax.dot_general(
+                h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b2_ref[0, 0].astype(jnp.float32)
+            h_ref[r, pl.ds(off, ff_block_l)] = (xc + out).astype(cdtype)
+            return _
+
+        jax.lax.fori_loop(0, L // ff_block_l, ff_body, None)
+
+        # ---- l == depth-1: final LN on the CLS row only ----
+        @pl.when(l == depth - 1)
+        def _head():
+            cls = h_ref[r, 0:1, :].astype(jnp.float32)           # (1, E)
+            o_ref[r] = _layernorm(cls, fns_ref[0], fnb_ref[0], eps=1e-5)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb",
+        "pad_idx", "mask_idx", "token_dropout", "w_buffers", "ff_buffers",
+        "interpret",
+    ),
+)
+def fused_esm2_cls(
+    ids: jax.Array,                  # (B, L) int32 tokens (fair-esm alphabet)
+    tok_table: jax.Array,            # (V, E) embedding (cdtype decides path)
+    ln1_scale: jax.Array, ln1_bias: jax.Array,   # (depth, E)
+    wq: jax.Array, wk: jax.Array, wv: jax.Array, # (depth, E, E) (in, out)
+    bq: jax.Array, bk: jax.Array, bv: jax.Array, # (depth, E)
+    wo: jax.Array, bo: jax.Array,                # (depth, E, E), (depth, E)
+    ln2_scale: jax.Array, ln2_bias: jax.Array,   # (depth, E)
+    w1: jax.Array, b1: jax.Array,                # (depth, E, F), (depth, F)
+    w2: jax.Array, b2: jax.Array,                # (depth, F, E), (depth, E)
+    fn_scale: jax.Array, fn_bias: jax.Array,     # (E,) emb_layer_norm_after
+    *,
+    heads: int,
+    rows: int = 1,
+    ff_block_l: int = 256,
+    gelu: str = "erf",
+    vmem_limit_mb: int = 120,
+    pad_idx: int = 1,
+    mask_idx: int = 32,
+    token_dropout: bool = True,
+    w_buffers: int = 2,
+    ff_buffers: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full ESM2 tower forward → (B, E) f32 post-final-norm CLS vectors.
+
+    ``rows`` = batch rows per program (residual scratch rows·L·E·2 B).
+    ``w_buffers``/``ff_buffers`` = pipeline buffer counts for the attention
+    and FF weight streams (2 = double-buffered DMA overlap).
+    """
+    B, L = ids.shape
+    depth, E = ln1_scale.shape
+    F = w1.shape[2]
+    V = tok_table.shape[0]
+    Dh = E // heads
+    if B % rows:
+        raise ValueError(f"B={B} not divisible by rows={rows}")
+    cdtype = tok_table.dtype
+    precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+
+    # rotary tables, transposed (feature-major to match (E, L) activations)
+    inv_freq = 1.0 / (10000 ** (np.arange(0, Dh, 2, dtype=np.float32) / Dh))
+    t = np.arange(L, dtype=np.float32)
+    freqs = np.concatenate([t[:, None] * inv_freq[None, :]] * 2, axis=-1)
+    cost = jnp.asarray(np.cos(freqs).T)                          # (Dh, L)
+    sint = jnp.asarray(np.sin(freqs).T)
+    # Pᵀ for transposed rotate_half: out[i] = -z[i+h] (i<h), +z[i-h] (i>=h)
+    h2 = Dh // 2
+    ptm = np.zeros((Dh, Dh), np.float32)
+    ptm[np.arange(h2), np.arange(h2) + h2] = -1.0
+    ptm[np.arange(h2) + h2, np.arange(h2)] = 1.0
+    pt = jnp.asarray(ptm)
+
+    single = pl.Buffered(buffer_count=1)
+    wmode = pl.Buffered(buffer_count=w_buffers)
+    ffmode = pl.Buffered(buffer_count=ff_buffers)
+
+    def lyr(rdim, cdim, mode):
+        return pl.BlockSpec(
+            (1, rdim, cdim), lambda g, l: (l, 0, 0), memory_space=pltpu.VMEM,
+            pipeline_mode=mode,
+        )
+
+    def cst(rdim, cdim):
+        return pl.BlockSpec(
+            (rdim, cdim), lambda g, l: (0, 0), memory_space=pltpu.VMEM,
+            pipeline_mode=single,
+        )
+
+    kernel = functools.partial(
+        _esm2_stack_kernel,
+        depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
+        precision=precision, gelu=gelu, pad_idx=pad_idx, mask_idx=mask_idx,
+        token_dropout=token_dropout,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows, depth),
+        in_specs=[
+            pl.BlockSpec((rows, 1, L), lambda g, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),               # ids
+            cst(V, E),                                           # tok table
+            cst(Dh, L), cst(Dh, L), cst(Dh, Dh),                 # cosᵀ sinᵀ Pᵀ
+            lyr(1, E, single), lyr(1, E, single),                # ln1 s/b
+            lyr(E, E, wmode), lyr(E, E, wmode), lyr(E, E, wmode),  # wqᵀwkᵀwvᵀ
+            lyr(1, E, single), lyr(1, E, single), lyr(1, E, single),  # bq/bk/bv
+            lyr(E, E, wmode), lyr(1, E, single),                 # wo bo
+            lyr(1, E, single), lyr(1, E, single),                # ln2 s/b
+            lyr(E, F, ffmode), lyr(1, F, single),                # w1 b1
+            lyr(F, E, ffmode), lyr(1, E, single),                # w2 b2
+            cst(1, E), cst(1, E),                                # final norm
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 1, E), lambda g, l: (g, 0, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, L, E), cdtype),                    # residual h
+            pltpu.VMEM((E, L), cdtype),                          # attn (ᵀ)
+            pltpu.VMEM((3 * E, L), cdtype),                      # qᵀ/kᵀ/vᵀ
+            pltpu.VMEM((L, E), jnp.float32),                     # x residual
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        ids[:, None, :],
+        tok_table,
+        cost.astype(cdtype), sint.astype(cdtype), pt.astype(cdtype),
+        ln1_scale[:, None, :], ln1_bias[:, None, :],
+        # q/k/v kernels pre-transposed (out-major) for the transposed-
+        # activation projections; wo stays (in, out) — the out-proj contracts
+        # attnᵀ's feature axis directly, no transpose needed
+        jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
+        bq[:, None, :], bk[:, None, :], bv[:, None, :],
+        wo, bo[:, None, :],
+        ln2_scale[:, None, :], ln2_bias[:, None, :],
+        w1, b1[:, None, :], w2, b2[:, None, :],
+        fn_scale[None, :], fn_bias[None, :],
+    )[:, 0, :]
+
+
+def esm2_stack_arrays(esm_params: dict, num_layers: int, dtype=jnp.bfloat16):
+    """Flax ESM2 param tree (``params['params']['protein_encoder']`` or the
+    tower's own tree) → the stacked/cast arrays ``fused_esm2_cls`` consumes.
+
+    Weight HBM layout is one (depth, …) array per tensor so each grid step's
+    BlockSpec selects layer l (contiguous DMA)."""
+    p = esm_params.get("params", esm_params)
+
+    def stack(getter):
+        return jnp.stack(
+            [jnp.asarray(getter(p[f"layers_{i}"]), dtype)
+             for i in range(num_layers)]
+        )
+
+    return dict(
+        tok_table=jnp.asarray(p["embed_tokens"]["embedding"], dtype),
+        ln1_scale=stack(lambda q: q["self_attn_layer_norm"]["scale"]),
+        ln1_bias=stack(lambda q: q["self_attn_layer_norm"]["bias"]),
+        wq=stack(lambda q: q["self_attn"]["q_proj"]["kernel"]),
+        wk=stack(lambda q: q["self_attn"]["k_proj"]["kernel"]),
+        wv=stack(lambda q: q["self_attn"]["v_proj"]["kernel"]),
+        bq=stack(lambda q: q["self_attn"]["q_proj"]["bias"]),
+        bk=stack(lambda q: q["self_attn"]["k_proj"]["bias"]),
+        bv=stack(lambda q: q["self_attn"]["v_proj"]["bias"]),
+        wo=stack(lambda q: q["self_attn"]["out_proj"]["kernel"]),
+        bo=stack(lambda q: q["self_attn"]["out_proj"]["bias"]),
+        ln2_scale=stack(lambda q: q["final_layer_norm"]["scale"]),
+        ln2_bias=stack(lambda q: q["final_layer_norm"]["bias"]),
+        w1=stack(lambda q: q["fc1"]["kernel"]),
+        b1=stack(lambda q: q["fc1"]["bias"]),
+        w2=stack(lambda q: q["fc2"]["kernel"]),
+        b2=stack(lambda q: q["fc2"]["bias"]),
+        fn_scale=jnp.asarray(p["emb_layer_norm_after"]["scale"], jnp.float32),
+        fn_bias=jnp.asarray(p["emb_layer_norm_after"]["bias"], jnp.float32),
+    )

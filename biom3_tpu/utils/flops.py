@@ -49,6 +49,16 @@ def proteoscribe_forward_flops(cfg, batch: int) -> float:
     )
 
 
+def esm2_forward_flops(cfg, batch: int) -> float:
+    """ESM2 tower forward (rotary permutation matmuls excluded — they are
+    relayout tricks, not model FLOPs)."""
+    return transformer_forward_flops(
+        batch=batch, seq_len=cfg.max_len, dim=cfg.embed_dim,
+        depth=cfg.num_layers, ff_dim=cfg.ffn_dim,
+        attn_flops_per_layer=full_attention_flops(cfg.max_len, cfg.embed_dim),
+    )
+
+
 def pencl_pair_forward_flops(cfg) -> float:
     """One (text, protein) pair through both towers + projection heads."""
     esm = transformer_forward_flops(

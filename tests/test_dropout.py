@@ -52,6 +52,7 @@ def _pencl_batch(rng, B=2):
     return batch
 
 
+@pytest.mark.slow  # 45 s; stage-3 twin below covers the dropout rng plumbing
 def test_stage1_dropout_stochastic_vs_eval_deterministic(rng):
     model = PenCL(TINY_PENCL)
     params = model.init(

@@ -1,0 +1,100 @@
+"""Fused ESM2 tower kernel vs the Flax graph (interpret mode, CPU twin).
+
+The serving kernel (ops/pallas/esm2_stack_tpu.py) must reproduce
+``models/esm2.ESM2``'s post-final-norm CLS exactly in f32: same pre-LN,
+fused-qkv, rotary, Q3 padding mask, token-dropout rescale, FF math.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from biom3_tpu.config import ESM2Config
+from biom3_tpu.models.esm2 import ESM2
+from biom3_tpu.ops.pallas.esm2_stack_tpu import esm2_stack_arrays, fused_esm2_cls
+
+CFG = ESM2Config(num_layers=2, embed_dim=256, attention_heads=4, vocab_size=33)
+
+
+@pytest.fixture(scope="module")
+def tower():
+    model = ESM2(CFG)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32), compute_logits=False
+    )
+    return model, params
+
+
+def _tokens(rng, B=2, L=128):
+    toks = np.concatenate(
+        [
+            np.zeros((B, 1), np.int32),                       # <cls>
+            rng.integers(4, 24, (B, L - 8)).astype(np.int32),  # residues
+            np.full((B, 1), 2, np.int32),                      # <eos>
+            np.full((B, 6), 1, np.int32),                      # <pad> ×6
+        ],
+        axis=1,
+    )
+    toks[0, 5] = 32  # one <mask> token exercises the token-dropout rescale
+    return toks
+
+
+@pytest.mark.parametrize("rows", [1, 2])
+def test_fused_esm2_cls_matches_flax_f32(tower, rng, rows):
+    model, params = tower
+    toks = _tokens(rng)
+    ref = np.asarray(
+        model.apply(params, jnp.asarray(toks))["hidden"]
+    )[:, 0, :]
+
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.float32
+    )
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads, rows=rows,
+        ff_block_l=64, gelu="erf", interpret=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_esm2_cls_bf16_drift(tower, rng):
+    """bf16 serving path tracks the f32 graph to >=0.999 CLS cosine (the
+    bench drift gate's CPU twin)."""
+    model, params = tower
+    toks = _tokens(rng, B=4)
+    ref = np.asarray(model.apply(params, jnp.asarray(toks))["hidden"])[:, 0, :]
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.bfloat16
+    )
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads,
+        ff_block_l=64, gelu="tanh", interpret=True,
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
+def test_fused_esm2_pad_invariance(tower, rng):
+    """Q3: PAD keys are masked inside the kernel — changing the residues
+    hidden behind <pad> must not change the CLS output."""
+    model, params = tower
+    toks = _tokens(rng)
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.float32
+    )
+
+    def run(t):
+        return np.asarray(fused_esm2_cls(
+            jnp.asarray(t), **arrays, heads=CFG.attention_heads,
+            ff_block_l=64, gelu="erf", interpret=True,
+        ))
+
+    base = run(toks)
+    toks2 = toks.copy()
+    toks2[:, -3] = 1  # still pad (already pad) — now flip a non-pad residue
+    toks2[:, 3] = (toks2[:, 3] % 20) + 4
+    changed = run(toks2)
+    assert np.abs(changed - base).max() > 1e-6  # sanity: content matters

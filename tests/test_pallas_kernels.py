@@ -111,6 +111,7 @@ def test_mxu_rotary_bit_exact(rng):
         assert jnp.array_equal(full, x * cos + ref * sin), dtype
 
 
+@pytest.mark.slow  # 63 s; the bench runs this drift gate on-chip every round
 def test_pencl_serving_graph_matches_reference(rng):
     """The composed TPU serving graph (single-pass flash + tanh-GELU +
     MXU rotary) must track the parity graph (XLA attention + erf) on the

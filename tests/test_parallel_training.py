@@ -152,6 +152,7 @@ def test_sharded_train_step_8_devices():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.slow  # 44 s; the driver itself runs dryrun_multichip every round
 def test_dryrun_multichip_entrypoint():
     import importlib.util, pathlib
 

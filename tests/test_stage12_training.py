@@ -62,6 +62,7 @@ def test_stage1_train_step(rng):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow  # 44 s; test_remat_training_matches_no_remat covers remat math
 def test_stage1_remat_matches_plain(rng):
     """remat towers (single-chip full-size memory path) change nothing
     numerically: same loss, and gradients equal to float tolerance (Adam
@@ -137,6 +138,7 @@ def test_stage2_train_step_learns(loss_type, rng):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.slow  # 52 s; dryrun_multichip (driver artifact) runs this same path
 def test_stage1_sharded_train_step():
     """Global-batch contrastive training over the (dp, fsdp, tp) mesh — the
     SPMD replacement for the reference's all_gather + barrier recipe."""
