@@ -164,19 +164,51 @@ def bench_pencl(peak):
     from biom3_tpu.utils.flops import pencl_pair_forward_flops
 
     cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
-    # measured TPU serving defaults (tools/exp_tower_attn.py): single-pass
-    # flash kernel + MXU rotary + tanh-GELU (drift recorded below)
+    # measured TPU serving defaults: whole-tower streamed-weights fused ESM2
+    # kernel (tools/exp_esm2_stack.py: 96.2 vs 74.4 seq/s tower-only, CLS
+    # cosine 0.999966 vs the XLA path) + flash BERT + tanh-GELU
     on_tpu = jax.devices()[0].platform != "cpu"
-    tower_impl = "pallas:1024:1024" if on_tpu else "xla"
-    model = PenCL(cfg, dtype=jnp.bfloat16, attn_impl=tower_impl,
+    tower_impl = "esm2-stack+pallas" if on_tpu else "xla"
+    model = PenCL(cfg, dtype=jnp.bfloat16,
+                  attn_impl="pallas:1024:1024" if on_tpu else "xla",
                   gelu="tanh" if on_tpu else "erf")
     B, iters = 16, 8
     x_t = jnp.zeros((B, cfg.text_max_length), jnp.int32)
     x_p = jnp.ones((B, cfg.seq_max_length), jnp.int32)
     params = _host_init(model.init, x_t[:1], x_p[:1])
 
+    if on_tpu:
+        from biom3_tpu.models.pencl import ProjectionHead
+        from biom3_tpu.ops.pallas.esm2_stack_tpu import (
+            esm2_stack_arrays,
+            fused_esm2_cls,
+        )
+
+        arrays = esm2_stack_arrays(
+            params["params"]["protein_encoder"], cfg.esm.num_layers,
+            jnp.bfloat16,
+        )
+        proj = ProjectionHead(cfg.proj_dim, cfg.dropout, jnp.bfloat16)
+
+        def pair_forward(params, arrays, x_t, x_p):
+            z_t = model.apply(params, x_t, method=PenCL.encode_text)
+            cls = fused_esm2_cls(
+                x_p, **arrays, heads=cfg.esm.attention_heads, gelu="tanh"
+            )
+            z_p = proj.apply(
+                {"params": params["params"]["protein_projection"]},
+                cls.astype(jnp.bfloat16),
+            )
+            return z_t, z_p
+    else:
+        arrays = None
+
+        def pair_forward(params, arrays, x_t, x_p):
+            out = model.apply(params, x_t, x_p)
+            return out["text_joint_latent"], out["seq_joint_latent"]
+
     @jax.jit
-    def many(params, x_t, x_p):
+    def many(params, arrays, x_t, x_p):
         def body(carry, _):
             # BOTH tower inputs must depend on the carry, and the carry on
             # the outputs: a severable chain (the old ``carry * 0``) lets
@@ -184,13 +216,13 @@ def bench_pencl(peak):
             # an invariant x_p alone lets it hoist the whole ESM tower —
             # either way "iters forwards" silently times ~one forward
             # (this inflated pairs/s ~2x vs the chip's measured GEMM peak).
-            out = model.apply(params, x_t + carry, x_p + carry)
-            s = out["text_joint_latent"].sum() + out["seq_joint_latent"].sum()
+            z_t, z_p = pair_forward(params, arrays, x_t + carry, x_p + carry)
+            s = z_t.sum() + z_p.sum()
             return jnp.abs(s).astype(jnp.int32) % 2, s
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
         return sums
 
-    best, compile_s, _ = _best_of(lambda: many(params, x_t, x_p))
+    best, compile_s, _ = _best_of(lambda: many(params, arrays, x_t, x_p))
     pairs_per_sec = B * iters / best
     flops = pencl_pair_forward_flops(cfg) * B * iters
     tflops = flops / best / 1e12
@@ -202,8 +234,8 @@ def bench_pencl(peak):
     if on_tpu:
         ref_model = PenCL(cfg, dtype=jnp.bfloat16)
         z_fast = jax.jit(
-            lambda p, x: model.apply(p, x, method=PenCL.encode_protein)
-        )(params, x_p[:4])
+            lambda p, a, x: pair_forward(p, a, x_t[:4], x)[1]
+        )(params, arrays, x_p[:4])
         z_ref = jax.jit(
             lambda p, x: ref_model.apply(p, x, method=PenCL.encode_protein)
         )(params, x_p[:4])
@@ -225,6 +257,8 @@ def bench_pencl(peak):
                    "attn_impl": tower_impl,
                    "gelu": "tanh" if on_tpu else "erf",
                    "fast_vs_ref_min_cosine": drift_cos},
+        # drift gate compares the SERVED path (fused stack kernel + tanh)
+        # against the erf/XLA bf16 reference graph on the same params
     }
 
 
@@ -281,13 +315,19 @@ def bench_e2e(peak):
         s_apply, s_cfg.num_timesteps, chunk_steps=128,
         apply_takes_positions=s_takes_pos,
     )
+    # fast mode: blocked any-order decoding, 8 positions/forward — the
+    # certified approximation (PARITY.md "blocked decoding certification")
+    sampler_fast = make_sampler(
+        s_apply, s_cfg.num_timesteps, chunk_steps=128, positions_per_step=8,
+        apply_takes_positions=s_takes_pos,
+    )
     path = sample_permutations(jax.random.key(3), R, s_cfg.max_seq_len)
 
-    def pipeline(key):
+    def pipeline(key, fast=False):
         z_t = encode(p_params, x_t)
         z_c = facilitate(f_params, z_t.astype(jnp.float32))
         z_c = jnp.tile(z_c, (R, 1))
-        return sampler(s_params, z_c, path, key)
+        return (sampler_fast if fast else sampler)(s_params, z_c, path, key)
 
     _, compile_s, _ = _best_of(lambda: pipeline(jax.random.key(4)), runs=1)
     times = []
@@ -296,6 +336,14 @@ def bench_e2e(peak):
         np.asarray(pipeline(jax.random.key(5 + i)))
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+
+    _, _, _ = _best_of(lambda: pipeline(jax.random.key(9), fast=True), runs=1)
+    fast_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(pipeline(jax.random.key(10 + i), fast=True))
+        fast_times.append(time.perf_counter() - t0)
+    p50_fast = float(np.median(fast_times))
     flops = (
         pencl_pair_forward_flops(p_cfg) * 0.4  # text tower + head only (~40%)
         + proteoscribe_forward_flops(s_cfg, R) * s_cfg.num_timesteps
@@ -311,6 +359,8 @@ def bench_e2e(peak):
             "runs_s": [round(t, 2) for t in times],
             "compile_s": round(compile_s, 1),
             "attn_impl": attn_impl,
+            "fast_mode_p50_s": round(p50_fast, 2),
+            "fast_mode": "blocked any-order decoding, 8 pos/forward",
         },
     }
 

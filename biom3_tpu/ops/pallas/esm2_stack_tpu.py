@@ -69,7 +69,7 @@ def _esm2_stack_kernel(
     qkv_ref,                                     # (3E, L) cdtype
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu,
-    pad_idx, mask_idx, token_dropout,
+    pad_idx, mask_idx, token_dropout, head_unroll,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -167,7 +167,10 @@ def _esm2_stack_kernel(
             ).astype(cdtype)                                     # (Dh, Lq)
             return _
 
-        jax.lax.fori_loop(0, heads, head_body, None)
+        # modest unroll lets head h+1's score matmul (MXU) overlap head h's
+        # softmax (VPU); VMEM cost grows by one score-buffer set per extra
+        # unrolled head
+        jax.lax.fori_loop(0, heads, head_body, None, unroll=head_unroll)
 
         # out projection (kernel (in,out) laid out for the transposed attn):
         # out (L, E) = attnᵀ @ Wo  ⇒  computed as (Woᵀ? no) —
@@ -214,7 +217,7 @@ def _esm2_stack_kernel(
     static_argnames=(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb",
         "pad_idx", "mask_idx", "token_dropout", "w_buffers", "ff_buffers",
-        "interpret",
+        "head_unroll", "interpret",
     ),
 )
 def fused_esm2_cls(
@@ -239,6 +242,7 @@ def fused_esm2_cls(
     token_dropout: bool = True,
     w_buffers: int = 2,
     ff_buffers: int = 2,
+    head_unroll: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """Full ESM2 tower forward → (B, E) f32 post-final-norm CLS vectors.
@@ -290,7 +294,7 @@ def fused_esm2_cls(
         _esm2_stack_kernel,
         depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
         precision=precision, gelu=gelu, pad_idx=pad_idx, mask_idx=mask_idx,
-        token_dropout=token_dropout,
+        token_dropout=token_dropout, head_unroll=head_unroll,
     )
 
     return pl.pallas_call(

@@ -45,6 +45,7 @@ class PenCLEngine:
         text_tokenizer=None,
         text_only: bool = False,
         attn_impl: str | None = None,
+        tower_impl: str | None = None,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -56,6 +57,12 @@ class PenCLEngine:
             # pairs/s in bf16, and tanh-GELU saves another 366 ms/fwd; the
             # f32 parity path keeps XLA + erf (bit-parity reference)
             attn_impl = "pallas:1024:1024" if perf_mode else "xla"
+        if tower_impl is None:
+            # whole-tower streamed-weights kernel (ops/pallas/esm2_stack_tpu)
+            # is the bf16 serving default — measured on-chip A/B in
+            # tools/exp_esm2_stack.py; f32 parity keeps the Flax graph
+            tower_impl = "fused-stack" if perf_mode else "flax"
+        self.tower_impl = tower_impl
         self.model = PenCL(
             self.config, dtype=dtype, attn_impl=attn_impl,
             gelu="tanh" if perf_mode else "erf",
@@ -80,6 +87,24 @@ class PenCLEngine:
         self._encode_text = jax.jit(
             lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
         )
+        self._stack_arrays = None
+        if tower_impl == "fused-stack" and not text_only:
+            from biom3_tpu.ops.pallas.esm2_stack_tpu import esm2_stack_arrays
+
+            self._stack_arrays = esm2_stack_arrays(
+                self.params["params"]["protein_encoder"],
+                self.config.esm.num_layers,
+                dtype=dtype,
+            )
+            from biom3_tpu.models.pencl import ProjectionHead
+
+            proj = ProjectionHead(self.config.proj_dim, self.config.dropout,
+                                  dtype)
+            self._protein_head = jax.jit(
+                lambda p, cls: proj.apply(
+                    {"params": p["params"]["protein_projection"]}, cls
+                )
+            )
 
     @property
     def text_tokenizer(self):
@@ -113,6 +138,16 @@ class PenCLEngine:
         return np.concatenate(outs)
 
     def embed_tokens(self, x_t: np.ndarray, x_p: np.ndarray) -> tuple:
+        if self._stack_arrays is not None:
+            from biom3_tpu.ops.pallas.esm2_stack_tpu import fused_esm2_cls
+
+            z_t = self._encode_text(self.params, jnp.asarray(x_t))
+            cls = fused_esm2_cls(
+                jnp.asarray(x_p), **self._stack_arrays,
+                heads=self.config.esm.attention_heads, gelu="tanh",
+            )
+            z_p = self._protein_head(self.params, cls.astype(self.model.dtype))
+            return z_t, z_p
         out = self._forward(self.params, jnp.asarray(x_t), jnp.asarray(x_p))
         return out["text_joint_latent"], out["seq_joint_latent"]
 

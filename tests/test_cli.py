@@ -240,6 +240,98 @@ def test_proteoscribe_cli(tmp_path):
             assert "<START>" not in s and "<PAD>" not in s
 
 
+def test_e2e_cli_fast_mode(tmp_path):
+    """Unified e2e CLI as a subprocess — all three stages with synthetic
+    checkpoints, exercising the blocked fast-decoding flag
+    (--positions_per_step, VERDICT r1 task 8)."""
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils.weight_norm import weight_norm
+    from transformers import BertConfig as HFBertConfig, BertForMaskedLM
+
+    import torch_golden
+
+    tok_dir = tmp_path / "tok"
+    vocab_size = _write_wordpiece_tokenizer(tok_dir)
+
+    # stage-1: text tower only (e2e never runs the protein tower)
+    s1_cfg = {
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": vocab_size,
+        "bert_max_position_embeddings": 32, "proj_embedding_dim": 8,
+        "temperature": 0.8, "text_max_length": 32,
+        "text_model_path": str(tok_dir),
+    }
+    (tmp_path / "s1.json").write_text(json.dumps(s1_cfg))
+    torch.manual_seed(0)
+    hf_bert = BertForMaskedLM(HFBertConfig(
+        vocab_size=vocab_size, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32, hidden_act="gelu",
+    ))
+    sd = {f"text_encoder.model.{k}": v for k, v in hf_bert.state_dict().items()}
+    head = {"projection": nn.Linear(16, 8), "fc": nn.Linear(8, 8),
+            "layer_norm": nn.LayerNorm(8)}
+    for name, mod in head.items():
+        for pk, pv in mod.state_dict().items():
+            sd[f"text_projection.{name}.{pk}"] = pv
+    torch.save(sd, tmp_path / "s1.bin")
+
+    # stage-2: 8->16->8 weight-norm facilitator
+    (tmp_path / "s2.json").write_text(json.dumps(
+        {"emb_dim": 8, "hid_dim": 16, "dropout": 0.0, "loss_type": "MMD"}
+    ))
+    fac = nn.Sequential(
+        weight_norm(nn.Linear(8, 16), dim=None), nn.GELU(), nn.Dropout(0.0),
+        weight_norm(nn.Linear(16, 8), dim=None),
+    )
+    torch.save(
+        {f"main.{k}": v for k, v in fac.state_dict().items()
+         if not k.endswith(".weight")},
+        tmp_path / "s2.bin",
+    )
+
+    # stage-3: tiny golden transformer, cond_dim matches proj_dim
+    s3_cfg = dict(TINY_STAGE3, text_emb_dim=8, num_replicas=2)
+    (tmp_path / "s3.json").write_text(json.dumps(s3_cfg))
+    tm = torch_golden.GoldenDiffTransformer(
+        num_classes=29, dim=32, depth=2, n_blocks=1, max_seq_len=64,
+        num_timesteps=64, heads=4, n_local_attn_heads=2,
+        local_attn_window_size=16, cond_dim=8,
+    )
+    torch.save(
+        {f"transformer.{k}": v for k, v in tm.state_dict().items()},
+        tmp_path / "s3.bin",
+    )
+
+    (tmp_path / "prompts.txt").write_text(
+        "membrane transport protein\nkinase with atp binding activity\n"
+    )
+    out_path = tmp_path / "e2e.pt"
+    r = run_cli(
+        "biom3_tpu.cli.run_e2e",
+        "--stage1_json", str(tmp_path / "s1.json"),
+        "--stage1_model", str(tmp_path / "s1.bin"),
+        "--stage2_json", str(tmp_path / "s2.json"),
+        "--stage2_model", str(tmp_path / "s2.bin"),
+        "--stage3_json", str(tmp_path / "s3.json"),
+        "--stage3_model", str(tmp_path / "s3.bin"),
+        "--prompts", str(tmp_path / "prompts.txt"),
+        "--output_path", str(out_path),
+        "--positions_per_step", "8",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    saved = torch.load(out_path, weights_only=False)
+    assert saved["z_t"].shape == (2, 8) and saved["z_c"].shape == (2, 8)
+    assert set(saved["sequences"]) == {"replica_0", "replica_1"}
+    for seqs in saved["sequences"].values():
+        assert len(seqs) == 2
+        for s in seqs:
+            assert "<START>" not in s and "<PAD>" not in s
+
+
 def test_proteoscribe_cli_temp0_deterministic(tmp_path):
     import torch
     import torch_golden

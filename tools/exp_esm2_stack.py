@@ -24,23 +24,26 @@ from biom3_tpu.ops.pallas.esm2_stack_tpu import esm2_stack_arrays, fused_esm2_cl
 ESM_FWD_TFLOP_PER_SEQ = None  # filled from utils.flops
 
 
-def chain_time(fn, x, iters, runs=3):
-    """Best steady-state seconds for `iters` chained forwards."""
+def chain_time(fn, weights, x, iters, runs=3):
+    """Best steady-state seconds for `iters` chained forwards.
+
+    ``weights`` is passed as a jit ARGUMENT (a closure would capture 2.6 GB
+    of params as lowering constants and stall the compiler)."""
     @jax.jit
-    def many(x):
+    def many(weights, x):
         def body(carry, _):
-            out = fn(x + carry)                       # (B, E) CLS
+            out = fn(weights, x + carry)              # (B, E) CLS
             s = out.sum()
             return jnp.abs(s).astype(jnp.int32) % 2, s
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
         return sums
     t0 = time.perf_counter()
-    np.asarray(many(x))
+    np.asarray(many(weights, x))
     compile_s = time.perf_counter() - t0
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        np.asarray(many(x))
+        np.asarray(many(weights, x))
         best = min(best, time.perf_counter() - t0)
     return best, compile_s
 
@@ -87,26 +90,27 @@ def main():
     )
 
     results = {}
+    ref_cls = None
     if not args.skip_xla:
-        def xla_fwd(xx):
-            return model.apply(params, xx)["hidden"][:, 0, :]
-        best, comp = chain_time(xla_fwd, x, args.iters)
+        def xla_fwd(p, xx):
+            return model.apply(p, xx)["hidden"][:, 0, :]
+        best, comp = chain_time(xla_fwd, params, x, args.iters)
         rate = B * args.iters / best
         print(f"xla+flash(tanh):  {best:.3f}s  {rate:.1f} seq/s  "
               f"{flops/best/1e12:.1f} TF/s  (compile {comp:.0f}s)")
         results["xla"] = rate
-        ref_cls = np.asarray(jax.jit(xla_fwd)(x), np.float32)
+        ref_cls = np.asarray(jax.jit(xla_fwd)(params, x), np.float32)
 
     arrays = esm2_stack_arrays(params["params"], cfg.num_layers, jnp.bfloat16)
     for rows in args.rows:
-        def fused_fwd(xx, rows=rows):
+        def fused_fwd(arrs, xx, rows=rows):
             return fused_esm2_cls(
-                xx, **arrays, heads=cfg.attention_heads, rows=rows,
+                xx, **arrs, heads=cfg.attention_heads, rows=rows,
                 ff_block_l=args.ff_block, gelu="tanh",
                 w_buffers=args.wbuf, ff_buffers=args.ffbuf,
             )
         try:
-            best, comp = chain_time(fused_fwd, x, args.iters)
+            best, comp = chain_time(fused_fwd, arrays, x, args.iters)
         except Exception as e:  # noqa: BLE001 — report and continue variants
             print(f"fused rows={rows}: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}")
@@ -116,8 +120,8 @@ def main():
               f"{best:.3f}s  {rate:.1f} seq/s  {flops/best/1e12:.1f} TF/s  "
               f"(compile {comp:.0f}s)")
         results[f"fused{rows}"] = rate
-        if not args.skip_xla:
-            got = np.asarray(jax.jit(fused_fwd)(x), np.float32)
+        if ref_cls is not None:
+            got = np.asarray(jax.jit(fused_fwd)(arrays, x), np.float32)
             cos = (got * ref_cls).sum(-1) / (
                 np.linalg.norm(got, axis=-1) * np.linalg.norm(ref_cls, axis=-1)
             )
