@@ -167,9 +167,10 @@ def _esm2_stack_kernel(
             ).astype(cdtype)                                     # (Dh, Lq)
             return _
 
-        # modest unroll lets head h+1's score matmul (MXU) overlap head h's
-        # softmax (VPU); VMEM cost grows by one score-buffer set per extra
-        # unrolled head
+        # NOTE Mosaic's for-loop lowering only supports unroll=1 or full
+        # unroll (=heads); full unroll keeps every head's 8 MB f32 score
+        # buffer live and blows VMEM (measured 237 MB), so 1 is the only
+        # usable value at full size — knob kept for small-config experiments
         jax.lax.fori_loop(0, heads, head_body, None, unroll=head_unroll)
 
         # out projection (kernel (in,out) laid out for the transposed attn):
