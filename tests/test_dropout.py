@@ -127,13 +127,15 @@ def test_stage3_zero_rate_dropout_is_exact_noop(rng):
 
 
 def test_stage3_config_dropout_mapping_and_guards():
-    cfg = Config({"input_dp_rate": 0.25, "diffusion_steps": 64})
+    cfg = Config({"input_dp_rate": 0.25, "diffusion_steps": 64,
+              "transformer_local_size": 32})
     ps = ProteoScribeConfig.from_stage_config(cfg)
     assert ps.attn_layer_dropout == 0.25
     assert ps.ff_dropout == 0.0  # get_model hardcodes 0 (ref :235)
 
     # transformer_dropout is dead config in the reference — must NOT map
-    cfg2 = Config({"transformer_dropout": 0.1, "diffusion_steps": 64})
+    cfg2 = Config({"transformer_dropout": 0.1, "diffusion_steps": 64,
+               "transformer_local_size": 32})
     ps2 = ProteoScribeConfig.from_stage_config(cfg2)
     assert ps2.attn_layer_dropout == 0.0 and ps2.ff_dropout == 0.0
 
