@@ -47,6 +47,23 @@ def sinusoidal_time_embedding(
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+class _OutProjParams(nn.Module):
+    """kernel/bias params with nn.Dense's exact names, shapes and inits —
+    returned raw so the fused attention block can consume them while the
+    checkpoint tree stays identical to an nn.Dense("to_out")."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class SplitHeadAttention(nn.Module):
     """16-head self-attention: first ``local_heads`` heads use windowed
     attention, the rest use linear attention (head order matters for weight
@@ -75,6 +92,27 @@ class SplitHeadAttention(nn.Module):
 
         wq, wk, wv = kernel("to_q_kernel"), kernel("to_k_kernel"), kernel("to_v_kernel")
         xc = x.astype(self.dtype)
+        if self.attn_impl in ("block", "block-interpret"):
+            # training-path fused attention block with a custom VJP
+            # (ops/pallas/attn_block_tpu): projections + local + linear +
+            # out-proj in one kernel per direction, flash-style recompute
+            # in the backward.  Raw to_out params keep nn.Dense's exact
+            # tree (checkpoint layout unchanged).
+            from biom3_tpu.ops.pallas.attn_block_tpu import (
+                split_attention_block,
+            )
+
+            wo_kernel, wo_bias = _OutProjParams(cfg.dim, name="to_out")()
+            out = split_attention_block(
+                xc, wq.astype(self.dtype), wk.astype(self.dtype),
+                wv.astype(self.dtype), wo_kernel, wo_bias,
+                local_heads=cfg.local_heads, heads=H,
+                window=cfg.local_window,
+                interpret=self.attn_impl == "block-interpret",
+            )
+            return nn.Dropout(
+                cfg.attn_layer_dropout, deterministic=deterministic
+            )(out)
         if self.fused_qkv:
             w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             q, k, v = jnp.split(xc @ w, 3, axis=-1)

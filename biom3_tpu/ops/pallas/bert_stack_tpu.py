@@ -1,0 +1,273 @@
+"""Whole-tower fused BERT kernel with streamed weights (Pallas TPU).
+
+Text-tower twin of ``esm2_stack_tpu``: one ``pallas_call`` runs all
+``depth`` post-LN BERT layers for Stage-1 serving (ref tower:
+``Stage1_source/model.py:91-132`` — PubMedBERT-base CLS of the last hidden
+state) and emits ONLY the (B, E) CLS vectors.
+
+Differences from the ESM2 kernel, all reference-faithful:
+  * embeddings stay OUTSIDE (a 30 522-row vocab gather is an XLA gather,
+    not a one-hot matmul) — the kernel input is the post-embedding-LN
+    activation (B, L, E);
+  * post-LN residual blocks (LN *after* attention/FF adds, eps 1e-12);
+  * NO attention mask — the reference calls BERT without one
+    (model.py:124,129), PAD tokens attend (models/bert.py:136-137);
+  * no rotary; plain scaled dot-product heads (H=12, Dh=64).
+
+bf16 inputs run the serving fast path (bf16 MXU, f32 accumulation/softmax);
+f32 inputs run HIGHEST-precision (parity twin, tests/test_bert_stack.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+
+
+def _bert_stack_kernel(
+    x0_ref,                                      # (rows, L, E) embedded input
+    ls1_ref, lb1_ref,                            # (1, 1, E) attention_norm
+    wqt_ref, wkt_ref, wvt_ref,                   # (1, E, E) pre-transposed
+    bq_ref, bk_ref, bv_ref,                      # (1, 1, E)
+    wo_ref, bo_ref,                              # (1, E, E) (in,out), (1, 1, E)
+    ls2_ref, lb2_ref,                            # (1, 1, E) output_norm
+    w1_ref, b1_ref,                              # (1, E, F), (1, 1, F)
+    w2_ref, b2_ref,                              # (1, F, E), (1, 1, E)
+    o_ref,                                       # (rows, 1, E) f32 CLS
+    h_ref,                                       # (rows, L, E) cdtype
+    attn_ref,                                    # (E, L) cdtype
+    qkv_ref,                                     # (3E, L) cdtype
+    xres_ref,                                    # (L, E) f32
+    *, depth, rows, heads, ff_block_l, precision, gelu, eps,
+):
+    l = pl.program_id(1)
+    cdtype = h_ref.dtype
+    L, E = h_ref.shape[1], h_ref.shape[2]
+    Dh = E // heads
+    scale = Dh ** -0.5
+
+    @pl.when(l == 0)
+    def _load():
+        for r in range(rows):
+            h_ref[r] = x0_ref[r].astype(cdtype)
+
+    for r in range(rows):
+        xres_ref[:] = h_ref[r].astype(jnp.float32)               # (L, E)
+        # post-LN: projections read the raw residual, not a normed copy
+        xt = xres_ref[:].astype(cdtype).T                        # (E, L)
+
+        def projt(dst, wt_ref, b_ref):
+            out = jax.lax.dot_general(
+                wt_ref[0].astype(cdtype), xt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            qkv_ref[dst * E:(dst + 1) * E, :] = (
+                out + b_ref[0, 0].astype(jnp.float32)[:, None]
+            ).astype(cdtype)
+
+        projt(0, wqt_ref, bq_ref)
+        projt(1, wkt_ref, bk_ref)
+        projt(2, wvt_ref, bv_ref)
+
+        def head_body(hd, _):
+            off = pl.multiple_of(hd * Dh, Dh)
+            qh = qkv_ref[pl.ds(off, Dh), :]
+            kh = qkv_ref[pl.ds(E + off, Dh), :]
+            vh = qkv_ref[pl.ds(2 * E + off, Dh), :]
+            dots = jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * scale                                            # (Lq, Lk)
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp(dots - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            attn_ref[pl.ds(off, Dh), :] = jax.lax.dot_general(
+                vh, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)
+            return _
+
+        jax.lax.fori_loop(0, heads, head_body, None)
+
+        out = jax.lax.dot_general(
+            attn_ref[:], wo_ref[0].astype(cdtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )                                                        # (L, E)
+        xres_ref[:] = _layernorm(
+            xres_ref[:] + out + bo_ref[0, 0].astype(jnp.float32),
+            ls1_ref[0, 0], lb1_ref[0, 0], eps=eps,
+        )
+
+        def ff_body(i, _):
+            off = pl.multiple_of(i * ff_block_l, ff_block_l)
+            xc = xres_ref[pl.ds(off, ff_block_l), :]
+            h1 = jax.lax.dot_general(
+                xc.astype(cdtype), w1_ref[0].astype(cdtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b1_ref[0, 0].astype(jnp.float32)
+            h1 = _gelu(h1, gelu).astype(cdtype)
+            out = jax.lax.dot_general(
+                h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b2_ref[0, 0].astype(jnp.float32)
+            h_ref[r, pl.ds(off, ff_block_l)] = _layernorm(
+                xc + out, ls2_ref[0, 0], lb2_ref[0, 0], eps=eps
+            ).astype(cdtype)
+            return _
+
+        jax.lax.fori_loop(0, L // ff_block_l, ff_body, None)
+
+        @pl.when(l == depth - 1)
+        def _head():
+            # last layer's output_norm IS the final norm; CLS = position 0
+            o_ref[r] = h_ref[r, 0:1, :].astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb", "eps",
+        "w_buffers", "ff_buffers", "interpret",
+    ),
+)
+def fused_bert_cls(
+    x0: jax.Array,                   # (B, L, E) post-embedding-LN activations
+    ln1_scale: jax.Array, ln1_bias: jax.Array,   # (depth, E)
+    wq: jax.Array, wk: jax.Array, wv: jax.Array, # (depth, E, E) (in, out)
+    bq: jax.Array, bk: jax.Array, bv: jax.Array, # (depth, E)
+    wo: jax.Array, bo: jax.Array,                # (depth, E, E), (depth, E)
+    ln2_scale: jax.Array, ln2_bias: jax.Array,   # (depth, E)
+    w1: jax.Array, b1: jax.Array,                # (depth, E, F), (depth, F)
+    w2: jax.Array, b2: jax.Array,                # (depth, F, E), (depth, E)
+    *,
+    heads: int,
+    rows: int = 2,
+    ff_block_l: int = 256,
+    gelu: str = "erf",
+    eps: float = 1e-12,
+    vmem_limit_mb: int = 100,
+    w_buffers: int = 2,
+    ff_buffers: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full BERT tower forward → (B, E) f32 CLS of the last hidden state."""
+    B, L, E = x0.shape
+    depth = ln1_scale.shape[0]
+    F = w1.shape[2]
+    if B % rows:
+        raise ValueError(f"B={B} not divisible by rows={rows}")
+    cdtype = x0.dtype
+    precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+
+    single = pl.Buffered(buffer_count=1)
+    wmode = pl.Buffered(buffer_count=w_buffers)
+    ffmode = pl.Buffered(buffer_count=ff_buffers)
+
+    def lyr(rdim, cdim, mode):
+        return pl.BlockSpec(
+            (1, rdim, cdim), lambda g, l: (l, 0, 0), memory_space=pltpu.VMEM,
+            pipeline_mode=mode,
+        )
+
+    kernel = functools.partial(
+        _bert_stack_kernel,
+        depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
+        precision=precision, gelu=gelu, eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rows, depth),
+        in_specs=[
+            pl.BlockSpec((rows, L, E), lambda g, l: (g, 0, 0),
+                         memory_space=pltpu.VMEM),               # x0
+            lyr(1, E, single), lyr(1, E, single),                # ln1
+            lyr(E, E, wmode), lyr(E, E, wmode), lyr(E, E, wmode),  # wqᵀwkᵀwvᵀ
+            lyr(1, E, single), lyr(1, E, single), lyr(1, E, single),
+            lyr(E, E, wmode), lyr(1, E, single),                 # wo bo
+            lyr(1, E, single), lyr(1, E, single),                # ln2
+            lyr(E, F, ffmode), lyr(1, F, single),                # w1 b1
+            lyr(F, E, ffmode), lyr(1, E, single),                # w2 b2
+        ],
+        out_specs=pl.BlockSpec(
+            (rows, 1, E), lambda g, l: (g, 0, 0), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, E), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rows, L, E), cdtype),
+            pltpu.VMEM((E, L), cdtype),
+            pltpu.VMEM((3 * E, L), cdtype),
+            pltpu.VMEM((L, E), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x0,
+        ln1_scale[:, None, :], ln1_bias[:, None, :],
+        jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
+        bq[:, None, :], bk[:, None, :], bv[:, None, :],
+        wo, bo[:, None, :],
+        ln2_scale[:, None, :], ln2_bias[:, None, :],
+        w1, b1[:, None, :], w2, b2[:, None, :],
+    )[:, 0, :]
+
+
+def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16):
+    """Flax BERT param tree → stacked arrays for ``fused_bert_cls``.
+
+    Embedding tables are NOT included — embed with ``bert_embed`` (XLA
+    gather + LN) and pass the activations in."""
+    p = bert_params.get("params", bert_params)
+
+    def stack(getter):
+        return jnp.stack(
+            [jnp.asarray(getter(p[f"layer_{i}"]), dtype)
+             for i in range(num_layers)]
+        )
+
+    return dict(
+        ln1_scale=stack(lambda q: q["attention_norm"]["scale"]),
+        ln1_bias=stack(lambda q: q["attention_norm"]["bias"]),
+        wq=stack(lambda q: q["attention"]["query"]["kernel"]),
+        wk=stack(lambda q: q["attention"]["key"]["kernel"]),
+        wv=stack(lambda q: q["attention"]["value"]["kernel"]),
+        bq=stack(lambda q: q["attention"]["query"]["bias"]),
+        bk=stack(lambda q: q["attention"]["key"]["bias"]),
+        bv=stack(lambda q: q["attention"]["value"]["bias"]),
+        wo=stack(lambda q: q["attention_output"]["kernel"]),
+        bo=stack(lambda q: q["attention_output"]["bias"]),
+        ln2_scale=stack(lambda q: q["output_norm"]["scale"]),
+        ln2_bias=stack(lambda q: q["output_norm"]["bias"]),
+        w1=stack(lambda q: q["intermediate"]["kernel"]),
+        b1=stack(lambda q: q["intermediate"]["bias"]),
+        w2=stack(lambda q: q["output"]["kernel"]),
+        b2=stack(lambda q: q["output"]["bias"]),
+    )
+
+
+def bert_embed(bert_params: dict, input_ids, *, eps: float = 1e-12,
+               dtype=jnp.bfloat16):
+    """word + position + token-type-0 embeddings → LN (ref
+    models/bert.py:121-132); the XLA half that feeds ``fused_bert_cls``."""
+    p = bert_params.get("params", bert_params)
+    ids = input_ids.astype(jnp.int32)
+    L = ids.shape[1]
+    word = jnp.asarray(p["word_embeddings"]["embedding"])
+    pos = jnp.asarray(p["position_embeddings"]["embedding"])
+    typ = jnp.asarray(p["token_type_embeddings"]["embedding"])
+    x = word[ids] + pos[None, :L, :] + typ[0][None, None, :]
+    scale = jnp.asarray(p["embeddings_norm"]["scale"], jnp.float32)
+    bias = jnp.asarray(p["embeddings_norm"]["bias"], jnp.float32)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(dtype)
