@@ -179,21 +179,40 @@ def bench_pencl(peak):
 
     if on_tpu:
         from biom3_tpu.models.pencl import ProjectionHead
+        from biom3_tpu.ops.pallas.bert_stack_tpu import (
+            bert_embed,
+            bert_stack_arrays,
+            fused_bert_cls,
+        )
         from biom3_tpu.ops.pallas.esm2_stack_tpu import (
             esm2_stack_arrays,
             fused_esm2_cls,
         )
 
-        arrays = esm2_stack_arrays(
-            params["params"]["protein_encoder"], cfg.esm.num_layers,
-            jnp.bfloat16,
-        )
+        arrays = {
+            "esm": esm2_stack_arrays(
+                params["params"]["protein_encoder"], cfg.esm.num_layers,
+                jnp.bfloat16,
+            ),
+            "bert": bert_stack_arrays(
+                params["params"]["text_encoder"], cfg.bert.num_layers,
+                jnp.bfloat16,
+            ),
+        }
         proj = ProjectionHead(cfg.proj_dim, cfg.dropout, jnp.bfloat16)
 
         def pair_forward(params, arrays, x_t, x_p):
-            z_t = model.apply(params, x_t, method=PenCL.encode_text)
+            x0 = bert_embed(params["params"]["text_encoder"], x_t)
+            t_cls = fused_bert_cls(
+                x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh"
+            )
+            z_t = proj.apply(
+                {"params": params["params"]["text_projection"]},
+                t_cls.astype(jnp.bfloat16),
+            )
             cls = fused_esm2_cls(
-                x_p, **arrays, heads=cfg.esm.attention_heads, gelu="tanh"
+                x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
+                gelu="tanh",
             )
             z_p = proj.apply(
                 {"params": params["params"]["protein_projection"]},
@@ -233,18 +252,24 @@ def bench_pencl(peak):
     drift_cos = None
     if on_tpu:
         ref_model = PenCL(cfg, dtype=jnp.bfloat16)
-        z_fast = jax.jit(
-            lambda p, a, x: pair_forward(p, a, x_t[:4], x)[1]
-        )(params, arrays, x_p[:4])
-        z_ref = jax.jit(
-            lambda p, x: ref_model.apply(p, x, method=PenCL.encode_protein)
-        )(params, x_p[:4])
-        zf = np.asarray(z_fast, np.float32)
-        zr = np.asarray(z_ref, np.float32)
-        cos = (zf * zr).sum(-1) / (
-            np.linalg.norm(zf, axis=-1) * np.linalg.norm(zr, axis=-1)
+        zt_fast, zp_fast = jax.jit(
+            lambda p, a, t, x: pair_forward(p, a, t, x)
+        )(params, arrays, x_t[:4], x_p[:4])
+        ref_out = jax.jit(lambda p, t, x: ref_model.apply(p, t, x))(
+            params, x_t[:4], x_p[:4]
         )
-        drift_cos = round(float(cos.min()), 6)
+        cos_min = 1.0
+        for zf, zr in (
+            (zt_fast, ref_out["text_joint_latent"]),
+            (zp_fast, ref_out["seq_joint_latent"]),
+        ):
+            zf = np.asarray(zf, np.float32)
+            zr = np.asarray(zr, np.float32)
+            cos = (zf * zr).sum(-1) / (
+                np.linalg.norm(zf, axis=-1) * np.linalg.norm(zr, axis=-1)
+            )
+            cos_min = min(cos_min, float(cos.min()))
+        drift_cos = round(cos_min, 6)
         assert drift_cos > 0.999, f"serving-graph drift: cosine {drift_cos}"
 
     return {

@@ -47,6 +47,53 @@ def sinusoidal_time_embedding(
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias with nn.LayerNorm's names/inits, returned raw."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """kernel/bias with nn.Dense's names/shapes/inits, returned raw."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _SplitAttnParams(nn.Module):
+    """SplitHeadAttention's param tree (to_{q,k,v}_kernel + to_out Dense),
+    returned raw for the whole-layer kernel."""
+
+    config: ProteoScribeConfig
+
+    @nn.compact
+    def __call__(self):
+        d = self.config.dim
+        kernel = lambda name: self.param(
+            name, nn.initializers.lecun_normal(), (d, d), jnp.float32
+        )
+        wq, wk, wv = (
+            kernel("to_q_kernel"), kernel("to_k_kernel"), kernel("to_v_kernel")
+        )
+        wo, bo = _DenseParams(d, d, name="to_out")()
+        return {"wq": wq, "wk": wk, "wv": wv, "wo": wo, "bo": bo}
+
+
 class _OutProjParams(nn.Module):
     """kernel/bias params with nn.Dense's exact names, shapes and inits —
     returned raw so the fused attention block can consume them while the
@@ -155,6 +202,38 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.config
+        if self.attn_impl in ("layer-block", "layer-block-interpret"):
+            # whole-layer custom-VJP kernel (ops/pallas/layer_block_tpu):
+            # both LNs, attention, GELU FF and residuals in one kernel per
+            # direction.  Zero-dropout path only (published config) — the
+            # Flax graph remains the fallback for dropout > 0 training.
+            if not deterministic and (
+                cfg.attn_layer_dropout > 0 or cfg.ff_dropout > 0
+            ):
+                raise ValueError(
+                    "layer-block kernel has no dropout path; use "
+                    "attn_impl='xla' for nonzero-dropout training"
+                )
+            from biom3_tpu.ops.pallas.layer_block_tpu import (
+                transformer_layer_block,
+            )
+
+            ln1 = _LNParams(cfg.dim, name="attn_norm")()
+            attn_p = _SplitAttnParams(cfg, name="attn")()
+            ln2 = _LNParams(cfg.dim, name="ff_norm")()
+            w1, b1 = _DenseParams(cfg.dim, cfg.dim * cfg.ff_mult,
+                                  name="ff_w1")()
+            w2, b2 = _DenseParams(cfg.dim * cfg.ff_mult, cfg.dim,
+                                  name="ff_w2")()
+            return transformer_layer_block(
+                x.astype(self.dtype),
+                attn_p["wq"], attn_p["wk"], attn_p["wv"],
+                attn_p["wo"], attn_p["bo"],
+                ln1[0], ln1[1], ln2[0], ln2[1], w1, b1, w2, b2,
+                local_heads=cfg.local_heads, heads=cfg.heads,
+                window=cfg.local_window,
+                interpret=self.attn_impl == "layer-block-interpret",
+            )
         h = nn.LayerNorm(name="attn_norm")(x)  # norms accumulate in f32
         x = x + SplitHeadAttention(
             cfg, self.attn_impl, self.dtype, self.fused_qkv, name="attn"

@@ -89,20 +89,25 @@ class PenCLEngine:
         )
         self._stack_arrays = None
         if tower_impl == "fused-stack" and not text_only:
+            from biom3_tpu.models.pencl import ProjectionHead
+            from biom3_tpu.ops.pallas.bert_stack_tpu import bert_stack_arrays
             from biom3_tpu.ops.pallas.esm2_stack_tpu import esm2_stack_arrays
 
-            self._stack_arrays = esm2_stack_arrays(
-                self.params["params"]["protein_encoder"],
-                self.config.esm.num_layers,
-                dtype=dtype,
-            )
-            from biom3_tpu.models.pencl import ProjectionHead
-
+            self._stack_arrays = {
+                "esm": esm2_stack_arrays(
+                    self.params["params"]["protein_encoder"],
+                    self.config.esm.num_layers, dtype=dtype,
+                ),
+                "bert": bert_stack_arrays(
+                    self.params["params"]["text_encoder"],
+                    self.config.bert.num_layers, dtype=dtype,
+                ),
+            }
             proj = ProjectionHead(self.config.proj_dim, self.config.dropout,
                                   dtype)
-            self._protein_head = jax.jit(
-                lambda p, cls: proj.apply(
-                    {"params": p["params"]["protein_projection"]}, cls
+            self._proj_head = jax.jit(
+                lambda head_params, cls: proj.apply(
+                    {"params": head_params}, cls
                 )
             )
 
@@ -139,14 +144,26 @@ class PenCLEngine:
 
     def embed_tokens(self, x_t: np.ndarray, x_p: np.ndarray) -> tuple:
         if self._stack_arrays is not None:
+            from biom3_tpu.ops.pallas.bert_stack_tpu import (
+                bert_embed,
+                fused_bert_cls,
+            )
             from biom3_tpu.ops.pallas.esm2_stack_tpu import fused_esm2_cls
 
-            z_t = self._encode_text(self.params, jnp.asarray(x_t))
+            dtype = self.model.dtype
+            p = self.params["params"]
+            x0 = bert_embed(p["text_encoder"], jnp.asarray(x_t), dtype=dtype)
+            t_cls = fused_bert_cls(
+                x0, **self._stack_arrays["bert"],
+                heads=self.config.bert.num_heads, gelu="tanh",
+                rows=1 if x_t.shape[0] % 2 else 2,
+            )
+            z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))
             cls = fused_esm2_cls(
-                jnp.asarray(x_p), **self._stack_arrays,
+                jnp.asarray(x_p), **self._stack_arrays["esm"],
                 heads=self.config.esm.attention_heads, gelu="tanh",
             )
-            z_p = self._protein_head(self.params, cls.astype(self.model.dtype))
+            z_p = self._proj_head(p["protein_projection"], cls.astype(dtype))
             return z_t, z_p
         out = self._forward(self.params, jnp.asarray(x_t), jnp.asarray(x_p))
         return out["text_joint_latent"], out["seq_joint_latent"]

@@ -36,6 +36,8 @@ from biom3_tpu.training.state import TrainState
 from biom3_tpu.utils.flops import proteoscribe_forward_flops
 
 VARIANTS = {
+    "layer_block": dict(scan_layers=False, remat=False,
+                        attn_impl="layer-block"),
     "block": dict(scan_layers=False, remat=False, attn_impl="block"),
     "block_remat": dict(scan_layers=False, remat=True, attn_impl="block"),
     "unrolled": dict(scan_layers=False, remat=False),
