@@ -51,11 +51,17 @@ def parse_arguments():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--layer-mode",
-                   choices=["unrolled", "unrolled_remat", "scan_remat"],
+                   choices=["layer_block", "block", "unrolled",
+                            "unrolled_remat", "scan_remat"],
                    default="unrolled",
                    help="layer graph construction; measured on-chip "
-                        "(tools/bench_train.py, B=32): unrolled 252 ms/step "
-                        "(fastest), unrolled_remat 323 ms (low-memory), "
+                        "(tools/bench_train.py, B=32): layer_block "
+                        "114.7 ms/step (whole-layer custom-VJP Pallas "
+                        "kernel, fastest; zero-dropout configs only — the "
+                        "published stage3 config — and ~8 min compiles), "
+                        "block 158 ms (fused attention-block custom VJP), "
+                        "unrolled 253 ms (pure-XLA default), "
+                        "unrolled_remat 323 ms (low-memory), "
                         "scan_remat 325 ms (low-memory + ~3x faster "
                         "compiles).  Plain scan-without-remat is rejected "
                         "by the TPU compiler on the backward graph.")
@@ -106,10 +112,20 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     layer_kw = {
+        "layer_block": {"attn_impl": "layer-block"},
+        "block": {"attn_impl": "block"},
         "unrolled": {},
         "unrolled_remat": {"remat": True},
         "scan_remat": {"scan_layers": True, "scan_unroll": 2, "remat": True},
     }[args.layer_mode]
+    if args.layer_mode == "layer_block" and (
+        model_cfg.attn_layer_dropout > 0 or model_cfg.ff_dropout > 0
+    ):
+        raise SystemExit(
+            "--layer-mode layer_block has no dropout path "
+            f"(attn_layer_dropout={model_cfg.attn_layer_dropout}, "
+            f"ff_dropout={model_cfg.ff_dropout}); use 'block' or 'unrolled'"
+        )
     model = ProteoScribe(model_cfg, dtype=dtype, **layer_kw)
     params = model.init(
         jax.random.key(cfg.int("seed", 42)),

@@ -536,6 +536,16 @@ def transformer_layer_block(
     interpret: bool = False,
 ) -> jax.Array:
     """Differentiable fused TransformerLayer → (B, L, d)."""
+    d = xb.shape[-1]
+    if not interpret and (window % 128 or d % 128):
+        # Mosaic requires lane-dim slice offsets to be 128-multiples; a
+        # 64-token window fails hardware compile ("cannot statically prove
+        # that index ... is a multiple of 128") even though interpret mode
+        # accepts it.  The published config (window=128, d=512) is fine.
+        raise ValueError(
+            f"layer-block kernel needs window % 128 == 0 and dim % 128 == 0 "
+            f"on TPU (got window={window}, dim={d}); use attn_impl='xla'"
+        )
     cdtype = xb.dtype
     L = xb.shape[1]
     ff_block_l = min(ff_block_l, L)

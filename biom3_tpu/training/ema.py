@@ -13,10 +13,14 @@ Reference update: ``param_ema = lerp(param, param_ema, β=0.9999)``
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(lambda p: p, params)
+    # REAL copies, not aliases: with ``donate_argnums`` on the train step a
+    # shared buffer would be donated twice (param leaf + ema leaf), which
+    # the TPU runtime rejects (InvalidArgument) on the first step.
+    return jax.tree.map(jnp.array, params)
 
 
 def ema_update(ema_params, params, beta: float = 0.9999):

@@ -68,6 +68,24 @@ def test_ema_lerp_matches_reference():
     np.testing.assert_allclose(np.asarray(e["w"]), 0.5, atol=1e-6)
 
 
+def test_ema_init_copies_not_aliases():
+    """ema_init must materialize NEW buffers: aliased leaves get donated
+    twice (param + ema) under the train step's ``donate_argnums``, which
+    the TPU runtime rejects with InvalidArgument on the first step."""
+    p = {"w": jnp.arange(8, dtype=jnp.float32)}
+    e = ema_init(p)
+    assert e["w"] is not p["w"]
+    assert e["w"].unsafe_buffer_pointer() != p["w"].unsafe_buffer_pointer()
+    np.testing.assert_array_equal(np.asarray(e["w"]), np.asarray(p["w"]))
+    # donating a state whose params/ema leaves alias would fail on TPU;
+    # emulate the aliasing hazard check on any backend
+    f = jax.jit(lambda t: jax.tree.map(lambda x: x + 1, t),
+                donate_argnums=(0,))
+    out = f({"params": p, "ema": e})  # must not raise
+    np.testing.assert_array_equal(np.asarray(out["ema"]["w"]),
+                                  np.arange(8) + 1)
+
+
 def test_single_device_train_step_reduces_loss():
     model, params = _model_and_params()
     tx = make_optimizer("AdamW", 1e-3, weight_decay=0.0)
