@@ -19,6 +19,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # parity tests compare f32 numerics against torch; make matmuls exact f32
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite is dominated by CPU XLA compiles of
+# the same graphs every run (~400 s of the ~530 s wall).  Keyed by HLO
+# hash, so edits to a model invalidate exactly its own entries.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -53,9 +53,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rows", type=int, nargs="*", default=[1, 2])
-    ap.add_argument("--wbuf", type=int, default=2)
-    ap.add_argument("--ffbuf", type=int, default=2)
-    ap.add_argument("--ff-block", type=int, default=256)
+    ap.add_argument("--wbuf", type=int, nargs="*", default=[2])
+    ap.add_argument("--ffbuf", type=int, nargs="*", default=[2])
+    ap.add_argument("--ff-block", type=int, nargs="*", default=[256])
     ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
@@ -102,24 +102,31 @@ def main():
         ref_cls = np.asarray(jax.jit(xla_fwd)(params, x), np.float32)
 
     arrays = esm2_stack_arrays(params["params"], cfg.num_layers, jnp.bfloat16)
-    for rows in args.rows:
-        def fused_fwd(arrs, xx, rows=rows):
+    combos = [
+        (rows, wbuf, ffbuf, ffb)
+        for rows in args.rows
+        for wbuf in args.wbuf
+        for ffbuf in args.ffbuf
+        for ffb in args.ff_block
+    ]
+    for rows, wbuf, ffbuf, ffb in combos:
+        def fused_fwd(arrs, xx, rows=rows, wbuf=wbuf, ffbuf=ffbuf, ffb=ffb):
             return fused_esm2_cls(
                 xx, **arrs, heads=cfg.attention_heads, rows=rows,
-                ff_block_l=args.ff_block, gelu="tanh",
-                w_buffers=args.wbuf, ff_buffers=args.ffbuf,
+                ff_block_l=ffb, gelu="tanh",
+                w_buffers=wbuf, ff_buffers=ffbuf,
             )
+        tag = f"rows={rows} wbuf={wbuf} ffbuf={ffbuf} ffb={ffb}"
         try:
             best, comp = chain_time(fused_fwd, arrays, x, args.iters)
         except Exception as e:  # noqa: BLE001 — report and continue variants
-            print(f"fused rows={rows}: FAILED {type(e).__name__}: "
+            print(f"fused {tag}: FAILED {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}")
             continue
         rate = B * args.iters / best
-        print(f"fused rows={rows} wbuf={args.wbuf} ffbuf={args.ffbuf}: "
-              f"{best:.3f}s  {rate:.1f} seq/s  {flops/best/1e12:.1f} TF/s  "
-              f"(compile {comp:.0f}s)")
-        results[f"fused{rows}"] = rate
+        print(f"fused {tag}: {best:.3f}s  {rate:.1f} seq/s  "
+              f"{flops/best/1e12:.1f} TF/s  (compile {comp:.0f}s)")
+        results[tag] = rate
         if ref_cls is not None:
             got = np.asarray(jax.jit(fused_fwd)(arrays, x), np.float32)
             cos = (got * ref_cls).sum(-1) / (
