@@ -102,7 +102,7 @@ class BertEncoder(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False  # rematerialize layers in the backward pass
+    remat: bool | str = False  # False / True (full) / "dots" (models.remat)
 
     @nn.compact
     def __call__(
@@ -139,9 +139,9 @@ class BertEncoder(nn.Module):
             padding_mask = attention_mask == 0
 
         # deterministic (call arg 3; 0 is the module) is a static bool
-        layer_cls = (
-            nn.remat(BertLayer, static_argnums=(3,)) if self.remat else BertLayer
-        )
+        from biom3_tpu.models.remat import remat_layer
+
+        layer_cls = remat_layer(BertLayer, self.remat, static_argnums=(3,))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, self.dtype, self.attn_impl, name=f"layer_{i}")(
                 x, padding_mask, deterministic

@@ -44,7 +44,8 @@ class PenCL(nn.Module):
     config: PenCLConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False  # rematerialize tower layers in the backward pass —
+    remat: bool | str = False  # tower-layer remat: False / True (full) /
+                         # "dots" (keep matmul outputs — models.remat);
                          # full-size contrastive training fits a 16 GB chip
     gelu: str = "erf"    # ESM2 FF activation; "tanh" = serving perf mode
                          # (drift recorded — parity/training keep "erf")

@@ -74,7 +74,7 @@ def test_stage1_remat_matches_plain(rng):
 
     batch = _batch(rng)
     results = []
-    for remat in (False, True):
+    for remat in (False, True, "dots"):
         model = PenCL(TINY, remat=remat)
         params = model.init(
             jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
@@ -91,10 +91,11 @@ def test_stage1_remat_matches_plain(rng):
             [g.ravel() for g in jax.tree.leaves(grads)]
         )
         results.append((float(loss), np.asarray(flat)))
-    (l0, g0), (l1, g1) = results
-    np.testing.assert_allclose(l0, l1, rtol=1e-6)
-    rel_l2 = np.linalg.norm(g0 - g1) / max(np.linalg.norm(g0), 1e-30)
-    assert rel_l2 < 1e-5, f"grad relative L2 {rel_l2}"
+    (l0, g0) = results[0]
+    for l1, g1 in results[1:]:
+        np.testing.assert_allclose(l0, l1, rtol=1e-6)
+        rel_l2 = np.linalg.norm(g0 - g1) / max(np.linalg.norm(g0), 1e-30)
+        assert rel_l2 < 1e-5, f"grad relative L2 {rel_l2}"
 
 
 def test_stage1_ablated_drops_intra(rng):

@@ -42,13 +42,21 @@ def main():
     ap.add_argument("--dataset-type", default="default",
                     choices=["default", "masked", "pfam", "pfam_ablated"])
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-mode", default=None,
+                    choices=["full", "dots", "none"],
+                    help="overrides --no-remat: full = recompute all, "
+                         "dots = keep matmul outputs (models.remat)")
     ap.add_argument("--peak", type=float, default=190.0,
                     help="measured bf16 GEMM TF/s for the MFU estimate")
     args = ap.parse_args()
 
+    if args.remat_mode is not None:
+        remat = {"full": True, "dots": "dots", "none": False}[args.remat_mode]
+    else:
+        remat = not args.no_remat
     cfg = PenCLConfig()
     B = args.batch
-    model = PenCL(cfg, dtype=jnp.bfloat16, remat=not args.no_remat)
+    model = PenCL(cfg, dtype=jnp.bfloat16, remat=remat)
     rng = np.random.default_rng(0)
 
     def toks(v, L):
@@ -68,7 +76,7 @@ def main():
         batch["pfam_protein_tokens_masked"] = batch["pfam_protein_tokens"]
 
     print(f"device: {jax.devices()[0]}  B={B} type={args.dataset_type} "
-          f"remat={not args.no_remat}")
+          f"remat={remat}")
     t0 = time.perf_counter()
     params = model.init(
         jax.random.key(0), batch["text_tokens"][:1],

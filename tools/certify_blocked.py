@@ -95,18 +95,39 @@ def main():
     state = TrainState.create(params, tx)
     step = jax.jit(make_stage3_train_step(model.apply, tx))
 
+    # scanned trainer: data pre-generated on host, steps chunked per
+    # dispatch (the tunnel adds ~0.2 s/dispatch; a python-loop trainer
+    # would spend 13 min dispatching 4 s of compute)
     rng = np.random.default_rng(0)
+    chunk = 100
+    n_chunks = max(1, args.steps // chunk)
     t0 = time.time()
-    loss = None
-    for i in range(args.steps):
-        tokens, z_c, _ = make_batch(rng, args.batch, cfg.max_seq_len, cfg.cond_dim)
-        state, aux = step(state, {"tokens": tokens, "z_c": z_c},
-                          jax.random.key(1000 + i))
-        if i % 100 == 0 or i == args.steps - 1:
-            loss = float(aux["loss"])
-            print(f"step {i}: loss {loss:.4f} acc {float(aux['acc_unsampled']):.3f}",
-                  flush=True)
-    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s")
+
+    @jax.jit
+    def train_chunk(state, tokens_c, zc_c, key):
+        def body(carry, xs):
+            st, _ = carry
+            tok, zc, k = xs
+            st, aux = step(st, {"tokens": tok, "z_c": zc}, k)
+            return (st, aux["loss"]), ()
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)),
+            (tokens_c, zc_c, jax.random.split(key, tokens_c.shape[0])),
+        )
+        return state, loss
+
+    for c in range(n_chunks):
+        toks = np.empty((chunk, args.batch, cfg.max_seq_len), np.int32)
+        zcs = np.empty((chunk, args.batch, cfg.cond_dim), np.float32)
+        for i in range(chunk):
+            t_, z_, _ = make_batch(rng, args.batch, cfg.max_seq_len,
+                                   cfg.cond_dim)
+            toks[i], zcs[i] = np.asarray(t_), np.asarray(z_)
+        state, loss = train_chunk(state, jnp.asarray(toks), jnp.asarray(zcs),
+                                  jax.random.key(1000 + c))
+        print(f"chunk {c + 1}/{n_chunks} (step {(c + 1) * chunk}): "
+              f"loss {float(loss):.4f}", flush=True)
+    print(f"trained {n_chunks * chunk} steps in {time.time()-t0:.0f}s")
 
     B = args.sample_batch
     _, z_c, cls = make_batch(np.random.default_rng(7), B, cfg.max_seq_len,
