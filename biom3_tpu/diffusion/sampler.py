@@ -86,7 +86,11 @@ def make_sampler(
     forward samples the next k path positions independently from the same
     conditional, cutting model calls k-fold.  k=1 (default) is exactly the
     reference's one-position-per-step semantics; k>1 is an approximation
-    (positions within a block don't condition on each other).
+    (positions within a block don't condition on each other).  Certified
+    on-chip (PARITY.md "Blocked decoding certification"): at temperature 0
+    k=8 is quality-neutral; at temp ≤0.5 use k≤2 for exact-noise-floor
+    quality; at temp 1.0 keep k=1 (k=8 measurably mixes modes on
+    dependence-heavy tasks).
 
     ``head_fn(params, h) → logits`` switches to the gather-before-head
     contract: ``apply_fn`` returns the final hidden states (B, L, D) and the

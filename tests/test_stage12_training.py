@@ -98,6 +98,45 @@ def test_stage1_remat_matches_plain(rng):
         assert rel_l2 < 1e-5, f"grad relative L2 {rel_l2}"
 
 
+def test_remat_layer_mode_validation():
+    """remat_layer wraps/passes through per mode and rejects bad strings."""
+    import flax.linen as nn
+
+    from biom3_tpu.models.esm2 import ESM2Layer
+    from biom3_tpu.models.remat import remat_layer
+
+    assert remat_layer(ESM2Layer, False) is ESM2Layer
+    assert remat_layer(ESM2Layer, True) is not ESM2Layer
+    assert remat_layer(ESM2Layer, "dots") is not ESM2Layer
+    with pytest.raises(ValueError, match="unknown remat mode"):
+        remat_layer(ESM2Layer, "nope")
+
+
+@pytest.mark.slow  # ~25 s of compile; mode validation stays default above
+def test_remat_dots_matches_plain_tiny(rng):
+    """Slow-tier twin of test_stage1_remat_matches_plain on just the ESM2
+    tower: the "dots" checkpoint policy (keep matmul outputs) is
+    numerically identical."""
+    from biom3_tpu.models.esm2 import ESM2
+
+    toks = jnp.asarray(rng.integers(4, 30, (2, 10)).astype(np.int32))
+    results = []
+    for remat in (False, "dots"):
+        model = ESM2(TINY.esm, remat=remat)
+        params = model.init(jax.random.key(0), toks)
+
+        def loss_fn(p):
+            return jnp.sum(model.apply(p, toks)["hidden"] ** 2)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        flat = jnp.concatenate([g.ravel() for g in jax.tree.leaves(grads)])
+        results.append((float(loss), np.asarray(flat)))
+    (l0, g0), (l1, g1) = results
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    rel_l2 = np.linalg.norm(g0 - g1) / max(np.linalg.norm(g0), 1e-30)
+    assert rel_l2 < 1e-5, f"grad relative L2 {rel_l2}"
+
+
 def test_stage1_ablated_drops_intra(rng):
     model = PenCL(TINY)
     params = model.init(
