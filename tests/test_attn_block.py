@@ -93,6 +93,9 @@ def test_attn_block_forward_values(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # 17 s; kernel fwd+bwd covered default by
+# test_attn_block_forward_and_grads_match_xla, and the whole-layer kernel's
+# full-model integration (test_layer_block) stays default
 def test_proteoscribe_block_impl_matches_xla(rng):
     """Model-level: attn_impl='block-interpret' produces the same param
     tree, logits, and training gradients as the XLA graph."""

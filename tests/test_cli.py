@@ -19,6 +19,11 @@ def run_cli(module: str, *args: str):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    # share the suite's persistent compile cache (conftest) — repeat CLI
+    # graphs (e.g. the tiny Stage-3 sampler, compiled by three tests) are
+    # disk hits instead of fresh XLA compiles
+    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
     return subprocess.run(
         [sys.executable, "-m", module, *args],
         capture_output=True, text=True, env=env, timeout=600,

@@ -7,6 +7,7 @@ configuration — catching shape/config regressions without materializing
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from biom3_tpu.config import (
     FacilitatorConfig,
@@ -21,6 +22,8 @@ from biom3_tpu.models.proteoscribe import ProteoScribe
 REF = "/root/reference"
 
 
+@pytest.mark.slow  # 9 s; bench runs the real full-size PenCL on chip every
+# round
 def test_pencl_full_config_traces():
     cfg = PenCLConfig.from_stage_config(load_json_config(f"{REF}/stage1_config.json"))
     assert cfg.esm.num_layers == 33 and cfg.esm.embed_dim == 1280

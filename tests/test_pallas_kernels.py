@@ -55,6 +55,8 @@ def test_flash_attention_kernel_unmasked(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow  # 8 s; kernel-level flash tests and the fused-tower
+# integration (test_esm2_stack) stay default
 def test_esm2_with_pallas_attention_matches_xla(rng):
     """Whole tower forward: attn_impl='pallas' must agree with 'xla'."""
     from biom3_tpu.config import ESM2Config

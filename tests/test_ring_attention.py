@@ -47,6 +47,8 @@ def test_ring_attention_long_context(sp_mesh, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.slow  # 10 s; op-level ring tests (matches_full, long_context)
+# stay default
 def test_esm2_with_ring_attention_matches_xla(sp_mesh, rng):
     """Whole protein tower with sequence-parallel attention over 8 devices."""
     from biom3_tpu.config import ESM2Config

@@ -220,6 +220,8 @@ def test_esm2_head_dim_64_parity(rng):
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # 10 s; bench gates serving-path bf16 drift on-chip every
+# round (stack_vs_flax cosine > 0.999)
 def test_esm2_bf16_drift_is_small(hf_esm, rng):
     """bf16 fast mode must track f32 to ≥0.999 cosine on CLS vectors."""
     params = {"params": esm2_params_from_torch(
