@@ -337,6 +337,10 @@ def test_e2e_cli_fast_mode(tmp_path):
             assert "<START>" not in s and "<PAD>" not in s
 
 
+@pytest.mark.slow  # 17 s (two subprocess runs); the Stage-3 CLI surface
+# stays default via test_proteoscribe_cli, and temp-0 determinism of the
+# sampler itself is covered default in
+# test_proteoscribe.py::test_sampler_temp0_deterministic
 def test_proteoscribe_cli_temp0_deterministic(tmp_path):
     import torch
     import torch_golden

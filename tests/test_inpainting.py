@@ -39,6 +39,8 @@ def test_corrupt_samples_fraction():
     np.testing.assert_array_equal(np.asarray(t), 16)
 
 
+@pytest.mark.slow  # 18 s; the only-masked-positions-change property stays
+# default via test_inpainter_completes_trajectory on the same tiny model
 def test_autocomplete_fills_only_masked():
     model, params = _cond_model()
     real = jnp.asarray(np.random.default_rng(0).integers(1, 29, (2, 64)), jnp.int32)

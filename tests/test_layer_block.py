@@ -91,6 +91,9 @@ def test_layer_block_grads_match_flax(rng):
         )
 
 
+@pytest.mark.slow  # 17 s; kernel fwd+bwd stays default via
+# test_layer_block_{forward,grads}_match_flax, and the model-level
+# integration pattern is covered default by test_attn_block's sibling
 def test_proteoscribe_layer_block_impl_matches_xla(rng):
     """Model-level: attn_impl='layer-block-interpret' — identical param
     tree, logits, and training gradients vs the XLA graph."""

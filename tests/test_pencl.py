@@ -26,6 +26,8 @@ SMALL = PenCLConfig(
 )
 
 
+@pytest.mark.slow  # 14 s; the same forward (incl. masked-logit heads) is
+# compiled default inside test_stage12_training::test_stage1_train_step
 def test_pencl_forward_shapes():
     model = PenCL(SMALL)
     x_t = jnp.zeros((3, 10), jnp.int32)

@@ -31,7 +31,16 @@ def _setup(rng, B=4):
 import pytest
 
 
-@pytest.mark.parametrize("resident", [True, False])
+@pytest.mark.parametrize(
+    "resident",
+    [
+        # resident=True is 11 s in interpret mode and is the bench's on-chip
+        # serving path, drift-gated every round (stack_vs_flax logit delta);
+        # the streamed variant keeps the default interpret-mode coverage
+        pytest.param(True, marks=pytest.mark.slow),
+        False,
+    ],
+)
 def test_stack_kernel_matches_flax_f32(rng, resident):
     model, variables, x, t, z = _setup(rng)
     B, k = x.shape[0], 4
