@@ -165,10 +165,11 @@ def bench_pencl(peak):
 
     cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
     # measured TPU serving defaults: whole-tower streamed-weights fused ESM2
-    # kernel (tools/exp_esm2_stack.py: 96.2 vs 74.4 seq/s tower-only, CLS
-    # cosine 0.999966 vs the XLA path) + flash BERT + tanh-GELU
+    # kernel with int8 FF (tools/exp_esm2_stack.py: 126.9 int8 vs 100.9 bf16
+    # vs 74.4 XLA seq/s tower-only, CLS cosine 0.999939) + fused BERT tower
+    # + tanh-GELU
     on_tpu = jax.devices()[0].platform != "cpu"
-    tower_impl = "esm2-stack+pallas" if on_tpu else "xla"
+    tower_impl = "esm2-stack-int8ff+pallas" if on_tpu else "xla"
     model = PenCL(cfg, dtype=jnp.bfloat16,
                   attn_impl="pallas:1024:1024" if on_tpu else "xla",
                   gelu="tanh" if on_tpu else "erf")
@@ -190,9 +191,11 @@ def bench_pencl(peak):
         )
 
         arrays = {
+            # int8 FF: on-chip 126.9 vs 100.9 tower seq/s (exp_esm2_stack),
+            # CLS cosine 0.999939 — covered by the drift gate below
             "esm": esm2_stack_arrays(
                 params["params"]["protein_encoder"], cfg.esm.num_layers,
-                jnp.bfloat16,
+                jnp.bfloat16, ff_quant="int8",
             ),
             "bert": bert_stack_arrays(
                 params["params"]["text_encoder"], cfg.bert.num_layers,
@@ -212,7 +215,7 @@ def bench_pencl(peak):
             )
             cls = fused_esm2_cls(
                 x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
-                gelu="tanh",
+                gelu="tanh", ff_quant="int8",
             )
             z_p = proj.apply(
                 {"params": params["params"]["protein_projection"]},

@@ -44,6 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+from biom3_tpu.ops.pallas.quant import (  # noqa: F401 — re-exported API
+    quant_cols as _quant_cols,
+    quant_rows as _quant_rows,
+    quantize_weight_int8,
+)
 
 NEG_INF = -1e9
 
@@ -57,9 +62,13 @@ def _esm2_stack_kernel(
     wqt_ref, wkt_ref, wvt_ref,                   # (1, E, E) pre-transposed
     bq_ref, bk_ref, bv_ref,                      # (1, 1, E)
     wo_ref, bo_ref,                              # (1, E, E) (in,out), (1, 1, E)
+    sq_ref, sk_ref, sv_ref, so_ref,              # (1, 1, E) proj dequant
+    #   scales (ones when proj_quant == "none")
     ls2_ref, lb2_ref,                            # (1, 1, E) final LN (pre-FF)
     w1_ref, b1_ref,                              # (1, E, F), (1, 1, F)
     w2_ref, b2_ref,                              # (1, F, E), (1, 1, E)
+    s1_ref, s2_ref,                              # (1, 1, F), (1, 1, E) int8
+    #   per-out-channel dequant scales (ones when ff_quant == "none")
     fns_ref, fnb_ref,                            # (1, E) emb_layer_norm_after
     # output:
     o_ref,                                       # (rows, 1, E) f32 CLS
@@ -69,7 +78,7 @@ def _esm2_stack_kernel(
     qkv_ref,                                     # (3E, L) cdtype
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu,
-    pad_idx, mask_idx, token_dropout, head_unroll,
+    pad_idx, mask_idx, token_dropout, head_unroll, ff_quant, proj_quant,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -114,21 +123,30 @@ def _esm2_stack_kernel(
             xres_ref[:], ls1_ref[0, 0], lb1_ref[0, 0], eps=1e-5
         ).astype(cdtype).T                                       # (E, L)
 
-        def projt(dst, wt_ref, b_ref):
+        if proj_quant == "int8":
+            qxnt, axn = _quant_cols(xnt)
+
+        def projt(dst, wt_ref, b_ref, s_ref):
             # (E, L) = Wᵀ (E,E) @ xnt + bᵀ; staged into the qkv scratch so
             # the head fori_loop can dynamic-slice a ref (Mosaic cannot
             # dynamic_slice values)
-            out = jax.lax.dot_general(
-                wt_ref[0].astype(cdtype), xnt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+            if proj_quant == "int8":
+                out = jax.lax.dot_general(
+                    wt_ref[0], qxnt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * s_ref[0, 0][:, None] * axn
+            else:
+                out = jax.lax.dot_general(
+                    wt_ref[0].astype(cdtype), xnt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
             qkv_ref[dst * E:(dst + 1) * E, :] = (
                 out + b_ref[0, 0].astype(jnp.float32)[:, None]
             ).astype(cdtype)
 
-        projt(0, wqt_ref, bq_ref)
-        projt(1, wkt_ref, bk_ref)
-        projt(2, wvt_ref, bv_ref)
+        projt(0, wqt_ref, bq_ref, sq_ref)
+        projt(1, wkt_ref, bk_ref, sk_ref)
+        projt(2, wvt_ref, bv_ref, sv_ref)
 
         cost = cost_ref[:].astype(cdtype)                        # (Dh, L)
         sint = sint_ref[:].astype(cdtype)
@@ -174,14 +192,21 @@ def _esm2_stack_kernel(
         jax.lax.fori_loop(0, heads, head_body, None, unroll=head_unroll)
 
         # out projection (kernel (in,out) laid out for the transposed attn):
-        # out (L, E) = attnᵀ @ Wo  ⇒  computed as (Woᵀ? no) —
         # dot_general contracting attn_ref's E axis with Wo's in axis,
         # outputting (L, E) directly avoids transposing the big attn matrix:
         # out[l, o] = Σ_e attn[e, l]·Wo[e, o]
-        out = jax.lax.dot_general(
-            attn_ref[:], wo_ref[0].astype(cdtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )                                                        # (L, E) f32
+        if proj_quant == "int8":
+            qattn, aat = _quant_cols(attn_ref[:])                # (E,L),(1,L)
+            out = jax.lax.dot_general(
+                qattn, wo_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * aat.T * so_ref[0, 0]         # (L, E) f32
+        else:
+            out = jax.lax.dot_general(
+                attn_ref[:], wo_ref[0].astype(cdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                                                    # (L, E) f32
         xres_ref[:] = xres_ref[:] + out + bo_ref[0, 0].astype(jnp.float32)
 
         # ---- FF block (pre-LN, E→4E GELU→E), tiled over L ----
@@ -189,18 +214,38 @@ def _esm2_stack_kernel(
         def ff_body(i, _):
             off = pl.multiple_of(i * ff_block_l, ff_block_l)
             xc = xres_ref[pl.ds(off, ff_block_l), :]
-            xn = _layernorm(
-                xc, ls2_ref[0, 0], lb2_ref[0, 0], eps=1e-5
-            ).astype(cdtype)
-            h1 = jax.lax.dot_general(
-                xn, w1_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) + b1_ref[0, 0].astype(jnp.float32)
-            h1 = _gelu(h1, gelu).astype(cdtype)
-            out = jax.lax.dot_general(
-                h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) + b2_ref[0, 0].astype(jnp.float32)
+            xn = _layernorm(xc, ls2_ref[0, 0], lb2_ref[0, 0], eps=1e-5)
+            if ff_quant == "int8":
+                # int8 MXU path (~2x bf16 on v5e): per-row dynamic
+                # activation quant x per-out-channel static weight quant,
+                # int32 accumulation, f32 dequant (scales fused into one
+                # rank-1 rescale per matmul)
+                qx, ax = _quant_rows(xn)
+                h1 = jax.lax.dot_general(
+                    qx, w1_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ax * s1_ref[0, 0] + b1_ref[
+                    0, 0
+                ].astype(jnp.float32)
+                h1 = _gelu(h1, gelu)
+                qh, ah = _quant_rows(h1)
+                out = jax.lax.dot_general(
+                    qh, w2_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ah * s2_ref[0, 0] + b2_ref[
+                    0, 0
+                ].astype(jnp.float32)
+            else:
+                h1 = jax.lax.dot_general(
+                    xn.astype(cdtype), w1_ref[0].astype(cdtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ) + b1_ref[0, 0].astype(jnp.float32)
+                h1 = _gelu(h1, gelu).astype(cdtype)
+                out = jax.lax.dot_general(
+                    h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ) + b2_ref[0, 0].astype(jnp.float32)
             h_ref[r, pl.ds(off, ff_block_l)] = (xc + out).astype(cdtype)
             return _
 
@@ -218,7 +263,7 @@ def _esm2_stack_kernel(
     static_argnames=(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb",
         "pad_idx", "mask_idx", "token_dropout", "w_buffers", "ff_buffers",
-        "head_unroll", "interpret",
+        "head_unroll", "interpret", "ff_quant", "proj_quant",
     ),
 )
 def fused_esm2_cls(
@@ -232,6 +277,12 @@ def fused_esm2_cls(
     w1: jax.Array, b1: jax.Array,                # (depth, E, F), (depth, F)
     w2: jax.Array, b2: jax.Array,                # (depth, F, E), (depth, E)
     fn_scale: jax.Array, fn_bias: jax.Array,     # (E,) emb_layer_norm_after
+    s1: jax.Array | None = None,                 # (depth, F) int8 FF dequant
+    s2: jax.Array | None = None,                 # (depth, E) scales
+    sq: jax.Array | None = None,                 # (depth, E) int8 proj
+    sk: jax.Array | None = None,                 # dequant scales
+    sv: jax.Array | None = None,
+    so: jax.Array | None = None,
     *,
     heads: int,
     rows: int = 1,
@@ -245,6 +296,8 @@ def fused_esm2_cls(
     ff_buffers: int = 2,
     head_unroll: int = 1,
     interpret: bool = False,
+    ff_quant: str = "none",
+    proj_quant: str = "none",
 ) -> jax.Array:
     """Full ESM2 tower forward → (B, E) f32 post-final-norm CLS vectors.
 
@@ -267,6 +320,24 @@ def fused_esm2_cls(
         ff_block_l //= 2
     cdtype = tok_table.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    if ff_quant == "int8":
+        if w1.dtype != jnp.int8 or w2.dtype != jnp.int8:
+            raise ValueError("ff_quant='int8' needs int8 w1/w2 "
+                             "(esm2_stack_arrays(..., ff_quant='int8'))")
+        if s1 is None or s2 is None:
+            raise ValueError("ff_quant='int8' needs s1/s2 dequant scales")
+    else:
+        # unused by the kernel when quant is off, but the ref list is fixed
+        s1 = jnp.ones((depth, F), jnp.float32)
+        s2 = jnp.ones((depth, E), jnp.float32)
+    if proj_quant == "int8":
+        if wq.dtype != jnp.int8 or wo.dtype != jnp.int8:
+            raise ValueError("proj_quant='int8' needs int8 wq/wk/wv/wo "
+                             "(esm2_stack_arrays(..., proj_quant='int8'))")
+        if any(s is None for s in (sq, sk, sv, so)):
+            raise ValueError("proj_quant='int8' needs sq/sk/sv/so scales")
+    else:
+        sq = sk = sv = so = jnp.ones((depth, E), jnp.float32)
 
     # rotary tables, transposed (feature-major to match (E, L) activations)
     inv_freq = 1.0 / (10000 ** (np.arange(0, Dh, 2, dtype=np.float32) / Dh))
@@ -302,6 +373,7 @@ def fused_esm2_cls(
         depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
         precision=precision, gelu=gelu, pad_idx=pad_idx, mask_idx=mask_idx,
         token_dropout=token_dropout, head_unroll=head_unroll,
+        ff_quant=ff_quant, proj_quant=proj_quant,
     )
 
     return pl.pallas_call(
@@ -316,9 +388,12 @@ def fused_esm2_cls(
             lyr(E, E, wmode), lyr(E, E, wmode), lyr(E, E, wmode),  # wqᵀwkᵀwvᵀ
             lyr(1, E, single), lyr(1, E, single), lyr(1, E, single),  # bq/bk/bv
             lyr(E, E, wmode), lyr(1, E, single),                 # wo bo
+            lyr(1, E, single), lyr(1, E, single),                # sq sk
+            lyr(1, E, single), lyr(1, E, single),                # sv so
             lyr(1, E, single), lyr(1, E, single),                # ln2 s/b
             lyr(E, F, ffmode), lyr(1, F, single),                # w1 b1
             lyr(F, E, ffmode), lyr(1, E, single),                # w2 b2
+            lyr(1, F, single), lyr(1, E, single),                # s1 s2
             cst(1, E), cst(1, E),                                # final norm
         ],
         out_specs=pl.BlockSpec(
@@ -346,43 +421,72 @@ def fused_esm2_cls(
         jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
         bq[:, None, :], bk[:, None, :], bv[:, None, :],
         wo, bo[:, None, :],
+        sq[:, None, :], sk[:, None, :], sv[:, None, :], so[:, None, :],
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1, b1[:, None, :], w2, b2[:, None, :],
+        s1[:, None, :], s2[:, None, :],
         fn_scale[None, :], fn_bias[None, :],
     )[:, 0, :]
 
 
-def esm2_stack_arrays(esm_params: dict, num_layers: int, dtype=jnp.bfloat16):
+def esm2_stack_arrays(esm_params: dict, num_layers: int, dtype=jnp.bfloat16,
+                      ff_quant: str = "none", proj_quant: str = "none"):
     """Flax ESM2 param tree (``params['params']['protein_encoder']`` or the
     tower's own tree) → the stacked/cast arrays ``fused_esm2_cls`` consumes.
 
     Weight HBM layout is one (depth, …) array per tensor so each grid step's
-    BlockSpec selects layer l (contiguous DMA)."""
+    BlockSpec selects layer l (contiguous DMA).  ``ff_quant='int8'``
+    replaces w1/w2 with per-out-channel int8 + adds s1/s2 dequant scales;
+    ``proj_quant='int8'`` does the same for wq/wk/wv/wo (+ sq/sk/sv/so).
+    Pass the same flags to ``fused_esm2_cls``."""
     p = esm_params.get("params", esm_params)
 
-    def stack(getter):
+    def stack(getter, sdtype=None):
         return jnp.stack(
-            [jnp.asarray(getter(p[f"layers_{i}"]), dtype)
+            [jnp.asarray(getter(p[f"layers_{i}"]), sdtype or dtype)
              for i in range(num_layers)]
         )
 
+    if ff_quant == "int8":
+        w1q, s1 = quantize_weight_int8(
+            stack(lambda q: q["fc1"]["kernel"], jnp.float32))
+        w2q, s2 = quantize_weight_int8(
+            stack(lambda q: q["fc2"]["kernel"], jnp.float32))
+        ff = dict(w1=w1q, w2=w2q, s1=s1, s2=s2)
+    else:
+        ff = dict(w1=stack(lambda q: q["fc1"]["kernel"]),
+                  w2=stack(lambda q: q["fc2"]["kernel"]))
+
+    if proj_quant == "int8":
+        proj = {}
+        for name, key in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("o", "out_proj")):
+            wq_, s_ = quantize_weight_int8(
+                stack(lambda q, key=key: q["self_attn"][key]["kernel"],
+                      jnp.float32))
+            proj[f"w{name}"] = wq_
+            proj[f"s{name}"] = s_
+    else:
+        proj = dict(
+            wq=stack(lambda q: q["self_attn"]["q_proj"]["kernel"]),
+            wk=stack(lambda q: q["self_attn"]["k_proj"]["kernel"]),
+            wv=stack(lambda q: q["self_attn"]["v_proj"]["kernel"]),
+            wo=stack(lambda q: q["self_attn"]["out_proj"]["kernel"]),
+        )
+
     return dict(
+        **ff,
+        **proj,
         tok_table=jnp.asarray(p["embed_tokens"]["embedding"], dtype),
         ln1_scale=stack(lambda q: q["self_attn_layer_norm"]["scale"]),
         ln1_bias=stack(lambda q: q["self_attn_layer_norm"]["bias"]),
-        wq=stack(lambda q: q["self_attn"]["q_proj"]["kernel"]),
-        wk=stack(lambda q: q["self_attn"]["k_proj"]["kernel"]),
-        wv=stack(lambda q: q["self_attn"]["v_proj"]["kernel"]),
         bq=stack(lambda q: q["self_attn"]["q_proj"]["bias"]),
         bk=stack(lambda q: q["self_attn"]["k_proj"]["bias"]),
         bv=stack(lambda q: q["self_attn"]["v_proj"]["bias"]),
-        wo=stack(lambda q: q["self_attn"]["out_proj"]["kernel"]),
         bo=stack(lambda q: q["self_attn"]["out_proj"]["bias"]),
         ln2_scale=stack(lambda q: q["final_layer_norm"]["scale"]),
         ln2_bias=stack(lambda q: q["final_layer_norm"]["bias"]),
-        w1=stack(lambda q: q["fc1"]["kernel"]),
         b1=stack(lambda q: q["fc1"]["bias"]),
-        w2=stack(lambda q: q["fc2"]["kernel"]),
         b2=stack(lambda q: q["fc2"]["bias"]),
         fn_scale=jnp.asarray(p["emb_layer_norm_after"]["scale"], jnp.float32),
         fn_bias=jnp.asarray(p["emb_layer_norm_after"]["bias"], jnp.float32),

@@ -46,6 +46,7 @@ class PenCLEngine:
         text_only: bool = False,
         attn_impl: str | None = None,
         tower_impl: str | None = None,
+        ff_quant: str | None = None,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -62,6 +63,13 @@ class PenCLEngine:
             # is the bf16 serving default — measured on-chip A/B in
             # tools/exp_esm2_stack.py; f32 parity keeps the Flax graph
             tower_impl = "fused-stack" if perf_mode else "flax"
+        if ff_quant is None:
+            # int8 FF (per-row dynamic activation x per-channel weight quant,
+            # int32 MXU) — on-chip A/B tools/exp_esm2_stack.py: 126.9 vs
+            # 100.9 seq/s tower-only, CLS cosine 0.999939 vs the XLA path;
+            # drift-gated >0.999 in bench and test_esm2_stack's CPU twin
+            ff_quant = "int8" if perf_mode else "none"
+        self.ff_quant = ff_quant
         self.tower_impl = tower_impl
         self.model = PenCL(
             self.config, dtype=dtype, attn_impl=attn_impl,
@@ -97,6 +105,7 @@ class PenCLEngine:
                 "esm": esm2_stack_arrays(
                     self.params["params"]["protein_encoder"],
                     self.config.esm.num_layers, dtype=dtype,
+                    ff_quant=self.ff_quant,
                 ),
                 "bert": bert_stack_arrays(
                     self.params["params"]["text_encoder"],
@@ -162,6 +171,7 @@ class PenCLEngine:
             cls = fused_esm2_cls(
                 jnp.asarray(x_p), **self._stack_arrays["esm"],
                 heads=self.config.esm.attention_heads, gelu="tanh",
+                ff_quant=self.ff_quant,
             )
             z_p = self._proj_head(p["protein_projection"], cls.astype(dtype))
             return z_t, z_p

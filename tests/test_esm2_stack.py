@@ -77,6 +77,62 @@ def test_fused_esm2_cls_bf16_drift(tower, rng):
     assert cos.min() > 0.999, cos
 
 
+def test_quantize_weight_int8_roundtrip(rng):
+    from biom3_tpu.ops.pallas.esm2_stack_tpu import quantize_weight_int8
+
+    w = jnp.asarray(rng.standard_normal((3, 64, 96)).astype(np.float32) * 0.02)
+    q, s = quantize_weight_int8(w)
+    assert q.dtype == jnp.int8 and s.shape == (3, 96)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[:, None, :]
+    # per-out-channel symmetric: max relative error bounded by half a step
+    err = np.abs(deq - np.asarray(w)).max(axis=1)
+    step = np.asarray(s)
+    assert (err <= 0.5 * step + 1e-9).all()
+
+
+def test_fused_esm2_cls_int8_ff_drift(tower, rng):
+    """int8-FF serving path (per-row dynamic activation quant x per-channel
+    weight quant, int32 MXU accumulation) tracks the f32 graph to >=0.999
+    CLS cosine — the same gate the bench applies on-chip."""
+    model, params = tower
+    toks = _tokens(rng, B=4)
+    ref = np.asarray(model.apply(params, jnp.asarray(toks))["hidden"])[:, 0, :]
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.bfloat16, ff_quant="int8"
+    )
+    assert arrays["w1"].dtype == jnp.int8
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads,
+        ff_block_l=64, gelu="tanh", interpret=True, ff_quant="int8",
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
+def test_fused_esm2_cls_int8_full_drift(tower, rng):
+    """int8 FF + int8 qkv/out projections: the all-linear-layers-quantized
+    serving candidate must still clear the 0.999 CLS cosine gate."""
+    model, params = tower
+    toks = _tokens(rng, B=4)
+    ref = np.asarray(model.apply(params, jnp.asarray(toks))["hidden"])[:, 0, :]
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.bfloat16,
+        ff_quant="int8", proj_quant="int8",
+    )
+    assert arrays["wq"].dtype == jnp.int8
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads,
+        ff_block_l=64, gelu="tanh", interpret=True,
+        ff_quant="int8", proj_quant="int8",
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
+
+
 def test_fused_esm2_pad_invariance(tower, rng):
     """Q3: PAD keys are masked inside the kernel — changing the residues
     hidden behind <pad> must not change the CLS output."""

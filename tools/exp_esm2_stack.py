@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--wbuf", type=int, nargs="*", default=[2])
     ap.add_argument("--ffbuf", type=int, nargs="*", default=[2])
     ap.add_argument("--ff-block", type=int, nargs="*", default=[256])
+    ap.add_argument("--ff-quant", type=str, nargs="*", default=["none"],
+                    choices=["none", "int8"])
+    ap.add_argument("--proj-quant", type=str, nargs="*", default=["none"],
+                    choices=["none", "int8"])
     ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
@@ -101,22 +105,36 @@ def main():
         results["xla"] = rate
         ref_cls = np.asarray(jax.jit(xla_fwd)(params, x), np.float32)
 
-    arrays = esm2_stack_arrays(params["params"], cfg.num_layers, jnp.bfloat16)
+    quants = list(dict.fromkeys(
+        (fq, pq) for fq in args.ff_quant for pq in args.proj_quant
+    ))
+    arrays_by_quant = {
+        (fq, pq): esm2_stack_arrays(
+            params["params"], cfg.num_layers, jnp.bfloat16,
+            ff_quant=fq, proj_quant=pq,
+        )
+        for fq, pq in quants
+    }
     combos = [
-        (rows, wbuf, ffbuf, ffb)
+        (rows, wbuf, ffbuf, ffb, q)
         for rows in args.rows
         for wbuf in args.wbuf
         for ffbuf in args.ffbuf
         for ffb in args.ff_block
+        for q in quants
     ]
-    for rows, wbuf, ffbuf, ffb in combos:
-        def fused_fwd(arrs, xx, rows=rows, wbuf=wbuf, ffbuf=ffbuf, ffb=ffb):
+    for rows, wbuf, ffbuf, ffb, q in combos:
+        arrays = arrays_by_quant[q]
+        def fused_fwd(arrs, xx, rows=rows, wbuf=wbuf, ffbuf=ffbuf, ffb=ffb,
+                      q=q):
             return fused_esm2_cls(
                 xx, **arrs, heads=cfg.attention_heads, rows=rows,
                 ff_block_l=ffb, gelu="tanh",
                 w_buffers=wbuf, ff_buffers=ffbuf,
+                ff_quant=q[0], proj_quant=q[1],
             )
-        tag = f"rows={rows} wbuf={wbuf} ffbuf={ffbuf} ffb={ffb}"
+        tag = (f"rows={rows} wbuf={wbuf} ffbuf={ffbuf} ffb={ffb} "
+               f"ffq={q[0]} projq={q[1]}")
         try:
             best, comp = chain_time(fused_fwd, arrays, x, args.iters)
         except Exception as e:  # noqa: BLE001 — report and continue variants
