@@ -154,6 +154,7 @@ def make_stack_apply(
     ff_block_l: int = 256,
     vmem_limit_mb: int | None = None,
     interpret: bool = False,
+    ff_quant: str = "none",
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
     Pallas call per model call — embedding, all layers, and the output head
@@ -169,7 +170,13 @@ def make_stack_apply(
     ``plan_stack_kernel`` — all-layers-resident when the stacked weights
     fit VMEM, per-layer streaming otherwise; raises for configs the kernel
     cannot tile (callers gate on the plan instead, see the engine).
+
+    ``ff_quant='int8'`` runs the FF matmuls (2/3 of layer FLOPs) on the
+    MXU's int8 path: per-out-channel weight quant (packed here, hoisted
+    out of sampling scans) × in-kernel dynamic per-token activation quant
+    (``ops/pallas/quant``).  Drift-gated in bench against the bf16 kernel.
     """
+    from biom3_tpu.ops.pallas.quant import quantize_weight_int8
     from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
 
     plan = plan_stack_kernel(cfg, rows=rows, ff_buffers=ff_buffers,
@@ -208,6 +215,14 @@ def make_stack_apply(
         def stack(getter):
             return jnp.stack([getter(p[f"layer_0_{li}"]) for li in range(depth)])
 
+        if ff_quant == "int8":
+            w1, s1 = quantize_weight_int8(stack(lambda lp: lp["ff_w1"]["kernel"]))
+            w2, s2 = quantize_weight_int8(stack(lambda lp: lp["ff_w2"]["kernel"]))
+        else:
+            w1 = stack(lambda lp: lp["ff_w1"]["kernel"]).astype(dtype)
+            w2 = stack(lambda lp: lp["ff_w2"]["kernel"]).astype(dtype)
+            s1 = s2 = None
+
         return fused_stack_logits(
             x.astype(jnp.int32), pos.astype(jnp.int32), bias,
             p["tok_emb"]["embedding"].astype(dtype), pos_emb,
@@ -220,16 +235,17 @@ def make_stack_apply(
             stack(lambda lp: lp["attn"]["to_out"]["bias"]),
             stack(lambda lp: lp["ff_norm"]["scale"]),
             stack(lambda lp: lp["ff_norm"]["bias"]),
-            stack(lambda lp: lp["ff_w1"]["kernel"]).astype(dtype),
+            w1,
             stack(lambda lp: lp["ff_w1"]["bias"]),
-            stack(lambda lp: lp["ff_w2"]["kernel"]).astype(dtype),
+            w2,
             stack(lambda lp: lp["ff_w2"]["bias"]),
             p["final_norm"]["scale"], p["final_norm"]["bias"],
             p["out_proj"]["kernel"].astype(dtype), p["out_proj"]["bias"],
+            s1, s2,
             local_heads=cfg.local_heads, heads=cfg.heads,
             window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
             gelu=gelu, resident=resident, stream=stream,
-            ff_block_l=ff_block_l,
+            ff_block_l=ff_block_l, ff_quant=ff_quant,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

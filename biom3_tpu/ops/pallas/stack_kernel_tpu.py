@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
 
 
 def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
@@ -185,10 +186,13 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     return xb.astype(jnp.float32) + outt + bo[:, None].astype(jnp.float32)
 
 
-def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, *, block_l, precision, cdtype,
-                gelu):
+def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
+                cdtype, gelu, ff_quant):
     """Transposed-stream FF: x (d, L) → x + FFᵀ(LNᵀ(x)); weights arrive
-    pre-transposed ((ff, d) and (d, ff)) so both matmuls are d-major."""
+    pre-transposed ((ff, d) and (d, ff)) so both matmuls are d-major.
+    ``ff_quant='int8'``: dynamic per-token (column) activation quant ×
+    per-out-channel int8 weights, int32 MXU accumulation, fused f32
+    dequant (the ops/pallas/quant recipe)."""
     d, L = x.shape
     chunks = []
     for i in range(0, L, block_l):
@@ -196,36 +200,69 @@ def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, *, block_l, precision, cdtype,
         mean = jnp.mean(xc, axis=0, keepdims=True)
         var = jnp.mean((xc - mean) ** 2, axis=0, keepdims=True)
         xn = ((xc - mean) * jax.lax.rsqrt(var + 1e-6)
-              * ls[:, None] + lb[:, None]).astype(cdtype)
-        h = jax.lax.dot_general(
-            w1t, xn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) + b1.astype(jnp.float32)[:, None]
-        h = _gelu(h, gelu).astype(cdtype)
-        out = jax.lax.dot_general(
-            w2t, h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) + b2.astype(jnp.float32)[:, None]
+              * ls[:, None] + lb[:, None])
+        if ff_quant == "int8":
+            qx, ax = quant_cols(xn)                      # (d, bl), (1, bl)
+            h = jax.lax.dot_general(
+                w1t, qx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s1[:, None] * ax + b1.astype(
+                jnp.float32
+            )[:, None]
+            h = _gelu(h, gelu)
+            qh, ah = quant_cols(h)
+            out = jax.lax.dot_general(
+                w2t, qh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s2[:, None] * ah + b2.astype(
+                jnp.float32
+            )[:, None]
+        else:
+            h = jax.lax.dot_general(
+                w1t, xn.astype(cdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b1.astype(jnp.float32)[:, None]
+            h = _gelu(h, gelu).astype(cdtype)
+            out = jax.lax.dot_general(
+                w2t, h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b2.astype(jnp.float32)[:, None]
         chunks.append(xc + out)
     return jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
 
 
-def _ff_body(x, ls, lb, w1, b1, w2, b2, *, block_l, precision, cdtype, gelu):
-    """x: (L, d) f32 → x + FF(LN(x)), tiled over L to bound the f32 hidden."""
+def _ff_body(x, ls, lb, w1, b1, w2, b2, s1, s2, *, block_l, precision, cdtype,
+             gelu, ff_quant):
+    """x: (L, d) f32 → x + FF(LN(x)), tiled over L to bound the f32 hidden.
+    ``ff_quant='int8'``: per-row dynamic activation quant × per-out-channel
+    int8 weights on the MXU's int8 path (~2× bf16 issue rate)."""
     L, d = x.shape
     chunks = []
     for i in range(0, L, block_l):
         xc = x[i:i + block_l]
-        xn = _layernorm(xc, ls, lb).astype(cdtype)
-        h = jax.lax.dot_general(
-            xn, w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) + b1.astype(jnp.float32)
-        h = _gelu(h, gelu).astype(cdtype)
-        out = jax.lax.dot_general(
-            h, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) + b2.astype(jnp.float32)
+        xn = _layernorm(xc, ls, lb)
+        if ff_quant == "int8":
+            qx, ax = quant_rows(xn)                      # (bl, d), (bl, 1)
+            h = jax.lax.dot_general(
+                qx, w1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ax * s1 + b1.astype(jnp.float32)
+            h = _gelu(h, gelu)
+            qh, ah = quant_rows(h)
+            out = jax.lax.dot_general(
+                qh, w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ah * s2 + b2.astype(jnp.float32)
+        else:
+            h = jax.lax.dot_general(
+                xn.astype(cdtype), w1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b1.astype(jnp.float32)
+            h = _gelu(h, gelu).astype(cdtype)
+            out = jax.lax.dot_general(
+                h, w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) + b2.astype(jnp.float32)
         chunks.append(xc + out)
     return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
@@ -235,14 +272,14 @@ def _stack_kernel(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
-    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     # output:
     o_ref,
     # scratch:
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu,
+    gelu, ff_quant,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -282,8 +319,9 @@ def _stack_kernel(
         xb = _ff_body(
             xb, ls2_ref[0], lb2_ref[0],
             w1_ref[0], b1_ref[0], w2_ref[0], b2_ref[0],
+            s1_ref[0, 0], s2_ref[0, 0],
             block_l=ff_block_l, precision=precision, cdtype=cdtype,
-            gelu=gelu,
+            gelu=gelu, ff_quant=ff_quant,
         )
         h_ref[r] = xb.astype(cdtype)
 
@@ -313,12 +351,12 @@ def _resident_kernel(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
-    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu,
+    gelu, ff_quant,
 ):
     """All-weights-resident variant: ONE grid axis (batch groups); the layer
     loop runs inside the kernel (`fori_loop` + dynamic leading-dim indexing
@@ -357,8 +395,9 @@ def _resident_kernel(
             xb = _ff_body(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
                 w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+                s1_ref[l, 0], s2_ref[l, 0],
                 block_l=ff_block_l, precision=precision, cdtype=cdtype,
-                gelu=gelu,
+                gelu=gelu, ff_quant=ff_quant,
             )
             h_ref[r] = xb.astype(cdtype)
         return _
@@ -387,12 +426,12 @@ def _resident_kernel_dl(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
-    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu,
+    gelu, ff_quant,
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
@@ -431,8 +470,9 @@ def _resident_kernel_dl(
             xb = _ff_body_dl(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
                 w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+                s1_ref[l, 0], s2_ref[l, 0],
                 block_l=ff_block_l, precision=precision, cdtype=cdtype,
-                gelu=gelu,
+                gelu=gelu, ff_quant=ff_quant,
             )
             h_ref[r] = xb.astype(cdtype)
         return _
@@ -465,7 +505,7 @@ def _resident_kernel_dl(
     static_argnames=(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
-        "interpret",
+        "interpret", "ff_quant",
     ),
 )
 def fused_stack_logits(
@@ -482,6 +522,8 @@ def fused_stack_logits(
     w2: jax.Array, b2: jax.Array,                  # (depth, ff, d), (depth, d)
     fn_scale: jax.Array, fn_bias: jax.Array,       # (d,)
     head_w: jax.Array, head_b: jax.Array,          # (d, C), (C,)
+    s1: jax.Array | None = None,                   # (depth, ff) int8 FF
+    s2: jax.Array | None = None,                   # (depth, d) dequant scales
     *,
     local_heads: int,
     heads: int,
@@ -494,6 +536,7 @@ def fused_stack_logits(
     resident: bool = False,
     stream: str = "ld",
     interpret: bool = False,
+    ff_quant: str = "none",
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -519,6 +562,16 @@ def fused_stack_logits(
         raise ValueError(f"B={B} not divisible by rows={rows}")
     cdtype = tok_table.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    if ff_quant == "int8":
+        if w1.dtype != jnp.int8 or w2.dtype != jnp.int8:
+            raise ValueError("ff_quant='int8' needs int8 w1/w2 "
+                             "(quantize via ops.pallas.quant)")
+        if s1 is None or s2 is None:
+            raise ValueError("ff_quant='int8' needs s1/s2 dequant scales")
+    else:
+        # unused by the kernel when quant is off, but the ref list is fixed
+        s1 = jnp.ones((depth, ff), jnp.float32)
+        s2 = jnp.ones((depth, d), jnp.float32)
 
     single = pl.Buffered(buffer_count=1)
     ffmode = pl.Buffered(buffer_count=ff_buffers)
@@ -558,6 +611,7 @@ def fused_stack_logits(
             depth=depth, rows=rows,
             local_heads=local_heads, heads=heads, window=window,
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
+            ff_quant=ff_quant,
         )
     else:
         def lyr(r, c, mode=None):    # (1, r, c) block at layer l
@@ -586,7 +640,7 @@ def fused_stack_logits(
         kernel = functools.partial(
             _stack_kernel, depth=depth, rows=rows, local_heads=local_heads,
             heads=heads, window=window, ff_block_l=ff_block_l,
-            precision=precision, gelu=gelu,
+            precision=precision, gelu=gelu, ff_quant=ff_quant,
         )
     if stream == "dl":
         # d-major residual stream: tok/pos tables + FF weights transposed
@@ -624,6 +678,7 @@ def fused_stack_logits(
             lyr(1, d), lyr(1, d),                             # ln2 s/b
             w1_spec, lyr(1, ff),                              # w1 b1
             w2_spec, lyr(1, d),                               # w2 b2
+            lyr(1, ff), lyr(1, d),                            # s1 s2
             cst(1, d), cst(1, d),                             # final norm s/b
             cst(d, C), cst(1, C),                             # head w/b
         ],
@@ -648,6 +703,7 @@ def fused_stack_logits(
         jnp.swapaxes(wo, 1, 2), bo[:, None, :],
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1_in, b1[:, None, :], w2_in, b2[:, None, :],
+        s1[:, None, :], s2[:, None, :],
         fn_scale[None, :], fn_bias[None, :],
         head_w, head_b[None, :],
     )

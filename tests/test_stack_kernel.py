@@ -212,3 +212,46 @@ def test_stack_sampler_contract(rng):
     )
     got = fast(variables, z, path, jax.random.key(2))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_stack_kernel_int8_ff_drift(rng):
+    """int8-FF serving mode (per-token dynamic activation quant x
+    per-out-channel int8 weights, int32 MXU accumulation): logits at the
+    decode positions must track the f32 Flax graph to >=0.999 cosine —
+    the same gate the bench applies on-chip."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = np.asarray(jnp.take_along_axis(ref, pos[..., None], axis=1))
+
+    for stream in ("ld", "dl"):
+        apply_fn = make_stack_apply(
+            SMALL, dtype=jnp.float32, resident=True, stream=stream,
+            ff_quant="int8", interpret=True,
+        )
+        got = np.asarray(apply_fn(variables, x, t, z, pos))
+        cos = (got * want).sum(-1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+        )
+        assert cos.min() > 0.999, (stream, cos.min())
+
+
+def test_stack_kernel_int8_ff_streamed(rng):
+    """int8 FF must also work in the per-layer streamed (non-resident)
+    variant — the path large configs resolve to."""
+    model, variables, x, t, z = _setup(rng, B=2)
+    pos = jnp.asarray(rng.integers(0, SMALL.max_seq_len, (2, 2)).astype(np.int32))
+    ref = model.apply(variables, x, t, z)
+    want = np.asarray(jnp.take_along_axis(ref, pos[..., None], axis=1))
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=False, ff_quant="int8",
+        interpret=True,
+    )
+    got = np.asarray(apply_fn(variables, x, t, z, pos))
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999, cos.min()

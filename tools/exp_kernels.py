@@ -349,6 +349,18 @@ def main():
                           (1, 1, "tanh", {"ff_block_l": 1024}),
                           (1, 1, "tanh", {"stream": "dl",
                                           "ff_block_l": 1024})])
+    if args.which == "int8":
+        # int8-FF serving candidate vs the bf16 resident kernel (the bench
+        # path) — FF is 2/3 of layer FLOPs; v5e int8 MXU is ~2x bf16
+        run_stack(variables, args.steps, args.runs,
+                  combos=[(1, 1, "tanh", {"resident": True}),
+                          (1, 1, "tanh", {"resident": True,
+                                          "ff_quant": "int8"}),
+                          (1, 1, "tanh", {"resident": True, "stream": "dl",
+                                          "ff_quant": "int8"}),
+                          (1, 1, "tanh", {"resident": True,
+                                          "ff_block_l": 512,
+                                          "ff_quant": "int8"})])
 
 
 if __name__ == "__main__":
