@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
+from biom3_tpu.ops.pallas.quant import quant_rows, quantize_weight_int8
 
 
 def _bert_stack_kernel(
@@ -39,12 +40,14 @@ def _bert_stack_kernel(
     ls2_ref, lb2_ref,                            # (1, 1, E) output_norm
     w1_ref, b1_ref,                              # (1, E, F), (1, 1, F)
     w2_ref, b2_ref,                              # (1, F, E), (1, 1, E)
+    s1_ref, s2_ref,                              # (1, 1, F), (1, 1, E) int8
+    #   per-out-channel dequant scales (ones when ff_quant == "none")
     o_ref,                                       # (rows, 1, E) f32 CLS
     h_ref,                                       # (rows, L, E) cdtype
     attn_ref,                                    # (E, L) cdtype
     qkv_ref,                                     # (3E, L) cdtype
     xres_ref,                                    # (L, E) f32
-    *, depth, rows, heads, ff_block_l, precision, gelu, eps,
+    *, depth, rows, heads, ff_block_l, precision, gelu, eps, ff_quant,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -107,16 +110,36 @@ def _bert_stack_kernel(
         def ff_body(i, _):
             off = pl.multiple_of(i * ff_block_l, ff_block_l)
             xc = xres_ref[pl.ds(off, ff_block_l), :]
-            h1 = jax.lax.dot_general(
-                xc.astype(cdtype), w1_ref[0].astype(cdtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) + b1_ref[0, 0].astype(jnp.float32)
-            h1 = _gelu(h1, gelu).astype(cdtype)
-            out = jax.lax.dot_general(
-                h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ) + b2_ref[0, 0].astype(jnp.float32)
+            if ff_quant == "int8":
+                # int8 MXU path: per-row dynamic activation quant x
+                # per-out-channel int8 weights, int32 accumulation, fused
+                # rank-1 f32 dequant (ops/pallas/quant recipe)
+                qx, ax = quant_rows(xc)
+                h1 = jax.lax.dot_general(
+                    qx, w1_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ax * s1_ref[0, 0] + b1_ref[
+                    0, 0
+                ].astype(jnp.float32)
+                h1 = _gelu(h1, gelu)
+                qh, ah = quant_rows(h1)
+                out = jax.lax.dot_general(
+                    qh, w2_ref[0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * ah * s2_ref[0, 0] + b2_ref[
+                    0, 0
+                ].astype(jnp.float32)
+            else:
+                h1 = jax.lax.dot_general(
+                    xc.astype(cdtype), w1_ref[0].astype(cdtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ) + b1_ref[0, 0].astype(jnp.float32)
+                h1 = _gelu(h1, gelu).astype(cdtype)
+                out = jax.lax.dot_general(
+                    h1, w2_ref[0].astype(cdtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                ) + b2_ref[0, 0].astype(jnp.float32)
             h_ref[r, pl.ds(off, ff_block_l)] = _layernorm(
                 xc + out, ls2_ref[0, 0], lb2_ref[0, 0], eps=eps
             ).astype(cdtype)
@@ -134,7 +157,7 @@ def _bert_stack_kernel(
     jax.jit,
     static_argnames=(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb", "eps",
-        "w_buffers", "ff_buffers", "interpret",
+        "w_buffers", "ff_buffers", "interpret", "ff_quant",
     ),
 )
 def fused_bert_cls(
@@ -146,6 +169,8 @@ def fused_bert_cls(
     ln2_scale: jax.Array, ln2_bias: jax.Array,   # (depth, E)
     w1: jax.Array, b1: jax.Array,                # (depth, E, F), (depth, F)
     w2: jax.Array, b2: jax.Array,                # (depth, F, E), (depth, E)
+    s1: jax.Array | None = None,                 # (depth, F) int8 FF dequant
+    s2: jax.Array | None = None,                 # (depth, E) scales
     *,
     heads: int,
     rows: int = 2,
@@ -156,6 +181,7 @@ def fused_bert_cls(
     w_buffers: int = 2,
     ff_buffers: int = 2,
     interpret: bool = False,
+    ff_quant: str = "none",
 ) -> jax.Array:
     """Full BERT tower forward → (B, E) f32 CLS of the last hidden state."""
     B, L, E = x0.shape
@@ -165,6 +191,16 @@ def fused_bert_cls(
         raise ValueError(f"B={B} not divisible by rows={rows}")
     cdtype = x0.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
+    if ff_quant == "int8":
+        if w1.dtype != jnp.int8 or w2.dtype != jnp.int8:
+            raise ValueError("ff_quant='int8' needs int8 w1/w2 "
+                             "(bert_stack_arrays(..., ff_quant='int8'))")
+        if s1 is None or s2 is None:
+            raise ValueError("ff_quant='int8' needs s1/s2 dequant scales")
+    else:
+        # unused by the kernel when quant is off, but the ref list is fixed
+        s1 = jnp.ones((depth, F), jnp.float32)
+        s2 = jnp.ones((depth, E), jnp.float32)
 
     single = pl.Buffered(buffer_count=1)
     wmode = pl.Buffered(buffer_count=w_buffers)
@@ -179,7 +215,7 @@ def fused_bert_cls(
     kernel = functools.partial(
         _bert_stack_kernel,
         depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
-        precision=precision, gelu=gelu, eps=eps,
+        precision=precision, gelu=gelu, eps=eps, ff_quant=ff_quant,
     )
     return pl.pallas_call(
         kernel,
@@ -194,6 +230,7 @@ def fused_bert_cls(
             lyr(1, E, single), lyr(1, E, single),                # ln2
             lyr(E, F, ffmode), lyr(1, F, single),                # w1 b1
             lyr(F, E, ffmode), lyr(1, E, single),                # w2 b2
+            lyr(1, F, single), lyr(1, E, single),                # s1 s2
         ],
         out_specs=pl.BlockSpec(
             (rows, 1, E), lambda g, l: (g, 0, 0), memory_space=pltpu.VMEM,
@@ -217,23 +254,38 @@ def fused_bert_cls(
         wo, bo[:, None, :],
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1, b1[:, None, :], w2, b2[:, None, :],
+        s1[:, None, :], s2[:, None, :],
     )[:, 0, :]
 
 
-def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16):
+def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16,
+                      ff_quant: str = "none"):
     """Flax BERT param tree → stacked arrays for ``fused_bert_cls``.
 
     Embedding tables are NOT included — embed with ``bert_embed`` (XLA
-    gather + LN) and pass the activations in."""
+    gather + LN) and pass the activations in.  ``ff_quant='int8'`` replaces
+    w1/w2 with per-out-channel int8 + s1/s2 dequant scales; pass the same
+    flag to ``fused_bert_cls``."""
     p = bert_params.get("params", bert_params)
 
-    def stack(getter):
+    def stack(getter, sdtype=None):
         return jnp.stack(
-            [jnp.asarray(getter(p[f"layer_{i}"]), dtype)
+            [jnp.asarray(getter(p[f"layer_{i}"]), sdtype or dtype)
              for i in range(num_layers)]
         )
 
+    if ff_quant == "int8":
+        w1q, s1 = quantize_weight_int8(
+            stack(lambda q: q["intermediate"]["kernel"], jnp.float32))
+        w2q, s2 = quantize_weight_int8(
+            stack(lambda q: q["output"]["kernel"], jnp.float32))
+        ff = dict(w1=w1q, w2=w2q, s1=s1, s2=s2)
+    else:
+        ff = dict(w1=stack(lambda q: q["intermediate"]["kernel"]),
+                  w2=stack(lambda q: q["output"]["kernel"]))
+
     return dict(
+        **ff,
         ln1_scale=stack(lambda q: q["attention_norm"]["scale"]),
         ln1_bias=stack(lambda q: q["attention_norm"]["bias"]),
         wq=stack(lambda q: q["attention"]["query"]["kernel"]),
@@ -246,9 +298,7 @@ def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16):
         bo=stack(lambda q: q["attention_output"]["bias"]),
         ln2_scale=stack(lambda q: q["output_norm"]["scale"]),
         ln2_bias=stack(lambda q: q["output_norm"]["bias"]),
-        w1=stack(lambda q: q["intermediate"]["kernel"]),
         b1=stack(lambda q: q["intermediate"]["bias"]),
-        w2=stack(lambda q: q["output"]["kernel"]),
         b2=stack(lambda q: q["output"]["bias"]),
     )
 

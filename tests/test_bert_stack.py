@@ -54,3 +54,24 @@ def test_fused_bert_cls_bf16_drift(tower, rng):
         np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
     )
     assert cos.min() > 0.999, cos
+
+
+def test_fused_bert_cls_int8_ff_drift(tower, rng):
+    """int8-FF serving mode (per-row dynamic activation quant x
+    per-out-channel int8 weights, int32 MXU accumulation) tracks the f32
+    graph to >=0.999 CLS cosine — same gate as the ESM2 twin."""
+    model, params = tower
+    ids = rng.integers(0, 120, (4, 64)).astype(np.int32)
+    ref = np.asarray(model.apply(params, jnp.asarray(ids))["hidden"])[:, 0, :]
+    arrays = bert_stack_arrays(params["params"], CFG.num_layers, jnp.bfloat16,
+                               ff_quant="int8")
+    assert arrays["w1"].dtype == jnp.int8
+    x0 = bert_embed(params["params"], jnp.asarray(ids), dtype=jnp.bfloat16)
+    out = np.asarray(fused_bert_cls(
+        x0, **arrays, heads=CFG.num_heads, rows=2, ff_block_l=32,
+        gelu="tanh", interpret=True, ff_quant="int8",
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos
