@@ -155,6 +155,7 @@ def make_stack_apply(
     vmem_limit_mb: int | None = None,
     interpret: bool = False,
     ff_quant: str = "none",
+    proj_quant: str = "none",
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
     Pallas call per model call — embedding, all layers, and the output head
@@ -174,7 +175,9 @@ def make_stack_apply(
     ``ff_quant='int8'`` runs the FF matmuls (2/3 of layer FLOPs) on the
     MXU's int8 path: per-out-channel weight quant (packed here, hoisted
     out of sampling scans) × in-kernel dynamic per-token activation quant
-    (``ops/pallas/quant``).  Drift-gated in bench against the bf16 kernel.
+    (``ops/pallas/quant``).  ``proj_quant='int8'`` extends that to the
+    q/k/v/out projections (the remaining 1/3; attention dots/softmaxes
+    stay bf16/f32).  Drift-gated in bench against the bf16 kernel.
     """
     from biom3_tpu.ops.pallas.quant import quantize_weight_int8
     from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
@@ -223,15 +226,24 @@ def make_stack_apply(
             w2 = stack(lambda lp: lp["ff_w2"]["kernel"]).astype(dtype)
             s1 = s2 = None
 
+        if proj_quant == "int8":
+            wq, sq = quantize_weight_int8(stack(lambda lp: lp["attn"]["to_q_kernel"]))
+            wk, sk = quantize_weight_int8(stack(lambda lp: lp["attn"]["to_k_kernel"]))
+            wv, sv = quantize_weight_int8(stack(lambda lp: lp["attn"]["to_v_kernel"]))
+            wo, so = quantize_weight_int8(stack(lambda lp: lp["attn"]["to_out"]["kernel"]))
+        else:
+            wq = stack(lambda lp: lp["attn"]["to_q_kernel"]).astype(dtype)
+            wk = stack(lambda lp: lp["attn"]["to_k_kernel"]).astype(dtype)
+            wv = stack(lambda lp: lp["attn"]["to_v_kernel"]).astype(dtype)
+            wo = stack(lambda lp: lp["attn"]["to_out"]["kernel"]).astype(dtype)
+            sq = sk = sv = so = None
+
         return fused_stack_logits(
             x.astype(jnp.int32), pos.astype(jnp.int32), bias,
             p["tok_emb"]["embedding"].astype(dtype), pos_emb,
             stack(lambda lp: lp["attn_norm"]["scale"]),
             stack(lambda lp: lp["attn_norm"]["bias"]),
-            stack(lambda lp: lp["attn"]["to_q_kernel"]).astype(dtype),
-            stack(lambda lp: lp["attn"]["to_k_kernel"]).astype(dtype),
-            stack(lambda lp: lp["attn"]["to_v_kernel"]).astype(dtype),
-            stack(lambda lp: lp["attn"]["to_out"]["kernel"]).astype(dtype),
+            wq, wk, wv, wo,
             stack(lambda lp: lp["attn"]["to_out"]["bias"]),
             stack(lambda lp: lp["ff_norm"]["scale"]),
             stack(lambda lp: lp["ff_norm"]["bias"]),
@@ -241,11 +253,11 @@ def make_stack_apply(
             stack(lambda lp: lp["ff_w2"]["bias"]),
             p["final_norm"]["scale"], p["final_norm"]["bias"],
             p["out_proj"]["kernel"].astype(dtype), p["out_proj"]["bias"],
-            s1, s2,
+            s1, s2, sq, sk, sv, so,
             local_heads=cfg.local_heads, heads=cfg.heads,
             window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
             gelu=gelu, resident=resident, stream=stream,
-            ff_block_l=ff_block_l, ff_quant=ff_quant,
+            ff_block_l=ff_block_l, ff_quant=ff_quant, proj_quant=proj_quant,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

@@ -45,10 +45,13 @@ from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
 from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
 
 
-def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
-               window, precision, cdtype):
+def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
+               local_heads, heads, window, precision, cdtype, proj_quant):
     """xb: (L, d) residual+bias → attention output + residual (f32 math as
-    fused_layer_tpu._attn_kernel; operates on one row)."""
+    fused_layer_tpu._attn_kernel; operates on one row).
+    ``proj_quant='int8'``: q/k/v/out projections on the int8 MXU path
+    (dynamic per-token activation quant × per-out-channel int8 weights);
+    attention dots/softmaxes stay bf16/f32."""
     L, d = xb.shape
     Dh = d // heads
     nw = L // window
@@ -58,13 +61,22 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
 
     xnt = _layernorm(xb, ls, lb).astype(cdtype).T           # (d, L)
 
-    def projt(wt):
-        return jax.lax.dot_general(
-            wt, xnt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(cdtype)
+    if proj_quant == "int8":
+        qxnt, axn = quant_cols(xnt)                         # (d, L), (1, L)
 
-    qt, kt, vt = projt(wqt), projt(wkt), projt(wvt)
+        def projt(wt, s):
+            return (jax.lax.dot_general(
+                wt, qxnt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s[:, None] * axn).astype(cdtype)
+    else:
+        def projt(wt, s):
+            return jax.lax.dot_general(
+                wt, xnt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)
+
+    qt, kt, vt = projt(wqt, sq), projt(wkt, sk), projt(wvt, sv)
 
     qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
     ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
@@ -105,6 +117,13 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     ).astype(cdtype)
 
     attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    if proj_quant == "int8":
+        qattn, aat = quant_cols(attnt)
+        outt = jax.lax.dot_general(               # (L, d): contract d_in
+            qattn, wot, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * aat.T * so
+        return xb.astype(jnp.float32) + outt + bo.astype(jnp.float32)
     outt = jax.lax.dot_general(
         wot, attnt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
@@ -112,8 +131,8 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     return xb.astype(jnp.float32) + outt.T + bo.astype(jnp.float32)
 
 
-def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
-                  window, precision, cdtype):
+def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
+                  local_heads, heads, window, precision, cdtype, proj_quant):
     """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
     per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
     ``outt.T``) vanish; every matmul already consumes/produces the
@@ -132,13 +151,22 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     xnt = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
            * ls[:, None] + lb[:, None]).astype(cdtype)
 
-    def projt(wt):
-        return jax.lax.dot_general(
-            wt, xnt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(cdtype)
+    if proj_quant == "int8":
+        qxnt, axn = quant_cols(xnt)
 
-    qt, kt, vt = projt(wqt), projt(wkt), projt(wvt)
+        def projt(wt, s):
+            return (jax.lax.dot_general(
+                wt, qxnt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s[:, None] * axn).astype(cdtype)
+    else:
+        def projt(wt, s):
+            return jax.lax.dot_general(
+                wt, xnt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)
+
+    qt, kt, vt = projt(wqt, sq), projt(wkt, sk), projt(wvt, sv)
 
     qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
     ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
@@ -179,10 +207,17 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, *, local_heads, heads,
     ).astype(cdtype)
 
     attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
-    outt = jax.lax.dot_general(
-        wot, attnt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    if proj_quant == "int8":
+        qattn, aat = quant_cols(attnt)
+        outt = jax.lax.dot_general(              # (d, L)
+            wot, qattn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * so[:, None] * aat
+    else:
+        outt = jax.lax.dot_general(
+            wot, attnt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
     return xb.astype(jnp.float32) + outt + bo[:, None].astype(jnp.float32)
 
 
@@ -272,6 +307,7 @@ def _stack_kernel(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
     ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     # output:
@@ -279,7 +315,7 @@ def _stack_kernel(
     # scratch:
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant,
+    gelu, ff_quant, proj_quant,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -313,8 +349,9 @@ def _stack_kernel(
         xb = _attn_body(
             xb, ls1_ref[0], lb1_ref[0],
             wqt_ref[0], wkt_ref[0], wvt_ref[0], wot_ref[0], bo_ref[0],
+            sq_ref[0, 0], sk_ref[0, 0], sv_ref[0, 0], so_ref[0, 0],
             local_heads=local_heads, heads=heads, window=window,
-            precision=precision, cdtype=cdtype,
+            precision=precision, cdtype=cdtype, proj_quant=proj_quant,
         )
         xb = _ff_body(
             xb, ls2_ref[0], lb2_ref[0],
@@ -351,12 +388,13 @@ def _resident_kernel(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
     ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant,
+    gelu, ff_quant, proj_quant,
 ):
     """All-weights-resident variant: ONE grid axis (batch groups); the layer
     loop runs inside the kernel (`fori_loop` + dynamic leading-dim indexing
@@ -389,8 +427,9 @@ def _resident_kernel(
             xb = _attn_body(
                 xb, ls1_ref[l, 0], lb1_ref[l, 0],
                 wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l], bo_ref[l, 0],
+                sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
                 local_heads=local_heads, heads=heads, window=window,
-                precision=precision, cdtype=cdtype,
+                precision=precision, cdtype=cdtype, proj_quant=proj_quant,
             )
             xb = _ff_body(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
@@ -426,12 +465,13 @@ def _resident_kernel_dl(
     ids_ref, pos_ref, bias_ref,
     tok_ref, pemb_ref,
     ls1_ref, lb1_ref, wqt_ref, wkt_ref, wvt_ref, wot_ref, bo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
     ls2_ref, lb2_ref, w1_ref, b1_ref, w2_ref, b2_ref, s1_ref, s2_ref,
     fns_ref, fnb_ref, hw_ref, hb_ref,
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant,
+    gelu, ff_quant, proj_quant,
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
@@ -464,8 +504,9 @@ def _resident_kernel_dl(
             xb = _attn_body_dl(
                 xb, ls1_ref[l, 0], lb1_ref[l, 0],
                 wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l], bo_ref[l, 0],
+                sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
                 local_heads=local_heads, heads=heads, window=window,
-                precision=precision, cdtype=cdtype,
+                precision=precision, cdtype=cdtype, proj_quant=proj_quant,
             )
             xb = _ff_body_dl(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
@@ -505,7 +546,7 @@ def _resident_kernel_dl(
     static_argnames=(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
-        "interpret", "ff_quant",
+        "interpret", "ff_quant", "proj_quant",
     ),
 )
 def fused_stack_logits(
@@ -524,6 +565,10 @@ def fused_stack_logits(
     head_w: jax.Array, head_b: jax.Array,          # (d, C), (C,)
     s1: jax.Array | None = None,                   # (depth, ff) int8 FF
     s2: jax.Array | None = None,                   # (depth, d) dequant scales
+    sq: jax.Array | None = None,                   # (depth, d) int8 proj
+    sk: jax.Array | None = None,                   # dequant scales
+    sv: jax.Array | None = None,
+    so: jax.Array | None = None,
     *,
     local_heads: int,
     heads: int,
@@ -537,6 +582,7 @@ def fused_stack_logits(
     stream: str = "ld",
     interpret: bool = False,
     ff_quant: str = "none",
+    proj_quant: str = "none",
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -572,6 +618,14 @@ def fused_stack_logits(
         # unused by the kernel when quant is off, but the ref list is fixed
         s1 = jnp.ones((depth, ff), jnp.float32)
         s2 = jnp.ones((depth, d), jnp.float32)
+    if proj_quant == "int8":
+        if wq.dtype != jnp.int8 or wo.dtype != jnp.int8:
+            raise ValueError("proj_quant='int8' needs int8 wq/wk/wv/wo "
+                             "(quantize via ops.pallas.quant)")
+        if any(s is None for s in (sq, sk, sv, so)):
+            raise ValueError("proj_quant='int8' needs sq/sk/sv/so scales")
+    else:
+        sq = sk = sv = so = jnp.ones((depth, d), jnp.float32)
 
     single = pl.Buffered(buffer_count=1)
     ffmode = pl.Buffered(buffer_count=ff_buffers)
@@ -611,7 +665,7 @@ def fused_stack_logits(
             depth=depth, rows=rows,
             local_heads=local_heads, heads=heads, window=window,
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
-            ff_quant=ff_quant,
+            ff_quant=ff_quant, proj_quant=proj_quant,
         )
     else:
         def lyr(r, c, mode=None):    # (1, r, c) block at layer l
@@ -641,6 +695,7 @@ def fused_stack_logits(
             _stack_kernel, depth=depth, rows=rows, local_heads=local_heads,
             heads=heads, window=window, ff_block_l=ff_block_l,
             precision=precision, gelu=gelu, ff_quant=ff_quant,
+            proj_quant=proj_quant,
         )
     if stream == "dl":
         # d-major residual stream: tok/pos tables + FF weights transposed
@@ -675,6 +730,8 @@ def fused_stack_logits(
             lyr(1, d), lyr(1, d),                             # ln1 s/b
             lyr(d, d), lyr(d, d), lyr(d, d),                  # wqᵀ wkᵀ wvᵀ
             lyr(d, d), lyr(1, d),                             # woᵀ bo
+            lyr(1, d), lyr(1, d),                             # sq sk
+            lyr(1, d), lyr(1, d),                             # sv so
             lyr(1, d), lyr(1, d),                             # ln2 s/b
             w1_spec, lyr(1, ff),                              # w1 b1
             w2_spec, lyr(1, d),                               # w2 b2
@@ -701,6 +758,7 @@ def fused_stack_logits(
         # transposed-activation matmuls; host-side, hoisted out of scans
         jnp.swapaxes(wq, 1, 2), jnp.swapaxes(wk, 1, 2), jnp.swapaxes(wv, 1, 2),
         jnp.swapaxes(wo, 1, 2), bo[:, None, :],
+        sq[:, None, :], sk[:, None, :], sv[:, None, :], so[:, None, :],
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1_in, b1[:, None, :], w2_in, b2[:, None, :],
         s1[:, None, :], s2[:, None, :],

@@ -227,16 +227,17 @@ def test_stack_kernel_int8_ff_drift(rng):
     ref = model.apply(variables, x, t, z)
     want = np.asarray(jnp.take_along_axis(ref, pos[..., None], axis=1))
 
-    for stream in ("ld", "dl"):
+    for stream, proj_quant in (("ld", "none"), ("dl", "none"),
+                               ("ld", "int8"), ("dl", "int8")):
         apply_fn = make_stack_apply(
             SMALL, dtype=jnp.float32, resident=True, stream=stream,
-            ff_quant="int8", interpret=True,
+            ff_quant="int8", proj_quant=proj_quant, interpret=True,
         )
         got = np.asarray(apply_fn(variables, x, t, z, pos))
         cos = (got * want).sum(-1) / (
             np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
         )
-        assert cos.min() > 0.999, (stream, cos.min())
+        assert cos.min() > 0.999, (stream, proj_quant, cos.min())
 
 
 def test_stack_kernel_int8_ff_streamed(rng):

@@ -360,7 +360,13 @@ def main():
                                           "ff_quant": "int8"}),
                           (1, 1, "tanh", {"resident": True,
                                           "ff_block_l": 512,
-                                          "ff_quant": "int8"})])
+                                          "ff_quant": "int8"}),
+                          (1, 1, "tanh", {"resident": True,
+                                          "ff_quant": "int8",
+                                          "proj_quant": "int8"}),
+                          (1, 1, "tanh", {"resident": True, "stream": "dl",
+                                          "ff_quant": "int8",
+                                          "proj_quant": "int8"})])
 
 
 if __name__ == "__main__":
