@@ -35,6 +35,14 @@ def parse_arguments():
                         default="auto",
                         help="auto = bf16 serving path (whole-stack Pallas "
                              "kernel) on TPU, f32 parity path on CPU")
+    parser.add_argument("--ff-quant", choices=["none", "int8"],
+                        default="none",
+                        help="int8 = FF matmuls on the int8 MXU path "
+                             "(drift-gated serving mode; bf16 path only)")
+    parser.add_argument("--proj-quant", choices=["none", "int8"],
+                        default="none",
+                        help="int8 = q/k/v/out projections on the int8 MXU "
+                             "path (bf16 path only)")
     return parser.parse_args()
 
 
@@ -56,6 +64,8 @@ def main() -> None:
         temperature=args.temperature,
         legacy_batch_update=args.legacy_batch_update,
         positions_per_step=args.positions_per_step,
+        ff_quant=args.ff_quant,
+        proj_quant=args.proj_quant,
     )
 
     embedding_dataset = load_torch_file(args.input_path)

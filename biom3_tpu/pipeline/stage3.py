@@ -38,6 +38,8 @@ class ProteoScribeEngine:
         use_fused: bool | None = None,
         use_stack: bool | None = None,
         gelu: str | None = None,
+        ff_quant: str = "none",
+        proj_quant: str = "none",
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -91,10 +93,21 @@ class ProteoScribeEngine:
             gelu = "tanh" if self.use_stack else "erf"
         self.gelu = gelu
         apply_takes_positions = False
+        if (ff_quant != "none" or proj_quant != "none") and not self.use_stack:
+            raise ValueError(
+                "int8 quant modes require the whole-stack serving path "
+                "(bf16 on TPU with a stack-plan-supported config); "
+                f"got use_stack={self.use_stack}"
+            )
         if self.use_stack:
             from biom3_tpu.models.fused_forward import make_stack_apply
 
-            apply_fn, head_fn = make_stack_apply(self.config, gelu=gelu), None
+            # ff/proj_quant: int8 MXU serving modes (ops/pallas/quant) —
+            # opt-in until the on-chip A/B certifies them as defaults
+            apply_fn, head_fn = make_stack_apply(
+                self.config, gelu=gelu, ff_quant=ff_quant,
+                proj_quant=proj_quant,
+            ), None
             apply_takes_positions = True
         elif self.use_fused:
             from biom3_tpu.models.fused_forward import (
