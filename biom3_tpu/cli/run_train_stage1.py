@@ -47,6 +47,12 @@ def parse_arguments():
                         "a single 16 GB chip (tools/bench_train_stage1.py); "
                         "numerically identical (test_stage1_remat_matches_"
                         "plain)")
+    p.add_argument("--layer-mode", default="xla",
+                   choices=["xla", "layer_block"],
+                   help="layer_block = fused ESM2 layer custom-VJP kernels "
+                        "(ops/pallas/esm2_block_tpu) — the TPU training "
+                        "fast path; backward recomputes from layer inputs, "
+                        "so --remat is ignored with it")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
@@ -72,7 +78,10 @@ def main() -> None:
           + (f", pfam: {len(pfam_dataset)}" if pfam_dataset else ""))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = PenCL(model_cfg, dtype=dtype, remat=args.remat)
+    attn_impl = "layer-block" if args.layer_mode == "layer_block" else "xla"
+    model = PenCL(model_cfg, dtype=dtype,
+                  remat=args.remat and args.layer_mode == "xla",
+                  attn_impl=attn_impl)
     params = model.init(
         jax.random.key(cfg.int("seed", 42)),
         jnp.zeros((1, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),

@@ -51,6 +51,35 @@ class _ProjParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias with nn.LayerNorm's names/inits, returned raw."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Raw q/k/v/out_proj kernels+biases under the ``self_attn`` scope —
+    same checkpoint tree as ESM2SelfAttention, consumed by the fused
+    layer-block kernel."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        E = self.embed_dim
+        wq, bq = _ProjParams(E, E, name="q_proj")()
+        wk, bk = _ProjParams(E, E, name="k_proj")()
+        wv, bv = _ProjParams(E, E, name="v_proj")()
+        wo, bo = _ProjParams(E, E, name="out_proj")()
+        return (jnp.stack([wq, wk, wv]), jnp.stack([bq, bk, bv]), wo, bo)
+
+
 class ESM2SelfAttention(nn.Module):
     config: ESM2Config
     dtype: jnp.dtype = jnp.float32
@@ -96,6 +125,27 @@ class ESM2Layer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
         cfg = self.config
+        if self.attn_impl in ("layer-block", "layer-block-interpret"):
+            # whole-layer custom-VJP kernels (ops/pallas/esm2_block_tpu):
+            # the Stage-1 training fast path — LN/rotary-attention/FF and
+            # residuals fused, backward recomputes from the layer input
+            # (so use remat=False; the kernel already saves only x).
+            # Param tree identical to the Flax modules below.
+            from biom3_tpu.ops.pallas.esm2_block_tpu import esm2_layer_block
+
+            E = cfg.embed_dim
+            ls1, lb1 = _LNParams(E, name="self_attn_layer_norm")()
+            w3, b3, wo, bo = _AttnParams(E, name="self_attn")()
+            ls2, lb2 = _LNParams(E, name="final_layer_norm")()
+            w1, b1 = _ProjParams(E, cfg.ffn_dim, name="fc1")()
+            w2, b2 = _ProjParams(cfg.ffn_dim, E, name="fc2")()
+            padneg = padding_mask.astype(jnp.float32) * -1e9
+            return esm2_layer_block(
+                x.astype(self.dtype), padneg, w3, b3, wo, bo, ls1, lb1,
+                ls2, lb2, w1, b1, w2, b2,
+                heads=cfg.attention_heads, gelu=self.gelu,
+                interpret=self.attn_impl == "layer-block-interpret",
+            )
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         x = x + ESM2SelfAttention(cfg, self.dtype, self.attn_impl, self.mesh, name="self_attn")(h, padding_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)

@@ -56,8 +56,13 @@ class PenCL(nn.Module):
             cfg.esm, self.dtype, self.attn_impl, remat=self.remat,
             gelu=self.gelu,
         )
+        # "layer-block" is the ESM2 training kernel (esm2_block_tpu); the
+        # BERT tower has no such impl — it keeps the XLA graph (its share
+        # of the pair step is small; see tools/exp_tower_attn.py decomp)
+        bert_impl = ("xla" if self.attn_impl.startswith("layer-block")
+                     else self.attn_impl)
         self.text_encoder = BertEncoder(
-            cfg.bert, self.dtype, self.attn_impl, remat=self.remat
+            cfg.bert, self.dtype, bert_impl, remat=self.remat
         )
         self.protein_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)
         self.text_projection = ProjectionHead(cfg.proj_dim, cfg.dropout, self.dtype)

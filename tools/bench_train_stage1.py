@@ -48,15 +48,23 @@ def main():
                          "dots = keep matmul outputs (models.remat)")
     ap.add_argument("--peak", type=float, default=190.0,
                     help="measured bf16 GEMM TF/s for the MFU estimate")
+    ap.add_argument("--layer-mode", default="xla",
+                    choices=["xla", "layer_block"],
+                    help="layer_block = fused ESM2 layer custom-VJP kernels "
+                         "(ops/pallas/esm2_block_tpu; backward recomputes "
+                         "from layer inputs, so remat is forced off)")
     args = ap.parse_args()
 
     if args.remat_mode is not None:
         remat = {"full": True, "dots": "dots", "none": False}[args.remat_mode]
     else:
         remat = not args.no_remat
+    attn_impl = "xla"
+    if args.layer_mode == "layer_block":
+        attn_impl, remat = "layer-block", False
     cfg = PenCLConfig()
     B = args.batch
-    model = PenCL(cfg, dtype=jnp.bfloat16, remat=remat)
+    model = PenCL(cfg, dtype=jnp.bfloat16, remat=remat, attn_impl=attn_impl)
     rng = np.random.default_rng(0)
 
     def toks(v, L):
