@@ -47,6 +47,8 @@ class PenCLEngine:
         attn_impl: str | None = None,
         tower_impl: str | None = None,
         ff_quant: str | None = None,
+        proj_quant: str = "none",
+        bert_ff_quant: str = "none",
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -70,6 +72,11 @@ class PenCLEngine:
             # drift-gated >0.999 in bench and test_esm2_stack's CPU twin
             ff_quant = "int8" if perf_mode else "none"
         self.ff_quant = ff_quant
+        # int8 q/k/v/out projections (ESM2) and int8 BERT FF: implemented +
+        # CPU drift-tested, opt-in until the on-chip A/B
+        # (tools/exp_pencl_quant.py) certifies them as defaults
+        self.proj_quant = proj_quant
+        self.bert_ff_quant = bert_ff_quant
         self.tower_impl = tower_impl
         self.model = PenCL(
             self.config, dtype=dtype, attn_impl=attn_impl,
@@ -105,11 +112,12 @@ class PenCLEngine:
                 "esm": esm2_stack_arrays(
                     self.params["params"]["protein_encoder"],
                     self.config.esm.num_layers, dtype=dtype,
-                    ff_quant=self.ff_quant,
+                    ff_quant=self.ff_quant, proj_quant=self.proj_quant,
                 ),
                 "bert": bert_stack_arrays(
                     self.params["params"]["text_encoder"],
                     self.config.bert.num_layers, dtype=dtype,
+                    ff_quant=self.bert_ff_quant,
                 ),
             }
             proj = ProjectionHead(self.config.proj_dim, self.config.dropout,
@@ -166,12 +174,13 @@ class PenCLEngine:
                 x0, **self._stack_arrays["bert"],
                 heads=self.config.bert.num_heads, gelu="tanh",
                 rows=1 if x_t.shape[0] % 2 else 2,
+                ff_quant=self.bert_ff_quant,
             )
             z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))
             cls = fused_esm2_cls(
                 jnp.asarray(x_p), **self._stack_arrays["esm"],
                 heads=self.config.esm.attention_heads, gelu="tanh",
-                ff_quant=self.ff_quant,
+                ff_quant=self.ff_quant, proj_quant=self.proj_quant,
             )
             z_p = self._proj_head(p["protein_projection"], cls.astype(dtype))
             return z_t, z_p
