@@ -206,3 +206,41 @@ def test_stage1_sharded_train_step():
     step1 = jax.jit(step)
     _, aux1 = step1(state1, batch)
     assert float(aux["loss"]) == pytest.approx(float(aux1["loss"]), rel=1e-4)
+
+
+def test_stage1_layer_block_matches_xla(rng):
+    """The fused ESM2 layer-block training path (ops/pallas/esm2_block_tpu,
+    interpret mode) reproduces the XLA step: same losses and matching
+    gradients through the full Stage-1 recipe (contrastive + MLM — the MLM
+    path routes compute_logits=True through the fused layers too)."""
+    params = PenCL(TINY).init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+    )
+    cfg = Config({"protein_encoder_lr": 1e-4, "text_encoder_lr": 1e-4,
+                  "head_lr": 1e-4, "weight_decay": "5e-7"})
+    tx = make_stage1_optimizer(cfg)
+    batch = _batch(rng)
+
+    auxes = {}
+    states = {}
+    for name, impl in (("xla", "xla"), ("block", "layer-block-interpret")):
+        model = PenCL(TINY, attn_impl=impl)
+        state = TrainState.create(params, tx)
+        step = make_stage1_train_step(
+            model.apply, tx, temperature=0.8, dataset_type="masked",
+            text_mask_id=5, protein_mask_id=32,
+        )
+        states[name], auxes[name] = step(state, batch)
+
+    for k in ("loss", "loss_align", "loss_text_mask", "loss_seq_mask"):
+        np.testing.assert_allclose(
+            float(auxes["block"][k]), float(auxes["xla"][k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    # post-Adam params are NOT compared: the first Adam step is
+    # ~sign(g)·lr, which amplifies last-ulp gradient differences
+    # (same caveat as test_stage1_remat_matches_plain).  Gradient
+    # parity through the fused layers is covered leaf-by-leaf in
+    # tests/test_esm2_block.py::test_esm2_layer_block_grad_parity.
+    assert int(states["block"].step) == 1
