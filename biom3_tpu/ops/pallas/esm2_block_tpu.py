@@ -285,7 +285,7 @@ def _ff_fwd_kernel(
     o_ref,
     *, ff_block_l, gelu, precision,
 ):
-    cdtype = xb_ref.dtype if xb_ref.dtype != jnp.float32 else jnp.float32
+    cdtype = w1_ref.dtype
     L = xb_ref.shape[1]
     g2 = ls2_ref[0].astype(jnp.float32)
     b2v = lb2_ref[0].astype(jnp.float32)

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-2 queued on-chip A/Bs — run when the TPU tunnel is back.
+# Sequential (tunnel contention: batch experiments per process); each step
+# logs to /tmp/chip_r2/. Order = most-important-first in case the window
+# is short.
+set -x
+mkdir -p /tmp/chip_r2
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+
+# 1. PenCL pair-level quant combos (validates the committed int8-FF default
+#    + measures esm-proj / bert-ff candidates, with drift cosines)
+timeout 3000 python tools/exp_pencl_quant.py > /tmp/chip_r2/pencl_quant.log 2>&1
+
+# 2. Stage-3 stack kernel int8 A/B (headline lever)
+timeout 3000 python tools/exp_kernels.py --which int8 --steps 64 \
+    > /tmp/chip_r2/stack_int8.log 2>&1
+
+# 3. Stage-1 training layer-block vs remat/XLA (new custom-VJP kernels)
+timeout 3000 python tools/bench_train_stage1.py --layer-mode layer_block \
+    --batch 4 --steps 4 > /tmp/chip_r2/train_block.log 2>&1
+timeout 3000 python tools/bench_train_stage1.py --remat-mode dots \
+    --batch 4 --steps 4 > /tmp/chip_r2/train_xla.log 2>&1
+
+# 4. Full bench refresh (new PenCL int8 default path end-to-end)
+timeout 5400 python bench.py > /tmp/chip_r2/bench.log 2>&1
