@@ -208,6 +208,8 @@ def test_stage1_sharded_train_step():
     assert float(aux["loss"]) == pytest.approx(float(aux1["loss"]), rel=1e-4)
 
 
+@pytest.mark.slow  # 63 s; the per-leaf grad parity (test_esm2_block) is the
+#                    fast gate — this covers the train-step glue end-to-end
 def test_stage1_layer_block_matches_xla(rng):
     """The fused ESM2 layer-block training path (ops/pallas/esm2_block_tpu,
     interpret mode) reproduces the XLA step: same losses and matching
