@@ -161,7 +161,10 @@ def bench_proteoscribe(peak):
 def bench_pencl(peak):
     from biom3_tpu.config import PenCLConfig
     from biom3_tpu.models.pencl import PenCL
-    from biom3_tpu.utils.flops import pencl_pair_forward_flops
+    from biom3_tpu.utils.flops import (
+        pencl_esm_ff_flops_fraction,
+        pencl_pair_forward_flops,
+    )
 
     cfg = PenCLConfig()  # full ESM2-650M + PubMedBERT
     # measured TPU serving defaults: whole-tower streamed-weights fused ESM2
@@ -248,6 +251,13 @@ def bench_pencl(peak):
     pairs_per_sec = B * iters / best
     flops = pencl_pair_forward_flops(cfg) * B * iters
     tflops = flops / best / 1e12
+    # mixed-precision MFU basis: the ESM2 FF matmuls run int8 (2× the bf16
+    # issue rate), so the bf16-equivalent ceiling for THIS path is
+    # peak/(1 − f/2) with f the int8-covered FLOP fraction — without this,
+    # an int8 win would read as >100% MFU (or, via main()'s basis
+    # inflation, silently deflate the other metrics' MFU)
+    int8_frac = pencl_esm_ff_flops_fraction(cfg) if on_tpu else 0.0
+    peak_basis = peak / (1.0 - int8_frac / 2.0) if peak else None
 
     # serving-vs-parity drift gate: protein embedding cosine between the
     # perf graph (flash + tanh-GELU) and the erf/XLA reference graph, same
@@ -277,13 +287,18 @@ def bench_pencl(peak):
 
     return {
         "value": round(pairs_per_sec, 2),
-        "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, bf16)",
+        "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, "
+                "bf16 + int8 FF)",
         "tflops": round(tflops, 1),
-        "mfu": round(tflops * 1e12 / peak, 3) if peak else None,
+        "mfu": round(tflops * 1e12 / peak_basis, 3) if peak_basis else None,
+        # own mixed-precision ceiling — main() must NOT fold this metric's
+        # achieved rate into the shared bf16 basis
+        "peak_basis": peak_basis,
         "detail": {"batch": B, "iters": iters,
                    "compile_s": round(compile_s, 1),
                    "attn_impl": tower_impl,
                    "gelu": "tanh" if on_tpu else "erf",
+                   "int8_covered_flop_fraction": round(int8_frac, 3),
                    "fast_vs_ref_min_cosine": drift_cos},
         # drift gate compares the SERVED path (fused stack kernel + tanh)
         # against the erf/XLA bf16 reference graph on the same params
@@ -438,14 +453,18 @@ def main() -> None:
 
     # MFU basis must dominate every ACHIEVED rate (the GEMM probe reads low
     # when tunnel dispatch latency swamps it; an achieved rate is itself a
-    # peak lower bound) — recompute so mfu ≤ 1 by construction
+    # peak lower bound) — recompute so mfu ≤ 1 by construction.  Metrics
+    # with their own mixed-precision basis (int8 paths, "peak_basis") are
+    # excluded: their bf16-equivalent rate may legitimately exceed the bf16
+    # peak and must not deflate the pure-bf16 metrics' MFU.
     achieved = max(
-        (m["tflops"] or 0.0) * 1e12 for m in metrics.values()
+        (m["tflops"] or 0.0) * 1e12
+        for m in metrics.values() if not m.get("peak_basis")
     )
     if peak is None or achieved > peak:
         peak = max(peak or 0.0, achieved)
         for m in metrics.values():
-            if m.get("tflops"):
+            if m.get("tflops") and not m.get("peak_basis"):
                 m["mfu"] = round(m["tflops"] * 1e12 / peak, 3)
 
     head = metrics["proteoscribe_seqs_per_sec_per_chip"]

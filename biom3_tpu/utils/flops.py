@@ -81,6 +81,18 @@ def pencl_pair_forward_flops(cfg) -> float:
     return esm + bert + heads
 
 
+def pencl_esm_ff_flops_fraction(cfg) -> float:
+    """Fraction of the pair's matmul FLOPs in the ESM2 FF matmuls — the
+    part the int8 serving mode runs on the MXU's int8 path (2× the bf16
+    issue rate on v5e/v6e).  Used by bench for the mixed-precision MFU
+    basis: with f the int8-covered fraction, the bf16-equivalent ceiling is
+    ``peak_bf16 / (1 − f/2)``."""
+    esm_ff = (cfg.esm.num_layers
+              * 2 * 2 * cfg.seq_max_length * cfg.esm.embed_dim
+              * 4 * cfg.esm.embed_dim)
+    return esm_ff / pencl_pair_forward_flops(cfg)
+
+
 _PEAK_BF16 = {
     # chip generation → dense bf16 peak FLOP/s per chip (public numbers)
     "TPU v5 lite": 197e12,   # v5e
