@@ -155,7 +155,7 @@ def _attn_bwd_kernel(
     xb_ref, pn_ref, cost_ref, sint_ref, pt_ref,
     w3_ref, b3_ref, wo_ref, ls1_ref, lb1_ref, dy_ref,
     dxb_ref, dw3_ref, db3_ref, dwo_ref, dbo_ref, dls1_ref, dlb1_ref,
-    qkv_ref, attn_ref, datt_ref, dqkv_ref,
+    qkv_ref, datt_ref, dqkv_ref,
     *, heads, precision,
 ):
     b = pl.program_id(0)
@@ -173,7 +173,7 @@ def _attn_bwd_kernel(
         dls1_ref[:] = jnp.zeros(dls1_ref.shape, jnp.float32)
         dlb1_ref[:] = jnp.zeros(dlb1_ref.shape, jnp.float32)
 
-    # ---- recompute the forward up to the attention output ----
+    # ---- recompute the forward up to the staged q/k/v ----
     x = xb_ref[0].astype(jnp.float32)
     g1 = ls1_ref[0].astype(jnp.float32)
     v, xhat1, rstd1 = _ln_fwd(x, g1, lb1_ref[0].astype(jnp.float32))
@@ -184,16 +184,13 @@ def _attn_bwd_kernel(
     cost = cost_ref[:].astype(cdtype)
     sint = sint_ref[:].astype(cdtype)
     pt = pt_ref[:].astype(cdtype)
-    _head_fwd(qkv_ref, attn_ref, padneg, cost, sint, pt, heads=heads,
-              Dh=Dh, E=E, scale=scale, precision=precision, cdtype=cdtype)
 
-    # ---- output-projection backward ----
+    # ---- output-projection backward (the attn-matrix side of dwo is
+    # accumulated per head inside head_bwd: dwo's row strip [off, off+Dh)
+    # depends only on head hd's attention output, so the strips fold into
+    # the gradient loop and the scores are recomputed ONCE, not twice) ----
     dy = dy_ref[0].astype(jnp.float32)                       # (L, E)
     dyc = dy.astype(cdtype)
-    dwo_ref[:] = dwo_ref[:] + jax.lax.dot_general(
-        attn_ref[:], dyc, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
     dbo_ref[:] = dbo_ref[:] + jnp.sum(dy, axis=0, keepdims=True)
     datt_ref[:] = jax.lax.dot_general(
         wo_ref[:].astype(cdtype), dyc, (((1,), (1,)), ((), ())),
@@ -230,6 +227,18 @@ def _attn_bwd_kernel(
         e = jnp.exp(dots - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)           # (Lq, Lk) f32
         pc = p.astype(cdtype)
+
+        # this head's attention-output strip → its dwo row strip
+        attn_s = jax.lax.dot_general(
+            vh, pc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(cdtype)                                     # (Dh, Lq)
+        dwo_ref[pl.ds(off, Dh), :] = dwo_ref[
+            pl.ds(off, Dh), :
+        ] + jax.lax.dot_general(
+            attn_s, dyc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
 
         davh = datt_ref[pl.ds(off, Dh), :]                   # (Dh, Lq)
         dvh = jax.lax.dot_general(
@@ -443,7 +452,6 @@ def _attn_bwd_call(xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy, *,
         ),
         scratch_shapes=[
             pltpu.VMEM((3 * E, L), cdtype),
-            pltpu.VMEM((E, L), cdtype),
             pltpu.VMEM((E, L), cdtype),
             pltpu.VMEM((3 * E, L), jnp.float32),
         ],
