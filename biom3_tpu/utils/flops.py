@@ -93,6 +93,22 @@ def pencl_esm_ff_flops_fraction(cfg) -> float:
     return esm_ff / pencl_pair_forward_flops(cfg)
 
 
+def proteoscribe_int8_flops_fraction(cfg, *, ff: bool = True,
+                                     proj: bool = False) -> float:
+    """Fraction of the Stage-3 forward's matmul FLOPs covered by the int8
+    serving modes (``ff_quant`` → the two FF matmuls, ``proj_quant`` → the
+    q/k/v/out projections).  Same blended-ceiling use as
+    :func:`pencl_esm_ff_flops_fraction`."""
+    L, d = cfg.max_seq_len, cfg.dim
+    depth = cfg.depth * cfg.n_blocks
+    covered = 0.0
+    if ff:
+        covered += depth * 2 * 2 * L * d * (d * cfg.ff_mult)
+    if proj:
+        covered += depth * 4 * 2 * L * d * d
+    return covered / proteoscribe_forward_flops(cfg, 1)
+
+
 _PEAK_BF16 = {
     # chip generation → dense bf16 peak FLOP/s per chip (public numbers)
     "TPU v5 lite": 197e12,   # v5e
