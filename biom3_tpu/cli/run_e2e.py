@@ -35,6 +35,11 @@ def parse_arguments():
     p.add_argument("--positions_per_step", type=int, default=1,
                    help=">1 enables blocked fast decoding (k-fold fewer "
                         "forwards; certified in PARITY.md)")
+    p.add_argument("--ff-quant", choices=["none", "int8"], default="none",
+                   help="Stage-3 FF matmuls on the int8 MXU path "
+                        "(drift-gated serving mode)")
+    p.add_argument("--proj-quant", choices=["none", "int8"], default="none",
+                   help="Stage-3 q/k/v/out projections on the int8 MXU path")
     return p.parse_args()
 
 
@@ -64,6 +69,7 @@ def main() -> None:
         load_json_config(args.stage3_json), args.stage3_model,
         temperature=args.temperature,
         positions_per_step=args.positions_per_step,
+        ff_quant=args.ff_quant, proj_quant=args.proj_quant,
     )
     sequences = s3.generate_sequences(
         z_c, num_replicas=args.num_replicas, seed=args.seed
