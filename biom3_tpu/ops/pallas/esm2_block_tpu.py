@@ -16,6 +16,12 @@ direction stays under ~100 MB.
   esm2_attn_block(x, padneg, …) = x + OutProj(Softmax(rot(q)·rot(k)ᵀ·s + m)·v)
   ff_residual_block(x, …)       = x + W2·gelu(W1·LN(x) + b1) + b2
 
+Single-chip training path: GSPMD has no partitioning rule for these
+pallas_calls, so the sharded multi-chip step (`training/sharded.py`)
+keeps the XLA graph; `--layer-mode layer_block` applies to one-chip runs
+(where the reference trains multi-GPU, our multi-chip story is the
+GSPMD/XLA step — proven in the driver dryrun).
+
 Math identical to ``ESM2Layer`` (LN eps 1e-5, qkv biases, GPT-NeoX rotary
 over the full head dim as a ±1 permutation matmul — bit-exact vs
 ``ops/rotary.apply_rotary``, same tables as the serving kernel
