@@ -1,0 +1,168 @@
+"""Certify the int8 serving modes on a TRAINED model (not random init).
+
+The int8 drift gates (bench, interpret twins) run on random-init weights;
+trained transformers can develop activation outliers that quantize worse
+(the LLM.int8 failure mode — our per-token dynamic × per-out-channel
+scheme is the standard mitigation, but it should be MEASURED).  This
+harness reuses the blocked-decoding certification task
+(``tools/certify_blocked.py``): train the small ProteoScribe on the
+class-conditioned copy task, then compare the bf16 stack kernel against
+its int8-FF and int8-FF+proj modes on the trained weights:
+
+  * temp-0 sequences: exact-match fraction vs the bf16 kernel (greedy
+    decoding is the most quantization-sensitive surface);
+  * logit agreement: max |Δ| and min cosine on a probe batch;
+  * task quality: coherence / class accuracy per mode (same metrics as
+    the blocked certification).
+
+Usage (chip):
+  PYTHONPATH=/root/repo:$PYTHONPATH python tools/certify_int8.py \
+      --steps 600 --batch 64
+
+Results go to PARITY.md ("int8 serving quantization").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from certify_blocked import MODES, coherence_stats, make_batch  # noqa: E402
+
+from biom3_tpu.config import ProteoScribeConfig  # noqa: E402
+from biom3_tpu.diffusion.sampler import (  # noqa: E402
+    make_sampler,
+    sample_permutations,
+)
+from biom3_tpu.models.fused_forward import make_stack_apply  # noqa: E402
+from biom3_tpu.models.proteoscribe import ProteoScribe  # noqa: E402
+from biom3_tpu.training.optim import make_optimizer  # noqa: E402
+from biom3_tpu.training.stage3_task import make_stage3_train_step  # noqa: E402
+from biom3_tpu.training.state import TrainState  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--sample-batch", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke mode (tiny steps, interpret kernels)")
+    args = ap.parse_args()
+
+    cfg = ProteoScribeConfig(
+        num_classes=29, dim=128, depth=4, n_blocks=1, heads=8, local_heads=4,
+        local_window=64, max_seq_len=args.seq_len, num_timesteps=args.seq_len,
+        cond_dim=32,
+    )
+    model = ProteoScribe(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, cfg.max_seq_len), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
+    )
+    tx = make_optimizer("AdamW", 1e-3, weight_decay=1e-6)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_stage3_train_step(model.apply, tx))
+
+    rng = np.random.default_rng(0)
+    chunk = min(100, args.steps)
+    n_chunks = max(1, args.steps // chunk)
+    t0 = time.time()
+
+    @jax.jit
+    def train_chunk(state, tokens_c, zc_c, key):
+        def body(carry, xs):
+            st, _ = carry
+            tok, zc, k = xs
+            st, aux = step(st, {"tokens": tok, "z_c": zc}, k)
+            return (st, aux["loss"]), ()
+        (state, loss), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)),
+            (tokens_c, zc_c, jax.random.split(key, tokens_c.shape[0])),
+        )
+        return state, loss
+
+    for c in range(n_chunks):
+        toks = np.empty((chunk, args.batch, cfg.max_seq_len), np.int32)
+        zcs = np.empty((chunk, args.batch, cfg.cond_dim), np.float32)
+        for i in range(chunk):
+            t_, z_, _ = make_batch(rng, args.batch, cfg.max_seq_len,
+                                   cfg.cond_dim)
+            toks[i], zcs[i] = np.asarray(t_), np.asarray(z_)
+        state, loss = train_chunk(state, jnp.asarray(toks), jnp.asarray(zcs),
+                                  jax.random.key(1000 + c))
+        print(f"chunk {c + 1}/{n_chunks}: loss {float(loss):.4f}", flush=True)
+    print(f"trained {n_chunks * chunk} steps in {time.time()-t0:.0f}s")
+
+    B = args.sample_batch
+    _, z_c, cls = make_batch(np.random.default_rng(7), B, cfg.max_seq_len,
+                             cfg.cond_dim)
+    path = sample_permutations(jax.random.key(42), B, cfg.max_seq_len)
+
+    # probe logits: trained weights, 16 random positions per row
+    prng = np.random.default_rng(11)
+    x_probe = jnp.asarray(
+        MODES[prng.integers(0, 2, B), prng.integers(0, 4, B)][:, None]
+        * np.ones((B, cfg.max_seq_len), np.int32)
+    )
+    t_probe = jnp.asarray(prng.integers(0, cfg.num_timesteps, B)
+                          .astype(np.int32))
+    pos_probe = jnp.asarray(
+        np.stack([prng.permutation(cfg.max_seq_len)[:16] for _ in range(B)])
+        .astype(np.int32)
+    )
+
+    modes = [("bf16", "none", "none"), ("int8-ff", "int8", "none"),
+             ("int8-ff+proj", "int8", "int8")]
+    ref_logits = ref_seqs = None
+    for name, ffq, pq in modes:
+        apply_fn = make_stack_apply(
+            cfg, gelu="erf", resident=True, ff_quant=ffq, proj_quant=pq,
+            interpret=args.interpret,
+            # CPU smoke: the CPU backend cannot execute bf16 dots
+            dtype=jnp.float32 if args.interpret else jnp.bfloat16,
+        )
+        logits = np.asarray(jax.jit(apply_fn)(
+            state.params, x_probe, t_probe, z_c, pos_probe
+        ), np.float32)
+        sampler = make_sampler(
+            apply_fn, cfg.num_timesteps, temperature=0.0,
+            chunk_steps=None, apply_takes_positions=True,
+        )
+        seqs = np.asarray(sampler(state.params, z_c, path, jax.random.key(5)))
+        cons, class_ok = coherence_stats(seqs, cls)
+        row = {
+            "mode": name,
+            "coherence_mean": round(float(cons.mean()), 4),
+            "class_acc": round(float(class_ok.mean()), 3),
+        }
+        if ref_logits is None:
+            ref_logits, ref_seqs = logits, seqs
+        else:
+            cos = (logits * ref_logits).sum(-1) / (
+                np.linalg.norm(logits, axis=-1)
+                * np.linalg.norm(ref_logits, axis=-1) + 1e-9
+            )
+            row.update({
+                "logit_max_abs_delta": round(
+                    float(np.abs(logits - ref_logits).max()), 4),
+                "logit_min_cosine": round(float(cos.min()), 6),
+                "temp0_seq_exact_match": round(
+                    float((seqs == ref_seqs).all(axis=1).mean()), 3),
+                "temp0_tok_agreement": round(
+                    float((seqs == ref_seqs).mean()), 5),
+            })
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
