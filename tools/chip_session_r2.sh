@@ -22,5 +22,9 @@ timeout 3000 python tools/bench_train_stage1.py --layer-mode layer_block \
 timeout 3000 python tools/bench_train_stage1.py --remat-mode dots \
     --batch 4 --steps 4 > /tmp/chip_r2/train_xla.log 2>&1
 
-# 4. Full bench refresh (new PenCL int8 default path end-to-end)
+# 4. int8 on TRAINED weights (certification for PARITY.md)
+timeout 3000 python tools/certify_int8.py --steps 600 --batch 64 \
+    > /tmp/chip_r2/certify_int8.log 2>&1
+
+# 5. Full bench refresh (new PenCL int8 default path end-to-end)
 timeout 5400 python bench.py > /tmp/chip_r2/bench.log 2>&1
