@@ -154,3 +154,19 @@ def test_fused_esm2_pad_invariance(tower, rng):
     toks2[:, 3] = (toks2[:, 3] % 20) + 4
     changed = run(toks2)
     assert np.abs(changed - base).max() > 1e-6  # sanity: content matters
+
+
+def test_quant_helpers_zero_robustness():
+    """All-zero weights/activations must quantize without NaN/inf (the
+    1e-12 / 1e-6 scale floors)."""
+    from biom3_tpu.ops.pallas.quant import (
+        quant_cols,
+        quant_rows,
+        quantize_weight_int8,
+    )
+
+    q, s = quantize_weight_int8(jnp.zeros((2, 8, 16)))
+    assert np.isfinite(np.asarray(s)).all() and not np.asarray(q).any()
+    for fn, shape in ((quant_rows, (4, 8)), (quant_cols, (8, 4))):
+        qa, a = fn(jnp.zeros(shape))
+        assert np.isfinite(np.asarray(a)).all() and not np.asarray(qa).any()
