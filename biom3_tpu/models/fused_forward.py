@@ -266,6 +266,35 @@ def make_stack_apply(
     return apply_fn
 
 
+def make_sharded_stack_apply(cfg: ProteoScribeConfig, mesh, **kwargs):
+    """Multi-chip twin of :func:`make_stack_apply`: the whole-stack kernel
+    under ``jax.shard_map`` over the mesh's (dp, fsdp) batch axes — each
+    device runs the fused kernel on its batch shard, params replicated.
+    No collectives are needed (denoising is embarrassingly batch-parallel),
+    so scale-out efficiency is linear by construction; pair with
+    ``pipeline.sweep.SweepRunner(..., apply_takes_positions=True)``.
+
+    ``check_vma=False``: pallas_call outputs carry no varying-mesh-axes
+    annotation yet; correctness is covered by
+    ``tests/test_sweep.py::test_sweep_runner_sharded_stack_kernel``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    apply_fn = make_stack_apply(cfg, **kwargs)
+    data = P(("dp", "fsdp"))
+
+    def sharded(variables, x, t, z_c=None, pos=None, **_ignored):
+        return jax.shard_map(
+            lambda v, x, t, z, p: apply_fn(v, x, t, z, p),
+            mesh=mesh,
+            in_specs=(P(), data, data, data, data),
+            out_specs=data,
+            check_vma=False,
+        )(variables, x, t, z_c, pos)
+
+    return sharded
+
+
 def make_fused_apply(
     cfg: ProteoScribeConfig,
     *,

@@ -30,6 +30,7 @@ class SweepRunner:
         temperature: float = 1.0,
         chunk_steps: int | None = 128,
         positions_per_step: int = 1,
+        apply_takes_positions: bool = False,
     ):
         self.mesh = mesh
         self.num_steps = num_steps
@@ -38,10 +39,14 @@ class SweepRunner:
         self.replicated = NamedSharding(mesh, P())
         self.params = jax.device_put(params, self.replicated)
         chunk = chunk_steps if chunk_steps and num_steps % (chunk_steps * positions_per_step) == 0 else None
+        # apply_takes_positions=True pairs with make_sharded_stack_apply:
+        # the whole-stack kernel under shard_map, one fused kernel per
+        # device shard (the TPU multi-chip serving fast path)
         self.sampler = make_sampler(
             apply_fn, num_steps,
             temperature=temperature, chunk_steps=chunk,
             positions_per_step=positions_per_step,
+            apply_takes_positions=apply_takes_positions,
         )
         self._shard_count = mesh.shape["dp"] * mesh.shape["fsdp"]
 

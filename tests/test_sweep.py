@@ -50,3 +50,34 @@ def test_sweep_runner_uneven_batch_padding():
     prompts = np.zeros((3, 16), np.float32)
     seqs = runner.run(prompts, num_replicas=1, device_batch=16)
     assert len(seqs) == 3 and all(len(r) == 1 for r in seqs)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_sweep_runner_sharded_stack_kernel():
+    """Multi-chip serving with the whole-stack kernel: shard_map over the
+    (dp, fsdp) batch axes, one fused kernel per device shard (interpret
+    mode on the CPU mesh).  Temp-0 output must match the single-device
+    Flax graph run."""
+    from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=2, tp=1))
+    model = ProteoScribe(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 64), jnp.int32),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)),
+    )
+    apply_fn = make_sharded_stack_apply(
+        TINY, mesh, dtype=jnp.float32, resident=True, interpret=True,
+    )
+    runner = SweepRunner(
+        model.apply, params, TINY.num_timesteps, mesh,
+        chunk_steps=32, temperature=0.0,
+    )
+    runner_stack = SweepRunner(
+        apply_fn, params, TINY.num_timesteps, mesh,
+        chunk_steps=32, temperature=0.0, apply_takes_positions=True,
+    )
+    prompts = np.random.default_rng(0).standard_normal((4, 16)).astype(np.float32)
+    want = runner.run(prompts, num_replicas=2, device_batch=8)
+    got = runner_stack.run(prompts, num_replicas=2, device_batch=8)
+    assert got == want
