@@ -189,6 +189,9 @@ def fused_bert_cls(
     F = w1.shape[2]
     if B % rows:
         raise ValueError(f"B={B} not divisible by rows={rows}")
+    ff_block_l = min(ff_block_l, L)
+    while L % ff_block_l:
+        ff_block_l //= 2
     cdtype = x0.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     if ff_quant == "int8":

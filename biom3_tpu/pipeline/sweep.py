@@ -92,3 +92,85 @@ class SweepRunner:
             decoded[p * num_replicas : (p + 1) * num_replicas]
             for p in range(P_n)
         ]
+
+
+class Stage1SweepRunner:
+    """Mesh-sharded bulk embedding: many (caption, sequence) pairs through
+    the fused tower kernels, batch sharded over (dp, fsdp).
+
+    The production counterpart of the reference's one-GPU
+    ``run_PenCL_inference.py`` loop: each device runs the whole-tower
+    Pallas kernels (``esm2_stack_tpu`` / ``bert_stack_tpu``, incl. the
+    int8-FF serving mode) on its shard — no collectives, linear scale-out.
+    Pass ``interpret=True`` only for CPU-mesh tests.
+    """
+
+    def __init__(self, engine, mesh: Mesh, *, device_batch: int = 64,
+                 interpret: bool = False):
+        from biom3_tpu.models.pencl import ProjectionHead
+        from biom3_tpu.ops.pallas.bert_stack_tpu import (
+            bert_embed,
+            fused_bert_cls,
+        )
+        from biom3_tpu.ops.pallas.esm2_stack_tpu import fused_esm2_cls
+
+        if engine._stack_arrays is None:
+            raise ValueError("Stage1SweepRunner needs a fused-stack engine "
+                             "(tower_impl='fused-stack')")
+        self.engine = engine
+        self.mesh = mesh
+        self.device_batch = device_batch
+        self._shard_count = mesh.shape["dp"] * mesh.shape["fsdp"]
+        self.data_sharding = NamedSharding(mesh, P(("dp", "fsdp"), None))
+        cfg = engine.config
+        dtype = engine.model.dtype
+        proj = ProjectionHead(cfg.proj_dim, cfg.dropout, dtype)
+        params, arrays = engine.params, engine._stack_arrays
+
+        def pair(x_t, x_p):
+            p = params["params"]
+            x0 = bert_embed(p["text_encoder"], x_t, dtype=dtype)
+            t_cls = fused_bert_cls(
+                x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
+                rows=1, ff_quant=engine.bert_ff_quant, interpret=interpret,
+            )
+            z_t = proj.apply({"params": p["text_projection"]},
+                             t_cls.astype(dtype))
+            cls = fused_esm2_cls(
+                x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
+                gelu="tanh", ff_quant=engine.ff_quant,
+                proj_quant=engine.proj_quant, interpret=interpret,
+            )
+            z_p = proj.apply({"params": p["protein_projection"]},
+                             cls.astype(dtype))
+            return z_t, z_p
+
+        self._pair = jax.jit(jax.shard_map(
+            pair, mesh=mesh,
+            in_specs=(P(("dp", "fsdp")), P(("dp", "fsdp"))),
+            out_specs=(P(("dp", "fsdp")), P(("dp", "fsdp"))),
+            check_vma=False,
+        ))
+
+    def run(self, x_t: np.ndarray, x_p: np.ndarray):
+        """Token batches (N, Lt) / (N, Lp) → (z_t, z_p) (N, proj_dim)."""
+        N = x_t.shape[0]
+        slab = max(self._shard_count,
+                   self.device_batch - self.device_batch % self._shard_count)
+        zts, zps = [], []
+        for start in range(0, N, slab):
+            n = min(slab, N - start)
+            n_pad = -n % self._shard_count
+            xt = np.concatenate(
+                [x_t[start:start + n],
+                 np.zeros((n_pad, x_t.shape[1]), x_t.dtype)])
+            xp = np.concatenate(
+                [x_p[start:start + n],
+                 np.ones((n_pad, x_p.shape[1]), x_p.dtype)])
+            zt, zp = self._pair(
+                jax.device_put(jnp.asarray(xt), self.data_sharding),
+                jax.device_put(jnp.asarray(xp), self.data_sharding),
+            )
+            zts.append(np.asarray(zt, np.float32)[:n])
+            zps.append(np.asarray(zp, np.float32)[:n])
+        return np.concatenate(zts), np.concatenate(zps)

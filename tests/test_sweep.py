@@ -81,3 +81,43 @@ def test_sweep_runner_sharded_stack_kernel():
     want = runner.run(prompts, num_replicas=2, device_batch=8)
     got = runner_stack.run(prompts, num_replicas=2, device_batch=8)
     assert got == want
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_stage1_sweep_runner_sharded():
+    """Mesh-sharded bulk embedding through the fused tower kernels
+    (interpret mode on the CPU mesh): embeddings must track the engine's
+    Flax forward to the serving drift gate (tanh-GELU path, >=0.999)."""
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.pipeline.sweep import Stage1SweepRunner
+
+    cfg = Config({
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": 40,
+        "bert_max_position_embeddings": 32,
+        "proj_embedding_dim": 8, "temperature": 0.8, "dropout": 0.1,
+        "text_max_length": 32,
+    })
+    engine = PenCLEngine(cfg, None, dtype=jnp.float32,
+                         tower_impl="fused-stack", attn_impl="xla")
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=2, tp=1))
+    runner = Stage1SweepRunner(engine, mesh, device_batch=16,
+                               interpret=True)
+
+    rng = np.random.default_rng(0)
+    N = 11  # not a multiple of the 8-shard count — exercises padding
+    x_t = rng.integers(4, 40, (N, 32)).astype(np.int32)
+    x_p = rng.integers(4, 30, (N, 24)).astype(np.int32)
+    zt, zp = runner.run(x_t, x_p)
+    assert zt.shape == (N, 8) and zp.shape == (N, 8)
+
+    ref = engine._forward(engine.params, jnp.asarray(x_t), jnp.asarray(x_p))
+    for got, want in ((zt, np.asarray(ref["text_joint_latent"])),
+                      (zp, np.asarray(ref["seq_joint_latent"]))):
+        cos = (got * want).sum(-1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+        )
+        assert cos.min() > 0.999, cos.min()
