@@ -70,37 +70,65 @@ def make_inpainter(
     num_steps: int,
     *,
     temperature: float = 1.0,
+    apply_takes_positions: bool = False,
+    chunk_steps: int | None = None,
 ) -> Callable:
     """Compiled resume-from-t denoiser: finishes a corrupted sample's
     trajectory position by position (the reference's predict_next_index loop,
     :122-147 + the generate loop :152-201), as one scan with per-step
-    validity masking (steps before t0 are no-ops)."""
+    validity masking (steps before t0 are no-ops).
+
+    ``apply_takes_positions=True`` switches to the whole-stack-kernel
+    contract (``apply(params, x, t, z_c, pos) → (B, k, C)``) — each step
+    decodes exactly one path position, so the inpainter gets the same
+    gather-before-head fast path as the sampler.  ``chunk_steps`` splits
+    the trajectory into several device dispatches (tunnel runtimes kill
+    ~60 s single executions), same contract as ``make_sampler``."""
 
     def step(params, z_c, path, t0, carry, t):
         x, key = carry
         key, sub = jax.random.split(key)
-        logits = apply_fn(
-            params, x, jnp.full((x.shape[0],), t, jnp.int32), z_c
-        ).astype(jnp.float32)
+        tb = jnp.full((x.shape[0],), t, jnp.int32)
+        active = t >= t0  # (B,) rows whose trajectory has reached step t
+        write = (path == t) & active[:, None]
+        if apply_takes_positions:
+            # each row decodes its single path==t position this step
+            pos = jnp.argmax(path == t, axis=1).astype(jnp.int32)
+            logits = apply_fn(
+                params, x, tb, z_c, pos[:, None]
+            ).astype(jnp.float32)                       # (B, 1, C)
+        else:
+            logits = apply_fn(params, x, tb, z_c).astype(jnp.float32)
         if temperature == 0.0:
             sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
             sampled = jax.random.categorical(
                 sub, logits / temperature, axis=-1
             ).astype(jnp.int32)
-        active = t >= t0  # (B,) rows whose trajectory has reached step t
-        write = (path == t) & active[:, None]
+        # full-logits path: sampled (B, L); positions path: (B, 1),
+        # broadcast across L — write is one-hot per row either way
         x = jnp.where(write, sampled, x)
         return (x, key), None
 
-    @jax.jit
-    def inpaint(params, masked_tokens, z_c, path, t0, key):
-        (x, _), _ = jax.lax.scan(
+    chunk = chunk_steps if chunk_steps and num_steps % chunk_steps == 0 else None
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_chunk(params, z_c, path, t0, carry, start, n):
+        return jax.lax.scan(
             functools.partial(step, params, z_c, path, t0),
-            (masked_tokens, key),
-            jnp.arange(num_steps, dtype=jnp.int32),
-        )
-        return x
+            carry,
+            start + jnp.arange(n, dtype=jnp.int32),
+        )[0]
+
+    def inpaint(params, masked_tokens, z_c, path, t0, key):
+        carry = (masked_tokens, key)
+        if chunk is None:
+            return run_chunk(params, z_c, path, t0, carry,
+                             jnp.int32(0), num_steps)[0]
+        for c in range(num_steps // chunk):
+            carry = run_chunk(params, z_c, path, t0, carry,
+                              jnp.int32(c * chunk), chunk)
+        return carry[0]
 
     return inpaint
 

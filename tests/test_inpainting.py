@@ -103,3 +103,34 @@ def test_extract_samples_with_labels():
     out = extract_samples_with_labels(data, labels, 1, 2)
     assert len(out["sample"]) == 2
     np.testing.assert_array_equal(out["sample"][0], data[0] + 1)
+
+
+def test_inpainter_stack_contract_matches_full_logits():
+    """apply_takes_positions inpainting (the whole-stack-kernel fast path,
+    one decoded position per step) must equal the full-logits path at
+    temp 0 — same trajectory, chunked and unchunked."""
+    from biom3_tpu.models.fused_forward import make_stack_apply
+
+    model, params = _cond_model()
+    real = jnp.asarray(
+        np.random.default_rng(5).integers(1, 29, (2, 64)), jnp.int32
+    )
+    masked, path, t = corrupt_samples(jax.random.key(6), real, 0.5, 64)
+    z_c = jnp.zeros((2, 16))
+
+    ref = make_inpainter(model.apply, TINY.num_timesteps, temperature=0.0)
+    want = np.asarray(
+        ref(params, masked, z_c, path, t, jax.random.key(7))
+    )
+    stack_apply = make_stack_apply(
+        TINY, dtype=jnp.float32, resident=True, interpret=True
+    )
+    for chunk in (None, 16):
+        fast = make_inpainter(
+            stack_apply, TINY.num_timesteps, temperature=0.0,
+            apply_takes_positions=True, chunk_steps=chunk,
+        )
+        got = np.asarray(
+            fast(params, masked, z_c, path, t, jax.random.key(7))
+        )
+        np.testing.assert_array_equal(got, want)
