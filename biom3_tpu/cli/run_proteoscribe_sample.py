@@ -43,6 +43,11 @@ def parse_arguments():
                         default="none",
                         help="int8 = q/k/v/out projections on the int8 MXU "
                              "path (bf16 path only)")
+    parser.add_argument("--top-k", type=int, default=None,
+                        help="truncate sampling to the k most likely tokens "
+                             "(framework extension; reference samples full)")
+    parser.add_argument("--top-p", type=float, default=None,
+                        help="nucleus sampling threshold (framework extension)")
     return parser.parse_args()
 
 
@@ -66,6 +71,8 @@ def main() -> None:
         positions_per_step=args.positions_per_step,
         ff_quant=args.ff_quant,
         proj_quant=args.proj_quant,
+        top_k=args.top_k,
+        top_p=args.top_p,
     )
 
     embedding_dataset = load_torch_file(args.input_path)

@@ -40,6 +40,8 @@ class ProteoScribeEngine:
         gelu: str | None = None,
         ff_quant: str = "none",
         proj_quant: str = "none",
+        top_k: int | None = None,
+        top_p: float | None = None,
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -130,6 +132,8 @@ class ProteoScribeEngine:
             legacy_batch_update=legacy_batch_update,
             chunk_steps=chunk,
             positions_per_step=positions_per_step,
+            top_k=top_k,
+            top_p=top_p,
             head_fn=head_fn,
             apply_takes_positions=apply_takes_positions,
         )
