@@ -265,9 +265,10 @@ def _attn_bwd_kernel(
             qh, ds, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )                                                    # (Dh, Lk) f32
-        dqkv_ref[pl.ds(off, Dh), :] = unrot(dqrot)
-        dqkv_ref[pl.ds(E + off, Dh), :] = unrot(dkrot)
-        dqkv_ref[pl.ds(2 * E + off, Dh), :] = dvh
+        acc_t = dqkv_ref.dtype
+        dqkv_ref[pl.ds(off, Dh), :] = unrot(dqrot).astype(acc_t)
+        dqkv_ref[pl.ds(E + off, Dh), :] = unrot(dkrot).astype(acc_t)
+        dqkv_ref[pl.ds(2 * E + off, Dh), :] = dvh.astype(acc_t)
         return _
 
     jax.lax.fori_loop(0, heads, head_bwd, None)
@@ -429,7 +430,7 @@ def _attn_fwd_call(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1, *,
 
 
 def _attn_bwd_call(xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy, *,
-                   heads, vmem_limit_mb, interpret):
+                   heads, vmem_limit_mb, interpret, dqkv_dtype=jnp.float32):
     B, L, E = xb.shape
     Dh = E // heads
     cdtype = xb.dtype
@@ -459,7 +460,10 @@ def _attn_bwd_call(xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy, *,
         scratch_shapes=[
             pltpu.VMEM((3 * E, L), cdtype),
             pltpu.VMEM((E, L), cdtype),
-            pltpu.VMEM((3 * E, L), jnp.float32),
+            # dqkv staging: bf16 halves this 15.7 MB (full size) buffer if
+            # the f32 layout overflows VMEM; the dw3/db3/dvt matmuls read
+            # it back in cdtype either way
+            pltpu.VMEM((3 * E, L), dqkv_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
@@ -469,9 +473,9 @@ def _attn_bwd_call(xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy, *,
       ls1[None, :], lb1[None, :], dy)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def _attn_block(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
-                heads, vmem_limit_mb, interpret):
+                heads, vmem_limit_mb, interpret, dqkv_dtype):
     return _attn_fwd_call(
         xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
         heads=heads, vmem_limit_mb=vmem_limit_mb, interpret=interpret,
@@ -479,7 +483,7 @@ def _attn_block(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
 
 
 def _attn_block_fwd(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
-                    heads, vmem_limit_mb, interpret):
+                    heads, vmem_limit_mb, interpret, dqkv_dtype):
     out = _attn_fwd_call(
         xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
         heads=heads, vmem_limit_mb=vmem_limit_mb, interpret=interpret,
@@ -487,11 +491,12 @@ def _attn_block_fwd(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1,
     return out, (xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1)
 
 
-def _attn_block_bwd(heads, vmem_limit_mb, interpret, res, dy):
+def _attn_block_bwd(heads, vmem_limit_mb, interpret, dqkv_dtype, res, dy):
     xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1 = res
     dxb, dw3, db3, dwo, dbo, dls1, dlb1 = _attn_bwd_call(
         xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy.astype(xb.dtype),
         heads=heads, vmem_limit_mb=vmem_limit_mb, interpret=interpret,
+        dqkv_dtype=dqkv_dtype,
     )
     zero = lambda z: jnp.zeros_like(z)
     return (
@@ -515,6 +520,7 @@ def esm2_attn_block(
     heads: int,
     vmem_limit_mb: int = 120,
     interpret: bool = False,
+    dqkv_dtype=jnp.float32,
 ) -> jax.Array:
     """Differentiable fused pre-LN rotary attention half → x + attn_out."""
     B, L, E = x.shape
@@ -526,7 +532,7 @@ def esm2_attn_block(
     return _attn_block(
         x, f32(padneg), cost, sint, pt, w3.astype(x.dtype), f32(b3),
         wo.astype(x.dtype), f32(bo), f32(ls1), f32(lb1),
-        heads, vmem_limit_mb, interpret,
+        heads, vmem_limit_mb, interpret, dqkv_dtype,
     )
 
 
