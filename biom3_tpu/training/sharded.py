@@ -12,7 +12,7 @@ from typing import Callable
 
 import jax
 
-from biom3_tpu.parallel.sharding import batch_sharding, shard_params
+from biom3_tpu.parallel.sharding import batch_sharding, put_global, shard_params
 from biom3_tpu.training.state import TrainState
 
 
@@ -34,7 +34,7 @@ def make_sharded_train_step(
 
     def shard_batch(batch: dict) -> dict:
         return {
-            key: jax.device_put(value, batch_sharding(mesh, value.ndim))
+            key: put_global(value, batch_sharding(mesh, value.ndim))
             for key, value in batch.items()
         }
 
