@@ -1,0 +1,86 @@
+"""Online text→protein serving daemon (capability the reference lacks).
+
+Loads all three stages once, keeps the compiled executables resident, and
+serves concurrent HTTP requests with continuous micro-batching
+(`biom3_tpu.serving`).  The reference's inference story is three one-shot
+scripts exchanging ``.pt`` files; this is the production counterpart.
+
+  python -m biom3_tpu.cli.run_server \
+      --stage1_json ... --stage1_model ... \
+      --stage2_json ... --stage2_model ... \
+      --stage3_json ... --stage3_model ... \
+      --port 8000 --rows_per_dispatch 16
+
+  curl -s localhost:8000/healthz
+  curl -s -X POST localhost:8000/v1/generate \
+      -d '{"prompt": "membrane transport protein", "num_replicas": 3}'
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from biom3_tpu.config import load_json_config
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(description="BioM3 serving daemon")
+    for stage in (1, 2, 3):
+        p.add_argument(f"--stage{stage}_json", type=str, required=True)
+        p.add_argument(f"--stage{stage}_model", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--rows_per_dispatch", type=int, default=16,
+                   help="fixed Stage-3 device batch (prompt×replica rows); "
+                        "every dispatch reuses one compiled executable")
+    p.add_argument("--num_replicas", type=int, default=2,
+                   help="default replicas per prompt when the request "
+                        "doesn't specify")
+    p.add_argument("--max_wait_ms", type=float, default=50.0,
+                   help="batch coalescing window after the first request")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--positions_per_step", type=int, default=1,
+                   help=">1 enables blocked fast decoding (certified for "
+                        "temp 0 in PARITY.md)")
+    p.add_argument("--ff-quant", choices=["none", "int8"], default="none")
+    p.add_argument("--proj-quant", choices=["none", "int8"], default="none")
+    return p.parse_args()
+
+
+def main() -> None:
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.pipeline.stage2 import FacilitatorEngine
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+    from biom3_tpu.serving import BioM3Server, ServingPipeline
+
+    args = parse_arguments()
+    s1 = PenCLEngine(
+        load_json_config(args.stage1_json), args.stage1_model, text_only=True
+    )
+    s2 = FacilitatorEngine(load_json_config(args.stage2_json), args.stage2_model)
+    s3 = ProteoScribeEngine(
+        load_json_config(args.stage3_json), args.stage3_model,
+        temperature=args.temperature,
+        positions_per_step=args.positions_per_step,
+        ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+    )
+    pipeline = ServingPipeline(
+        s1, s2, s3,
+        rows_per_dispatch=args.rows_per_dispatch,
+        default_replicas=args.num_replicas,
+        seed=args.seed,
+    )
+    server = BioM3Server(
+        pipeline, host=args.host, port=args.port,
+        max_wait_s=args.max_wait_ms / 1000.0,
+    )
+    print(f"serving on http://{server.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

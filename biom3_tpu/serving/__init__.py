@@ -1,0 +1,9 @@
+from biom3_tpu.serving.batcher import BatcherStats, MicroBatcher
+from biom3_tpu.serving.server import BioM3Server, ServingPipeline
+
+__all__ = [
+    "BatcherStats",
+    "BioM3Server",
+    "MicroBatcher",
+    "ServingPipeline",
+]

@@ -1,0 +1,269 @@
+"""Text→protein serving: the three-stage pipeline behind an HTTP API.
+
+The reference distributes BioM3 as three one-shot scripts exchanging ``.pt``
+files (SURVEY.md §1 — run_PenCL_inference.py → run_Facilitator_sample.py →
+run_ProteoScribe_sample.py); there is no online serving surface.  This
+module is the production counterpart: one process keeps all three
+compiled stages resident on the chip and serves concurrent requests with
+continuous micro-batching.
+
+TPU-native design decisions:
+  * **Fixed device shapes.** Stage-3 dominates (a 1024-step compiled
+    denoise scan); its device batch is pinned to ``rows_per_dispatch``
+    (prompt×replica rows, padded by repetition) so every dispatch reuses
+    one executable.  Stage-1/2 embed calls pad the prompt list the same
+    way.
+  * **One dispatch thread owns the device** (`MicroBatcher`): HTTP handler
+    threads only enqueue and wait on futures, so jit dispatches are never
+    interleaved.
+  * **Row-level packing.** Requests with different prompts pack into one
+    Stage-3 batch as independent rows (each row carries its own z_c and
+    its own decode permutation — `pipeline/stage3.py:sample_batch`), so a
+    single replica request doesn't waste the other rows: occupancy shows
+    in `/v1/metrics`.
+
+Endpoints (stdlib ``http.server``; JSON in/out):
+  * ``POST /v1/generate`` ``{"prompt": str | "prompts": [str],
+    "num_replicas": int?}`` → per-prompt designed sequences.
+  * ``POST /v1/embed`` ``{"prompts": [str]}`` → z_t, z_c.
+  * ``GET /healthz`` → liveness + device platform.
+  * ``GET /v1/metrics`` → batcher counters (occupancy, latency).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+from biom3_tpu.serving.batcher import MicroBatcher
+
+
+class ServingPipeline:
+    """Wraps the three stage engines with fixed-shape batched entrypoints."""
+
+    def __init__(
+        self,
+        stage1_engine,
+        stage2_engine,
+        stage3_engine,
+        *,
+        rows_per_dispatch: int = 16,
+        default_replicas: int = 2,
+        seed: int = 0,
+    ):
+        self.s1 = stage1_engine
+        self.s2 = stage2_engine
+        self.s3 = stage3_engine
+        self.rows_per_dispatch = rows_per_dispatch
+        self.default_replicas = default_replicas
+        self._key = jax.random.key(seed)
+        self._key_lock = threading.Lock()
+        self._batch_counter = 0
+
+    def _next_key(self) -> jax.Array:
+        with self._key_lock:
+            self._batch_counter += 1
+            return jax.random.fold_in(self._key, self._batch_counter)
+
+    def embed(self, prompts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """prompts → (z_t, z_c), padded to a fixed batch internally."""
+        n = len(prompts)
+        padded = prompts + [prompts[-1]] * (-n % self.rows_per_dispatch)
+        z_t = self.s1.embed_text(padded, batch_size=self.rows_per_dispatch)
+        z_c = np.asarray(self.s2(z_t))
+        return np.asarray(z_t)[:n], z_c[:n]
+
+    def generate(self, requests: list[dict]) -> list[dict]:
+        """Batch entrypoint: each request is ``{"prompt": str,
+        "num_replicas": int}``; returns one dict per request."""
+        prompts = [r["prompt"] for r in requests]
+        z_t, z_c = self.embed(prompts)
+
+        # pack (request, replica) rows into fixed-size device batches
+        rows = []  # (request_index, replica_index)
+        for i, r in enumerate(requests):
+            for k in range(int(r.get("num_replicas") or self.default_replicas)):
+                rows.append((i, k))
+        sequences: dict[tuple[int, int], str] = {}
+        R = self.rows_per_dispatch
+        for start in range(0, len(rows), R):
+            chunk = rows[start : start + R]
+            idx = [i for i, _ in chunk]
+            # pad by repeating the last row: same executable every dispatch
+            pad_idx = idx + [idx[-1]] * (R - len(idx))
+            ids = self.s3.sample_batch(z_c[pad_idx], self._next_key())
+            for row, (i, k) in enumerate(chunk):
+                seq = self.s3.vocab.clean_sequence(
+                    self.s3.vocab.decode_ids(ids[row])
+                )
+                sequences[(i, k)] = seq
+        out = []
+        for i, r in enumerate(requests):
+            n_rep = int(r.get("num_replicas") or self.default_replicas)
+            out.append({
+                "prompt": r["prompt"],
+                "sequences": [sequences[(i, k)] for k in range(n_rep)],
+            })
+        return out
+
+
+class BioM3Server:
+    """HTTP front-end with continuous micro-batching over ServingPipeline."""
+
+    def __init__(
+        self,
+        pipeline: ServingPipeline,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        max_wait_s: float = 0.05,
+        request_timeout_s: float = 600.0,
+    ):
+        self.pipeline = pipeline
+        self.request_timeout_s = request_timeout_s
+        # generate dominates; embeds ride a separate (cheap) batcher so a
+        # long denoise batch never blocks embedding-only clients
+        self._gen_batcher = MicroBatcher(
+            pipeline.generate,
+            max_batch=pipeline.rows_per_dispatch,
+            max_wait_s=max_wait_s,
+            name="generate-batcher",
+        )
+        self._embed_batcher = MicroBatcher(
+            self._run_embed_batch,
+            max_batch=pipeline.rows_per_dispatch,
+            max_wait_s=max_wait_s,
+            name="embed-batcher",
+        )
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._serve_thread: threading.Thread | None = None
+
+    def _run_embed_batch(self, prompts: list[str]) -> list[dict]:
+        z_t, z_c = self.pipeline.embed(prompts)
+        return [
+            {"z_t": z_t[i].tolist(), "z_c": z_c[i].tolist()}
+            for i in range(len(prompts))
+        ]
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> None:
+        self._serve_thread = threading.Thread(
+            target=self.httpd.serve_forever, name="biom3-http", daemon=True
+        )
+        self._serve_thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._gen_batcher.close()
+        self._embed_batcher.close()
+        if self._serve_thread is not None:
+            self._serve_thread.join(timeout=10)
+
+    # -- HTTP plumbing ---------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: per-request stderr logging is useless under load
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path == "/healthz":
+                    self._reply(200, {
+                        "status": "ok",
+                        "platform": jax.devices()[0].platform,
+                        "rows_per_dispatch":
+                            server.pipeline.rows_per_dispatch,
+                    })
+                elif self.path == "/v1/metrics":
+                    self._reply(200, {
+                        "generate": server._gen_batcher.stats.as_dict(),
+                        "embed": server._embed_batcher.stats.as_dict(),
+                    })
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def _read_json(self) -> dict:
+                length = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(length) or b"{}")
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    req = self._read_json()
+                except json.JSONDecodeError as exc:
+                    self._reply(400, {"error": f"bad json: {exc}"})
+                    return
+                try:
+                    if self.path == "/v1/generate":
+                        self._generate(req)
+                    elif self.path == "/v1/embed":
+                        self._embed(req)
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as exc:  # noqa: BLE001 — HTTP boundary
+                    self._reply(500, {"error": str(exc)})
+
+            def _generate(self, req: dict) -> None:
+                prompts = req.get("prompts")
+                if prompts is None:
+                    if "prompt" not in req:
+                        self._reply(400, {"error": "need prompt or prompts"})
+                        return
+                    prompts = [req["prompt"]]
+                if not prompts or not all(
+                    isinstance(p, str) and p.strip() for p in prompts
+                ):
+                    self._reply(400, {"error": "prompts must be non-empty "
+                                               "strings"})
+                    return
+                n_rep = req.get("num_replicas")
+                futures = [
+                    server._gen_batcher.submit(
+                        {"prompt": p, "num_replicas": n_rep}
+                    )
+                    for p in prompts
+                ]
+                results = [
+                    f.result(timeout=server.request_timeout_s)
+                    for f in futures
+                ]
+                self._reply(200, {"results": results})
+
+            def _embed(self, req: dict) -> None:
+                prompts = req.get("prompts") or (
+                    [req["prompt"]] if "prompt" in req else None
+                )
+                if not prompts:
+                    self._reply(400, {"error": "need prompt or prompts"})
+                    return
+                futures = [
+                    server._embed_batcher.submit(p) for p in prompts
+                ]
+                results = [
+                    f.result(timeout=server.request_timeout_s)
+                    for f in futures
+                ]
+                self._reply(200, {"results": results})
+
+        return Handler

@@ -245,10 +245,9 @@ def test_proteoscribe_cli(tmp_path):
             assert "<START>" not in s and "<PAD>" not in s
 
 
-def test_e2e_cli_fast_mode(tmp_path):
-    """Unified e2e CLI as a subprocess — all three stages with synthetic
-    checkpoints, exercising the blocked fast-decoding flag
-    (--positions_per_step, VERDICT r1 task 8)."""
+def build_tiny_stage_files(tmp_path) -> dict:
+    """Synthetic three-stage configs + published-layout checkpoints (shared
+    by the e2e CLI and serving-daemon tests).  Returns flag-name → path."""
     import torch
     import torch.nn as nn
     from torch.nn.utils.weight_norm import weight_norm
@@ -310,19 +309,27 @@ def test_e2e_cli_fast_mode(tmp_path):
         {f"transformer.{k}": v for k, v in tm.state_dict().items()},
         tmp_path / "s3.bin",
     )
+    return {
+        f"--stage{n}_{kind}": str(tmp_path / f"s{n}.{ext}")
+        for n in (1, 2, 3)
+        for kind, ext in (("json", "json"), ("model", "bin"))
+    }
 
+
+def test_e2e_cli_fast_mode(tmp_path):
+    """Unified e2e CLI as a subprocess — all three stages with synthetic
+    checkpoints, exercising the blocked fast-decoding flag
+    (--positions_per_step, VERDICT r1 task 8)."""
+    import torch
+
+    stage_flags = build_tiny_stage_files(tmp_path)
     (tmp_path / "prompts.txt").write_text(
         "membrane transport protein\nkinase with atp binding activity\n"
     )
     out_path = tmp_path / "e2e.pt"
     r = run_cli(
         "biom3_tpu.cli.run_e2e",
-        "--stage1_json", str(tmp_path / "s1.json"),
-        "--stage1_model", str(tmp_path / "s1.bin"),
-        "--stage2_json", str(tmp_path / "s2.json"),
-        "--stage2_model", str(tmp_path / "s2.bin"),
-        "--stage3_json", str(tmp_path / "s3.json"),
-        "--stage3_model", str(tmp_path / "s3.bin"),
+        *[a for kv in stage_flags.items() for a in kv],
         "--prompts", str(tmp_path / "prompts.txt"),
         "--output_path", str(out_path),
         "--positions_per_step", "8",

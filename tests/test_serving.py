@@ -1,0 +1,241 @@
+"""Serving subsystem: micro-batcher semantics + the HTTP daemon end-to-end.
+
+The HTTP test builds the same tiny random-init three-stage pipeline the
+e2e CLI test uses (test_cli.py fixtures) and drives the real server —
+threads, batcher, JSON API — over localhost.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from biom3_tpu.serving import MicroBatcher
+
+
+# ---------------------------------------------------------------- batcher
+
+
+def test_batcher_results_map_one_to_one():
+    b = MicroBatcher(lambda xs: [x * 2 for x in xs], max_batch=4)
+    futs = [b.submit(i) for i in range(10)]
+    assert [f.result(timeout=10) for f in futs] == [2 * i for i in range(10)]
+    stats = b.stats.as_dict()
+    assert stats["requests"] == 10 and stats["items"] == 10
+    assert stats["batches"] <= 10 and stats["errors"] == 0
+    b.close()
+
+
+def test_batcher_coalesces_under_concurrency():
+    """A slow first batch lets later submissions pile up; the next dispatch
+    must carry more than one item (true coalescing, not 1-by-1)."""
+    release = threading.Event()
+
+    def run(xs):
+        if xs[0] == 0:  # hold the first batch until the queue fills
+            release.wait(timeout=10)
+        return xs
+
+    b = MicroBatcher(run, max_batch=8, max_wait_s=0.01)
+    first = b.submit(0)
+    time.sleep(0.05)  # dispatcher is now blocked inside run([0])
+    rest = [b.submit(i) for i in range(1, 6)]
+    release.set()
+    assert first.result(timeout=10) == 0
+    assert [f.result(timeout=10) for f in rest] == [1, 2, 3, 4, 5]
+    stats = b.stats.as_dict()
+    assert stats["batches"] == 2, stats  # [0] then [1..5] coalesced
+    assert stats["items"] == 6
+    b.close()
+
+
+def test_batcher_exception_propagates_and_recovers():
+    def run(xs):
+        if any(x < 0 for x in xs):
+            raise ValueError("negative")
+        return xs
+
+    b = MicroBatcher(run, max_batch=1)
+    bad = b.submit(-1)
+    with pytest.raises(ValueError, match="negative"):
+        bad.result(timeout=10)
+    ok = b.submit(7)
+    assert ok.result(timeout=10) == 7
+    assert b.stats.as_dict()["errors"] == 1
+    b.close()
+
+
+def test_batcher_length_mismatch_is_an_error():
+    b = MicroBatcher(lambda xs: xs[:-1], max_batch=1)
+    with pytest.raises(RuntimeError, match="returned"):
+        b.submit(1).result(timeout=10)
+    b.close()
+
+
+def test_batcher_rejects_after_close():
+    b = MicroBatcher(lambda xs: xs, max_batch=1)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(1)
+
+
+# ------------------------------------------------------------ HTTP daemon
+
+
+def _tiny_pipeline(tmp_path):
+    import jax.numpy as jnp
+
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.pipeline.stage2 import FacilitatorEngine
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+    from biom3_tpu.serving import ServingPipeline
+    from test_cli import TINY_STAGE3, _write_wordpiece_tokenizer
+
+    tok_dir = tmp_path / "tok"
+    vocab_size = _write_wordpiece_tokenizer(tok_dir)
+    s1 = PenCLEngine(Config({
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": vocab_size,
+        "bert_max_position_embeddings": 32, "proj_embedding_dim": 8,
+        "temperature": 0.8, "text_max_length": 32,
+        "text_model_path": str(tok_dir),
+    }), None, text_only=True)
+    s2 = FacilitatorEngine(
+        Config({"emb_dim": 8, "hid_dim": 16, "dropout": 0.0,
+                "loss_type": "MMD"}), None,
+    )
+    s3 = ProteoScribeEngine(
+        Config(dict(TINY_STAGE3, text_emb_dim=8)), None, dtype=jnp.float32,
+    )
+    return ServingPipeline(
+        s1, s2, s3, rows_per_dispatch=4, default_replicas=2, seed=0
+    )
+
+
+def _post(url: str, payload: dict, timeout: float = 300.0) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def _get(url: str, timeout: float = 30.0) -> dict:
+    with urllib.request.urlopen(url, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def test_http_server_end_to_end(tmp_path):
+    from biom3_tpu.serving import BioM3Server
+
+    pipeline = _tiny_pipeline(tmp_path)
+    server = BioM3Server(pipeline, port=0, max_wait_s=0.02)
+    server.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        health = _get(f"{base}/healthz")
+        assert health["status"] == "ok"
+        assert health["rows_per_dispatch"] == 4
+
+        # generate: two prompts in one request, plus two concurrent
+        # single-prompt clients — all coalesce through the batcher
+        results: dict = {}
+
+        def client(name, payload):
+            results[name] = _post(f"{base}/v1/generate", payload)
+
+        threads = [
+            threading.Thread(target=client, args=(
+                "a", {"prompts": ["membrane transport protein",
+                                  "kinase with atp binding"],
+                      "num_replicas": 2})),
+            threading.Thread(target=client, args=(
+                "b", {"prompt": "small heat shock protein"})),
+            threading.Thread(target=client, args=(
+                "c", {"prompt": "zinc finger domain", "num_replicas": 1})),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {"a", "b", "c"}
+        a, b, c = results["a"], results["b"], results["c"]
+        assert len(a["results"]) == 2
+        for r in a["results"]:
+            assert len(r["sequences"]) == 2
+        assert len(b["results"][0]["sequences"]) == 2  # default replicas
+        assert len(c["results"][0]["sequences"]) == 1
+        for r in a["results"] + b["results"] + c["results"]:
+            for seq in r["sequences"]:
+                assert isinstance(seq, str)
+                assert "<START>" not in seq and "<PAD>" not in seq
+
+        # embed
+        emb = _post(f"{base}/v1/embed", {"prompts": ["protein binding"]})
+        z = emb["results"][0]
+        assert len(z["z_t"]) == 8 and len(z["z_c"]) == 8
+        assert np.isfinite(z["z_t"]).all() and np.isfinite(z["z_c"]).all()
+
+        # metrics reflect the traffic
+        metrics = _get(f"{base}/v1/metrics")
+        assert metrics["generate"]["requests"] == 4  # a:2 + b:1 + c:1
+        assert metrics["generate"]["errors"] == 0
+        assert metrics["embed"]["requests"] == 1
+
+        # bad requests → 400, unknown route → 404
+        for path, payload, code in (
+            ("/v1/generate", {}, 400),
+            ("/v1/generate", {"prompt": "  "}, 400),
+            ("/v1/embed", {}, 400),
+            ("/v1/nope", {"prompt": "x"}, 404),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                _post(f"{base}{path}", payload)
+            assert exc_info.value.code == code
+    finally:
+        server.close()
+
+
+@pytest.mark.slow  # subprocess startup + compile; the in-process test above
+# covers the batching/HTTP logic — this drives the CLI wrapper itself
+def test_server_cli_subprocess(tmp_path):
+    import os
+    import subprocess
+    import sys
+
+    from test_cli import REPO, build_tiny_stage_files
+
+    stage_flags = build_tiny_stage_files(tmp_path)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "biom3_tpu.cli.run_server",
+         *[a for kv in stage_flags.items() for a in kv],
+         "--port", "0", "--rows_per_dispatch", "4", "--num_replicas", "1"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        line = proc.stdout.readline().strip()  # "serving on http://..."
+        assert line.startswith("serving on http://"), line
+        base = line.split()[-1]
+        out = _post(f"{base}/v1/generate",
+                    {"prompt": "membrane transport protein"})
+        assert len(out["results"][0]["sequences"]) == 1
+        assert _get(f"{base}/healthz")["status"] == "ok"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
