@@ -40,6 +40,10 @@ def parse_arguments():
                         "(drift-gated serving mode)")
     p.add_argument("--proj-quant", choices=["none", "int8"], default="none",
                    help="Stage-3 q/k/v/out projections on the int8 MXU path")
+    p.add_argument("--decode_order", choices=["path", "confidence"],
+                   default="path",
+                   help="confidence = MaskGIT-style easy-first decoding "
+                        "(recommended with --positions_per_step > 1)")
     return p.parse_args()
 
 
@@ -70,6 +74,7 @@ def main() -> None:
         temperature=args.temperature,
         positions_per_step=args.positions_per_step,
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+        decode_order=args.decode_order,
     )
     sequences = s3.generate_sequences(
         z_c, num_replicas=args.num_replicas, seed=args.seed

@@ -48,6 +48,12 @@ def parse_arguments():
                              "(framework extension; reference samples full)")
     parser.add_argument("--top-p", type=float, default=None,
                         help="nucleus sampling threshold (framework extension)")
+    parser.add_argument("--decode-order", choices=["path", "confidence"],
+                        default="path",
+                        help="path = the reference's random order; "
+                             "confidence = MaskGIT-style easy-first "
+                             "(framework extension, recommended with "
+                             "--positions-per-step > 1)")
     return parser.parse_args()
 
 
@@ -73,6 +79,7 @@ def main() -> None:
         proj_quant=args.proj_quant,
         top_k=args.top_k,
         top_p=args.top_p,
+        decode_order=args.decode_order,
     )
 
     embedding_dataset = load_torch_file(args.input_path)

@@ -45,6 +45,8 @@ def parse_arguments():
                         "temp 0 in PARITY.md)")
     p.add_argument("--ff-quant", choices=["none", "int8"], default="none")
     p.add_argument("--proj-quant", choices=["none", "int8"], default="none")
+    p.add_argument("--decode_order", choices=["path", "confidence"],
+                   default="path")
     return p.parse_args()
 
 
@@ -64,6 +66,7 @@ def main() -> None:
         temperature=args.temperature,
         positions_per_step=args.positions_per_step,
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+        decode_order=args.decode_order,
     )
     pipeline = ServingPipeline(
         s1, s2, s3,

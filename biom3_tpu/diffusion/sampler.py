@@ -68,6 +68,7 @@ def make_sampler(
     top_p: float | None = None,
     head_fn: Callable | None = None,
     apply_takes_positions: bool = False,
+    order: str = "path",
 ) -> Callable:
     """Build a jittable sampler.
 
@@ -111,7 +112,29 @@ def make_sampler(
     (``make_stack_apply``): ``apply_fn(params, x, t, z_c, pos (B,k)) →
     (B, k, C)`` logits at the decode positions — embedding, layers, gather
     and head all live inside one Pallas call.
+
+    ``order`` selects the decode ordering (beyond the reference, which is
+    random-order only — run_ProteoScribe_sample.py:108):
+
+      * ``"path"`` (default) — the externally sampled permutation, exactly
+        the reference's OA-ARDM semantics.
+      * ``"confidence"`` — MaskGIT-style easy-first decoding: each forward
+        scores ALL still-masked positions and decodes the k where the
+        model is most certain (max log-softmax peakedness), so late, hard
+        positions condition on confident early ones.  Needs full-grid
+        logits, hence one (B, L, C) head per step (head FLOPs are ~0.1%%
+        of a layer stack — free) — with ``apply_takes_positions`` the
+        kernel is simply passed every position.  The ``path`` argument is
+        ignored for ordering.  This is the recommended pairing for blocked
+        decoding at temperature > 0: random blocks ignore intra-block
+        dependence, confident blocks mostly lack it (certification table
+        in PARITY.md).
     """
+    if order not in ("path", "confidence"):
+        raise ValueError(f"order must be 'path' or 'confidence', got {order!r}")
+    if order == "confidence" and legacy_batch_update:
+        raise ValueError("legacy_batch_update replays Q5's random-order "
+                         "quirk; incompatible with confidence ordering")
     k = positions_per_step
     if num_steps % k != 0:
         raise ValueError(f"num_steps {num_steps} not divisible by k={k}")
@@ -182,25 +205,72 @@ def make_sampler(
         x = jnp.where(jnp.any(oh, axis=1), new_vals, x)
         return (x, key), (x if return_trajectory else None)
 
+    def confidence_step(params, z_c, _ordering, carry, i):
+        x, filled, key = carry
+        B, L = x.shape
+        key, sub = jax.random.split(key)
+        t = i * k
+        t_vec = jnp.full((B,), t, jnp.int32)
+        if apply_takes_positions:
+            pos_all = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
+            )
+            out = apply_fn(params, x, t_vec, z_c, pos_all)         # (B, L, C)
+        else:
+            out = apply_fn(params, x, t_vec, z_c)
+            if head_fn is not None:
+                out = head_fn(params, out)                         # (B, L, C)
+        full = out.astype(jnp.float32)
+        # peakedness of each still-masked position's conditional: the k most
+        # certain positions decode this step (easy-first)
+        conf = jnp.max(jax.nn.log_softmax(full, axis=-1), axis=-1)  # (B, L)
+        conf = jnp.where(filled, -jnp.inf, conf)
+        _, pos = jax.lax.top_k(conf, k)                             # (B, k)
+        pos = pos.astype(jnp.int32)
+        lg = jnp.take_along_axis(full, pos[..., None], axis=1)      # (B, k, C)
+        if top_k is not None or top_p is not None:
+            lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)
+        if temperature == 0.0:
+            smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            smp = jax.random.categorical(
+                sub, lg / temperature, axis=-1
+            ).astype(jnp.int32)
+        oh = pos[:, :, None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+        new_vals = jnp.sum(oh * smp[:, :, None], axis=1).astype(x.dtype)
+        wrote = jnp.any(oh, axis=1)
+        x = jnp.where(wrote, new_vals, x)
+        return (x, filled | wrote, key), (x if return_trajectory else None)
+
     @jax.jit
-    def run_chunk(params, z_c, path_or_inv, x, key, i0):
-        step = legacy_step if legacy_batch_update else gather_step
-        (x, key), traj = jax.lax.scan(
+    def run_chunk(params, z_c, path_or_inv, x, filled, key, i0):
+        if order == "confidence":
+            step, carry = confidence_step, (x, filled, key)
+        elif legacy_batch_update:
+            step, carry = legacy_step, (x, key)
+        else:
+            step, carry = gather_step, (x, key)
+        carry, traj = jax.lax.scan(
             functools.partial(step, params, z_c, path_or_inv),
-            (x, key),
+            carry,
             i0 + jnp.arange(chunk, dtype=jnp.int32),
         )
-        return x, key, traj
+        if order == "confidence":
+            x, filled, key = carry
+        else:
+            (x, key) = carry
+        return x, filled, key, traj
 
     def sample(params, z_c, path, key):
         B, L = path.shape
         x = jnp.zeros((B, L), jnp.int32)
+        filled = jnp.zeros((B, L), bool)
         # inv[b, t] = position row b samples at step t (path is a permutation)
         path_or_inv = path if legacy_batch_update else jnp.argsort(path, axis=-1)
         trajs = []
         for c in range(outer_steps // chunk):
-            x, key, traj = run_chunk(
-                params, z_c, path_or_inv, x, key, jnp.int32(c * chunk)
+            x, filled, key, traj = run_chunk(
+                params, z_c, path_or_inv, x, filled, key, jnp.int32(c * chunk)
             )
             if return_trajectory:
                 trajs.append(traj)

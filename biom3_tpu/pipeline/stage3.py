@@ -42,6 +42,7 @@ class ProteoScribeEngine:
         proj_quant: str = "none",
         top_k: int | None = None,
         top_p: float | None = None,
+        decode_order: str = "path",
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -136,6 +137,7 @@ class ProteoScribeEngine:
             top_p=top_p,
             head_fn=head_fn,
             apply_takes_positions=apply_takes_positions,
+            order=decode_order,
         )
 
     def sample_batch(

@@ -80,6 +80,13 @@ def main():
     ap.add_argument("--sample-batch", type=int, default=64)
     ap.add_argument("--ks", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--temps", type=float, nargs="*", default=[1.0, 0.5, 0.0])
+    ap.add_argument("--orders", nargs="*", default=["path"],
+                    choices=["path", "confidence"],
+                    help="decode orderings to A/B: 'confidence' is the "
+                         "MaskGIT-style easy-first extension — expected to "
+                         "recover blocked (k>1) quality at temp>0 because "
+                         "the k most-certain positions are the ones whose "
+                         "conditionals have already collapsed to one mode")
     ap.add_argument("--seq-len", type=int, default=256)
     args = ap.parse_args()
 
@@ -137,38 +144,43 @@ def main():
     path = sample_permutations(jax.random.key(42), B, cfg.max_seq_len)
 
     results = []
-    for temp in args.temps:
-        for k in args.ks:
-            sampler = make_sampler(
-                model.apply, cfg.num_timesteps, temperature=temp,
-                positions_per_step=k, chunk_steps=None,
-            )
-            t0 = time.time()
-            seqs = np.asarray(sampler(state.params, z_c, path, jax.random.key(5)))
-            wall = time.time() - t0
-            cons, class_ok = coherence_stats(seqs, cls)
-            row = {
-                "temp": temp, "k": k,
-                "coherence_mean": round(float(cons.mean()), 4),
-                "coherence_p10": round(float(np.percentile(cons, 10)), 4),
-                "frac_coherent_99": round(float((cons > 0.99).mean()), 3),
-                "class_acc": round(float(class_ok.mean()), 3),
-                "wall_s": round(wall, 1),
-            }
-            results.append(row)
-            print(json.dumps(row), flush=True)
+    for order in args.orders:
+        for temp in args.temps:
+            for k in args.ks:
+                sampler = make_sampler(
+                    model.apply, cfg.num_timesteps, temperature=temp,
+                    positions_per_step=k, chunk_steps=None, order=order,
+                )
+                t0 = time.time()
+                seqs = np.asarray(
+                    sampler(state.params, z_c, path, jax.random.key(5))
+                )
+                wall = time.time() - t0
+                cons, class_ok = coherence_stats(seqs, cls)
+                row = {
+                    "order": order, "temp": temp, "k": k,
+                    "coherence_mean": round(float(cons.mean()), 4),
+                    "coherence_p10": round(float(np.percentile(cons, 10)), 4),
+                    "frac_coherent_99": round(float((cons > 0.99).mean()), 3),
+                    "class_acc": round(float(class_ok.mean()), 3),
+                    "wall_s": round(wall, 1),
+                }
+                results.append(row)
+                print(json.dumps(row), flush=True)
 
     print("\nSummary (coherence mean over", B, "samples):")
     temps = sorted({r["temp"] for r in results}, reverse=True)
     ks = sorted({r["k"] for r in results})
-    header = "| temp | " + " | ".join(f"k={k}" for k in ks) + " |"
-    print(header)
-    print("|" + "---|" * (len(ks) + 1))
-    for t in temps:
-        vals = [next(r for r in results if r["temp"] == t and r["k"] == k)
-                for k in ks]
-        print(f"| {t} | " + " | ".join(
-            f"{v['coherence_mean']:.3f}" for v in vals) + " |")
+    for order in args.orders:
+        print(f"\norder={order}")
+        header = "| temp | " + " | ".join(f"k={k}" for k in ks) + " |"
+        print(header)
+        print("|" + "---|" * (len(ks) + 1))
+        for t in temps:
+            vals = [r for k in ks for r in results
+                    if r["order"] == order and r["temp"] == t and r["k"] == k]
+            print(f"| {t} | " + " | ".join(
+                f"{v['coherence_mean']:.3f}" for v in vals) + " |")
 
 
 if __name__ == "__main__":
