@@ -206,6 +206,33 @@ def test_http_server_end_to_end(tmp_path):
         server.close()
 
 
+def test_load_tool_against_inprocess_server(tmp_path):
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "tools"))
+    from load_test_server import run_load
+
+    from biom3_tpu.serving import BioM3Server
+
+    pipeline = _tiny_pipeline(tmp_path)
+    server = BioM3Server(pipeline, port=0, max_wait_s=0.02)
+    server.start()
+    try:
+        report = run_load(
+            f"http://{server.host}:{server.port}",
+            clients=4, requests_per_client=2, num_replicas=1,
+        )
+        assert report["errors"] == 0, report
+        assert report["completed"] == 8
+        assert report["latency_p50_s"] > 0
+        assert report["server_metrics"]["generate"]["requests"] == 8
+        # concurrency must actually coalesce: fewer dispatches than requests
+        assert report["server_metrics"]["generate"]["batches"] < 8, report
+    finally:
+        server.close()
+
+
 @pytest.mark.slow  # subprocess startup + compile; the in-process test above
 # covers the batching/HTTP logic — this drives the CLI wrapper itself
 def test_server_cli_subprocess(tmp_path):

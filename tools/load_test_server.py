@@ -1,0 +1,118 @@
+"""Load generator for the serving daemon (`biom3_tpu.cli.run_server`).
+
+Measures end-to-end request latency and throughput under concurrency, then
+reads back the server's own batcher counters (occupancy is the number to
+watch: the daemon's whole point is that concurrent clients coalesce into
+fixed-shape device batches).
+
+  python tools/load_test_server.py --base-url http://127.0.0.1:8000 \
+      --clients 8 --requests 4 --num-replicas 1
+
+Prints one JSON line with client-side p50/p95/throughput and the server's
+/v1/metrics snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import urllib.request
+
+
+def _post(url: str, payload: dict, timeout: float) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def run_load(
+    base_url: str,
+    *,
+    clients: int = 8,
+    requests_per_client: int = 4,
+    prompt: str = "membrane transport protein",
+    num_replicas: int = 1,
+    timeout_s: float = 600.0,
+) -> dict:
+    latencies: list[float] = []
+    errors: list[str] = []
+    lock = threading.Lock()
+
+    def client(cid: int) -> None:
+        for r in range(requests_per_client):
+            t0 = time.perf_counter()
+            try:
+                out = _post(
+                    f"{base_url}/v1/generate",
+                    {"prompt": f"{prompt} #{cid}", "num_replicas": num_replicas},
+                    timeout_s,
+                )
+                ok = len(out["results"][0]["sequences"]) == num_replicas
+                dt = time.perf_counter() - t0
+                with lock:
+                    if ok:
+                        latencies.append(dt)
+                    else:
+                        errors.append(f"client {cid} req {r}: bad shape")
+            except Exception as exc:  # noqa: BLE001 — recorded, not raised
+                with lock:
+                    errors.append(f"client {cid} req {r}: {exc}")
+
+    t_start = time.perf_counter()
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(clients)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+
+    lat = sorted(latencies)
+    n = len(lat)
+    report = {
+        "clients": clients,
+        "requests": clients * requests_per_client,
+        "completed": n,
+        "errors": len(errors),
+        "wall_s": round(wall, 3),
+        "requests_per_s": round(n / wall, 3) if wall else None,
+        "sequences_per_s": round(n * num_replicas / wall, 3) if wall else None,
+        "latency_p50_s": round(lat[n // 2], 3) if n else None,
+        "latency_p95_s": round(lat[min(n - 1, int(n * 0.95))], 3) if n else None,
+    }
+    try:
+        with urllib.request.urlopen(f"{base_url}/v1/metrics", timeout=30) as r:
+            report["server_metrics"] = json.loads(r.read())
+    except Exception as exc:  # noqa: BLE001
+        report["server_metrics_error"] = str(exc)
+    if errors:
+        report["error_samples"] = errors[:5]
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-url", required=True)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=4,
+                    help="sequential requests per client")
+    ap.add_argument("--prompt", default="membrane transport protein")
+    ap.add_argument("--num-replicas", type=int, default=1)
+    ap.add_argument("--timeout-s", type=float, default=600.0)
+    args = ap.parse_args()
+    report = run_load(
+        args.base_url, clients=args.clients,
+        requests_per_client=args.requests, prompt=args.prompt,
+        num_replicas=args.num_replicas, timeout_s=args.timeout_s,
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
