@@ -1,0 +1,163 @@
+"""On-chip serving-daemon benchmark: HTTP round-trip throughput/latency.
+
+Builds the full three-stage pipeline at (near-)reference serving shapes
+with random-init weights — no published checkpoints or tokenizer files
+exist in this sandbox, so the text tower gets a synthetic wordpiece vocab
+(dims unchanged; tokenizer cost is not the bottleneck) — starts the real
+`BioM3Server` in-process, and drives it with the concurrent load
+generator (`tools/load_test_server.py`).  The number that matters is
+sequences/s through the WHOLE daemon (HTTP + batcher + three stages) vs
+the bare-sampler bench: the gap is serving overhead.
+
+  python tools/bench_serving.py --rows 16 --clients 8 --requests 2 \
+      --positions-per-step 8 --decode-order confidence
+
+``--tiny`` shrinks every stage for a CPU smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+
+def write_tokenizer(dirpath: pathlib.Path) -> int:
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    words = ["protein", "enzyme", "binding", "membrane", "kinase", "the",
+             "a", "of", "with", "activity", "catalyzes", "transport"]
+    vocab = specials + letters + ["##" + ch for ch in letters] + words
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    (dirpath / "tokenizer_config.json").write_text(json.dumps({
+        "tokenizer_class": "BertTokenizer", "do_lower_case": True,
+        "model_max_length": 512,
+    }))
+    return len(vocab)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=16,
+                    help="rows_per_dispatch (fixed Stage-3 device batch)")
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=2,
+                    help="sequential requests per client")
+    ap.add_argument("--replicas", type=int, default=1)
+    ap.add_argument("--positions-per-step", type=int, default=1)
+    ap.add_argument("--decode-order", choices=["path", "confidence"],
+                    default="path")
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--ff-quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--proj-quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.pipeline.stage2 import FacilitatorEngine
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+    from biom3_tpu.serving import BioM3Server, ServingPipeline
+    from load_test_server import run_load
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    vocab_size = write_tokenizer(pathlib.Path(tmp) / "tok")
+
+    if args.tiny:
+        s1_cfg = {
+            "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+            "esm_num_layers": 1, "esm_attention_heads": 2,
+            "bert_num_layers": 1, "bert_num_heads": 2,
+            "bert_intermediate_size": 32,
+            "bert_max_position_embeddings": 32, "proj_embedding_dim": 8,
+            "temperature": 0.8, "text_max_length": 32,
+        }
+        s2_cfg = {"emb_dim": 8, "hid_dim": 16, "dropout": 0.0,
+                  "loss_type": "MMD"}
+        s3_cfg = {
+            "num_replicas": 2, "batch_size_sample": args.rows,
+            "diffusion_steps": 64, "seed": 0, "task": "proteins",
+            "text_emb_dim": 8, "transformer_dim": 32, "transformer_heads": 4,
+            "transformer_depth": 2, "transformer_blocks": 1,
+            "transformer_local_heads": 2, "transformer_local_size": 16,
+            "facilitator": "MMD", "context_window_size": 64,
+            "image_size": 8, "num_classes": 29,
+        }
+    else:
+        # published serving dims (SURVEY.md; text tower = PubMedBERT-base,
+        # Stage-3 = 16-layer/512-d ProteoScribe at L=1024) — the synthetic
+        # vocab only shrinks the embedding table
+        s1_cfg = {
+            "protein_encoder_embedding": 1280, "text_encoder_embedding": 768,
+            "esm_num_layers": 1, "esm_attention_heads": 2,  # text_only path
+            "bert_num_layers": 12, "bert_num_heads": 12,
+            "bert_intermediate_size": 3072,
+            "bert_max_position_embeddings": 512, "proj_embedding_dim": 512,
+            "temperature": 0.8, "text_max_length": 512,
+        }
+        s2_cfg = {"emb_dim": 512, "hid_dim": 640, "dropout": 0.0,
+                  "loss_type": "MMD"}
+        s3_cfg = {
+            "num_replicas": 2, "batch_size_sample": args.rows,
+            "diffusion_steps": 1024, "seed": 0, "task": "proteins",
+            "text_emb_dim": 512, "transformer_dim": 512,
+            "transformer_heads": 16, "transformer_depth": 16,
+            "transformer_blocks": 1, "transformer_local_heads": 8,
+            "transformer_local_size": 128, "facilitator": "MMD",
+            "context_window_size": 1024, "image_size": 32, "num_classes": 29,
+        }
+    s1_cfg["bert_vocab_size"] = vocab_size
+    s1_cfg["text_model_path"] = f"{tmp}/tok"
+
+    t0 = time.time()
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    s1 = PenCLEngine(Config(s1_cfg), None, text_only=True,
+                     dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    s2 = FacilitatorEngine(Config(s2_cfg), None)
+    s3 = ProteoScribeEngine(
+        Config(s3_cfg), None, dtype=dtype,
+        temperature=args.temperature,
+        positions_per_step=args.positions_per_step,
+        decode_order=args.decode_order,
+        ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+    )
+    pipeline = ServingPipeline(
+        s1, s2, s3, rows_per_dispatch=args.rows,
+        default_replicas=args.replicas,
+    )
+    server = BioM3Server(pipeline, port=0, max_wait_s=0.05)
+    server.start()
+    base = f"http://{server.host}:{server.port}"
+    # one warmup request owns every compile
+    warm = run_load(base, clients=1, requests_per_client=1,
+                    num_replicas=args.replicas)
+    setup_s = time.time() - t0
+    print(json.dumps({"warmup": warm, "setup_s": round(setup_s, 1)}),
+          flush=True)
+
+    report = run_load(
+        base, clients=args.clients, requests_per_client=args.requests,
+        num_replicas=args.replicas,
+    )
+    report["config"] = {
+        "rows_per_dispatch": args.rows,
+        "positions_per_step": args.positions_per_step,
+        "decode_order": args.decode_order,
+        "temperature": args.temperature,
+        "ff_quant": args.ff_quant, "proj_quant": args.proj_quant,
+        "stack_path": s3.use_stack, "tiny": args.tiny,
+    }
+    print(json.dumps(report), flush=True)
+    server.close()
+
+
+if __name__ == "__main__":
+    main()

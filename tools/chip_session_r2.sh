@@ -28,3 +28,11 @@ timeout 3000 python tools/certify_int8.py --steps 600 --batch 64 \
 
 # 5. Full bench refresh (new PenCL int8 default path end-to-end)
 timeout 5400 python bench.py > /tmp/chip_r2/bench.log 2>&1
+
+# 6. Serving daemon on-chip: HTTP round-trip throughput via the real
+#    batcher (exact mode, then blocked+confidence fast mode)
+timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 2 > /tmp/chip_r2/serving_exact.log 2>&1
+timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 2 --positions-per-step 8 --decode-order confidence \
+    > /tmp/chip_r2/serving_fast.log 2>&1
