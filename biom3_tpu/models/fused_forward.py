@@ -70,6 +70,7 @@ def plan_stack_kernel(
     ff_block_l: int = 256,
     weight_bytes: int = 2,
     vmem_mb: int = _VMEM_PHYSICAL_MB,
+    gather_k: int = 8,
 ) -> dict:
     """Decide how (whether) the whole-stack kernel can serve ``cfg``.
 
@@ -120,6 +121,12 @@ def plan_stack_kernel(
         + ff_block_l * ff * 4
         + nl * cfg.local_window * 3 * cfg.local_window * 4
     )
+    # decode gather + head at k positions per row: (k, L) one-hot f32,
+    # (k, d) gathered residual, (k, C) logits.  k = positions_per_step for
+    # path-ordered sampling but k = L for confidence ordering (which needs
+    # the full logit grid) — at L=1024 that is ~6 MB/row the original
+    # budget never modeled.
+    work += rows * gather_k * (L + d + cfg.num_classes) * 4
     budget = (vmem_mb - _VMEM_SLACK_MB) * mb
 
     resident_total = cfg.depth * per_layer_w + const + scratch + work
@@ -156,6 +163,7 @@ def make_stack_apply(
     interpret: bool = False,
     ff_quant: str = "none",
     proj_quant: str = "none",
+    gather_k: int = 8,
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
     Pallas call per model call — embedding, all layers, and the output head
@@ -183,7 +191,7 @@ def make_stack_apply(
     from biom3_tpu.ops.pallas.stack_kernel_tpu import fused_stack_logits
 
     plan = plan_stack_kernel(cfg, rows=rows, ff_buffers=ff_buffers,
-                             ff_block_l=ff_block_l)
+                             ff_block_l=ff_block_l, gather_k=gather_k)
     # interpret mode (CPU emulation for tests) has no tiling/VMEM limits
     if not plan["supported"] and not interpret:
         raise ValueError(f"stack kernel cannot serve this config: "

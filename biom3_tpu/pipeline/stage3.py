@@ -82,11 +82,22 @@ class ProteoScribeEngine:
         # per-layer fused kernels remain as ``use_stack=False``; the Flax
         # graph covers CPU, f32 parity mode, and legacy Q5 replay (which
         # needs the full logit grid).
+        # confidence ordering needs the full logit grid: the stack kernel is
+        # passed every position (gather_k = L), which costs ~6 MB/row of
+        # extra VMEM at the reference shape — the plan models it and falls
+        # back to the fused/Flax full-grid path when it doesn't fit
+        gather_k = (
+            self.config.max_seq_len if decode_order == "confidence"
+            else positions_per_step
+        )
         if use_stack is None:
             from biom3_tpu.models.fused_forward import plan_stack_kernel
 
             use_stack = (
-                on_accel and plan_stack_kernel(self.config)["supported"]
+                on_accel
+                and plan_stack_kernel(
+                    self.config, gather_k=gather_k
+                )["supported"]
             )
         if use_fused is None:
             use_fused = on_accel
@@ -109,7 +120,7 @@ class ProteoScribeEngine:
             # opt-in until the on-chip A/B certifies them as defaults
             apply_fn, head_fn = make_stack_apply(
                 self.config, gelu=gelu, ff_quant=ff_quant,
-                proj_quant=proj_quant,
+                proj_quant=proj_quant, gather_k=gather_k,
             ), None
             apply_takes_positions = True
         elif self.use_fused:

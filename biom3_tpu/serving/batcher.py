@@ -101,6 +101,15 @@ class MicroBatcher:
     def close(self, timeout: float = 10.0) -> None:
         self._closed.set()
         self._thread.join(timeout=timeout)
+        # a submit() racing close() can enqueue after the dispatcher's final
+        # empty-queue check — fail those futures instead of leaving their
+        # callers blocked until the request timeout
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("batcher is closed"))
 
     # -- dispatcher ---------------------------------------------------
 

@@ -53,6 +53,7 @@ class ServingPipeline:
         *,
         rows_per_dispatch: int = 16,
         default_replicas: int = 2,
+        max_replicas: int = 64,
         seed: int = 0,
     ):
         self.s1 = stage1_engine
@@ -60,9 +61,18 @@ class ServingPipeline:
         self.s3 = stage3_engine
         self.rows_per_dispatch = rows_per_dispatch
         self.default_replicas = default_replicas
+        self.max_replicas = max_replicas
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
         self._batch_counter = 0
+        # device-level packing counters: the batcher's occupancy counts
+        # REQUESTS per coalescing window; these count ROWS per fixed-shape
+        # dispatch (the number that tells an operator whether
+        # rows_per_dispatch / max_wait_s are tuned right)
+        self._dev_lock = threading.Lock()
+        self._dispatches = 0
+        self._rows_live = 0
+        self._rows_padded = 0
 
     def _next_key(self) -> jax.Array:
         with self._key_lock:
@@ -95,6 +105,10 @@ class ServingPipeline:
             idx = [i for i, _ in chunk]
             # pad by repeating the last row: same executable every dispatch
             pad_idx = idx + [idx[-1]] * (R - len(idx))
+            with self._dev_lock:
+                self._dispatches += 1
+                self._rows_live += len(chunk)
+                self._rows_padded += R - len(chunk)
             ids = self.s3.sample_batch(z_c[pad_idx], self._next_key())
             for row, (i, k) in enumerate(chunk):
                 seq = self.s3.vocab.clean_sequence(
@@ -109,6 +123,18 @@ class ServingPipeline:
                 "sequences": [sequences[(i, k)] for k in range(n_rep)],
             })
         return out
+
+    def device_stats(self) -> dict:
+        with self._dev_lock:
+            total = self._rows_live + self._rows_padded
+            return {
+                "dispatches": self._dispatches,
+                "rows_live": self._rows_live,
+                "rows_padded": self._rows_padded,
+                "row_occupancy": (
+                    round(self._rows_live / total, 3) if total else 0.0
+                ),
+            }
 
 
 class BioM3Server:
@@ -200,6 +226,7 @@ class BioM3Server:
                     self._reply(200, {
                         "generate": server._gen_batcher.stats.as_dict(),
                         "embed": server._embed_batcher.stats.as_dict(),
+                        "device": server.pipeline.device_stats(),
                     })
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
@@ -213,6 +240,9 @@ class BioM3Server:
                     req = self._read_json()
                 except json.JSONDecodeError as exc:
                     self._reply(400, {"error": f"bad json: {exc}"})
+                    return
+                if not isinstance(req, dict):
+                    self._reply(400, {"error": "body must be a JSON object"})
                     return
                 try:
                     if self.path == "/v1/generate":
@@ -238,6 +268,16 @@ class BioM3Server:
                                                "strings"})
                     return
                 n_rep = req.get("num_replicas")
+                cap = server.pipeline.max_replicas
+                if n_rep is not None and (
+                    not isinstance(n_rep, int) or isinstance(n_rep, bool)
+                    or not 1 <= n_rep <= cap
+                ):
+                    self._reply(400, {
+                        "error": f"num_replicas must be an int in "
+                                 f"[1, {cap}], got {n_rep!r}"
+                    })
+                    return
                 futures = [
                     server._gen_batcher.submit(
                         {"prompt": p, "num_replicas": n_rep}
@@ -254,8 +294,11 @@ class BioM3Server:
                 prompts = req.get("prompts") or (
                     [req["prompt"]] if "prompt" in req else None
                 )
-                if not prompts:
-                    self._reply(400, {"error": "need prompt or prompts"})
+                if not prompts or not all(
+                    isinstance(p, str) and p.strip() for p in prompts
+                ):
+                    self._reply(400, {"error": "prompts must be non-empty "
+                                               "strings"})
                     return
                 futures = [
                     server._embed_batcher.submit(p) for p in prompts

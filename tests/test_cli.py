@@ -84,23 +84,11 @@ def test_facilitator_cli(tmp_path, tmp_facilitator):
 
 
 def _write_wordpiece_tokenizer(dirpath) -> int:
-    """Minimal PubMedBERT-style wordpiece tokenizer dir (no downloads).
+    """Minimal PubMedBERT-style wordpiece tokenizer dir (no downloads);
+    shared builder in biom3_tpu.tokenizers.synthetic."""
+    from biom3_tpu.tokenizers.synthetic import write_synthetic_wordpiece
 
-    Returns the vocab size.  The reference's text tower tokenizes with HF
-    ``AutoTokenizer`` (Stage1_source/preprocess.py:45-61)."""
-    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
-    pieces = ["##" + ch for ch in letters]
-    words = ["protein", "enzyme", "binding", "membrane", "kinase", "the",
-             "a", "of", "with", "activity", "catalyzes", "transport"]
-    vocab = specials + letters + pieces + words
-    dirpath.mkdir(parents=True, exist_ok=True)
-    (dirpath / "vocab.txt").write_text("\n".join(vocab) + "\n")
-    (dirpath / "tokenizer_config.json").write_text(json.dumps({
-        "tokenizer_class": "BertTokenizer", "do_lower_case": True,
-        "model_max_length": 512,
-    }))
-    return len(vocab)
+    return write_synthetic_wordpiece(dirpath)
 
 
 def test_pencl_cli(tmp_path):

@@ -85,6 +85,40 @@ def test_batcher_rejects_after_close():
         b.submit(1)
 
 
+def test_batcher_close_fails_stranded_futures():
+    """An item that slips into the queue after the dispatcher exits (a
+    submit racing close) must get its future failed by close()'s drain
+    rather than hanging until the request timeout."""
+    from concurrent.futures import Future
+
+    b = MicroBatcher(lambda xs: xs, max_batch=1)
+    b.close()  # dispatcher thread has exited
+    fut: Future = Future()
+    b._queue.put(("stranded", fut))  # the race window
+    b.close()  # drain pass
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=5)
+
+
+def test_plan_models_confidence_gather():
+    """gather_k=L (confidence ordering) must grow the modeled VMEM working
+    set — the plan can't silently promise headroom it never budgeted."""
+    from biom3_tpu.config import ProteoScribeConfig
+    from biom3_tpu.models.fused_forward import plan_stack_kernel
+
+    import re
+
+    cfg = ProteoScribeConfig()  # published shape: L=1024, d=512, 16 layers
+    small = plan_stack_kernel(cfg, gather_k=8)
+    big = plan_stack_kernel(cfg, gather_k=cfg.max_seq_len)
+    assert small["supported"]
+    mb = [int(re.search(r"(\d+) MB", p["reason"]).group(1))
+          for p in (small, big)]
+    assert mb[1] >= mb[0] + 5, (small, big)  # ~6 MB of gather/head buffers
+    # at the published shape the k=L gather still fits (114 of 120 MB)
+    assert big["supported"] and big["resident"], big
+
+
 # ------------------------------------------------------------ HTTP daemon
 
 
@@ -191,17 +225,27 @@ def test_http_server_end_to_end(tmp_path):
         assert metrics["generate"]["requests"] == 4  # a:2 + b:1 + c:1
         assert metrics["generate"]["errors"] == 0
         assert metrics["embed"]["requests"] == 1
+        dev = metrics["device"]  # row-level packing counters
+        assert dev["rows_live"] == 2 * 2 + 2 + 1  # a + b + c replicas
+        assert dev["dispatches"] >= 2  # 7 rows at 4/dispatch
+        assert 0 < dev["row_occupancy"] <= 1.0
 
         # bad requests → 400, unknown route → 404
         for path, payload, code in (
             ("/v1/generate", {}, 400),
             ("/v1/generate", {"prompt": "  "}, 400),
+            ("/v1/generate", {"prompt": "x", "num_replicas": 0}, 400),
+            ("/v1/generate", {"prompt": "x", "num_replicas": "abc"}, 400),
+            ("/v1/generate", {"prompt": "x", "num_replicas": 10**9}, 400),
+            ("/v1/generate", {"prompt": "x", "num_replicas": True}, 400),
+            ("/v1/generate", ["not", "an", "object"], 400),
             ("/v1/embed", {}, 400),
+            ("/v1/embed", {"prompts": ["ok", 42]}, 400),
             ("/v1/nope", {"prompt": "x"}, 404),
         ):
             with pytest.raises(urllib.error.HTTPError) as exc_info:
                 _post(f"{base}{path}", payload)
-            assert exc_info.value.code == code
+            assert exc_info.value.code == code, path
     finally:
         server.close()
 

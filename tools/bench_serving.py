@@ -27,21 +27,6 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
 
 
-def write_tokenizer(dirpath: pathlib.Path) -> int:
-    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-    letters = [chr(c) for c in range(ord("a"), ord("z") + 1)]
-    words = ["protein", "enzyme", "binding", "membrane", "kinase", "the",
-             "a", "of", "with", "activity", "catalyzes", "transport"]
-    vocab = specials + letters + ["##" + ch for ch in letters] + words
-    dirpath.mkdir(parents=True, exist_ok=True)
-    (dirpath / "vocab.txt").write_text("\n".join(vocab) + "\n")
-    (dirpath / "tokenizer_config.json").write_text(json.dumps({
-        "tokenizer_class": "BertTokenizer", "do_lower_case": True,
-        "model_max_length": 512,
-    }))
-    return len(vocab)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=16,
@@ -66,10 +51,11 @@ def main() -> None:
     from biom3_tpu.pipeline.stage2 import FacilitatorEngine
     from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
     from biom3_tpu.serving import BioM3Server, ServingPipeline
+    from biom3_tpu.tokenizers.synthetic import write_synthetic_wordpiece
     from load_test_server import run_load
 
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
-    vocab_size = write_tokenizer(pathlib.Path(tmp) / "tok")
+    vocab_size = write_synthetic_wordpiece(pathlib.Path(tmp) / "tok")
 
     if args.tiny:
         s1_cfg = {
@@ -119,8 +105,7 @@ def main() -> None:
 
     t0 = time.time()
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
-    s1 = PenCLEngine(Config(s1_cfg), None, text_only=True,
-                     dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+    s1 = PenCLEngine(Config(s1_cfg), None, text_only=True, dtype=dtype)
     s2 = FacilitatorEngine(Config(s2_cfg), None)
     s3 = ProteoScribeEngine(
         Config(s3_cfg), None, dtype=dtype,

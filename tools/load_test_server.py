@@ -75,6 +75,13 @@ def run_load(
 
     lat = sorted(latencies)
     n = len(lat)
+
+    def pct(q: float) -> float | None:
+        # nearest-rank percentile: ceil(q·n)-th order statistic
+        import math
+
+        return round(lat[max(0, math.ceil(q * n) - 1)], 3) if n else None
+
     report = {
         "clients": clients,
         "requests": clients * requests_per_client,
@@ -83,8 +90,8 @@ def run_load(
         "wall_s": round(wall, 3),
         "requests_per_s": round(n / wall, 3) if wall else None,
         "sequences_per_s": round(n * num_replicas / wall, 3) if wall else None,
-        "latency_p50_s": round(lat[n // 2], 3) if n else None,
-        "latency_p95_s": round(lat[min(n - 1, int(n * 0.95))], 3) if n else None,
+        "latency_p50_s": pct(0.50),
+        "latency_p95_s": pct(0.95),
     }
     try:
         with urllib.request.urlopen(f"{base_url}/v1/metrics", timeout=30) as r:
