@@ -72,6 +72,7 @@ def make_inpainter(
     temperature: float = 1.0,
     apply_takes_positions: bool = False,
     chunk_steps: int | None = None,
+    order: str = "path",
 ) -> Callable:
     """Compiled resume-from-t denoiser: finishes a corrupted sample's
     trajectory position by position (the reference's predict_next_index loop,
@@ -83,7 +84,17 @@ def make_inpainter(
     decodes exactly one path position, so the inpainter gets the same
     gather-before-head fast path as the sampler.  ``chunk_steps`` splits
     the trajectory into several device dispatches (tunnel runtimes kill
-    ~60 s single executions), same contract as ``make_sampler``."""
+    ~60 s single executions), same contract as ``make_sampler``.
+
+    ``order="confidence"`` (framework extension, mirrors the sampler's):
+    each step fills the most-certain still-masked position instead of the
+    path's next one.  The ``path``/``t0`` arguments are then ignored for
+    ordering — masked positions are read off the absorbing state (id 0,
+    which ``mask_realizations`` writes), the per-row timestep fed to the
+    model is the count of revealed positions, and rows that finish early
+    (or arrive fully revealed) no-op for the remaining steps."""
+    if order not in ("path", "confidence"):
+        raise ValueError(f"order must be 'path' or 'confidence', got {order!r}")
 
     def step(params, z_c, path, t0, carry, t):
         x, key = carry
@@ -110,10 +121,46 @@ def make_inpainter(
         x = jnp.where(write, sampled, x)
         return (x, key), None
 
+    def conf_step(params, z_c, carry, _):
+        x, filled, key = carry
+        B, L = x.shape
+        key, sub = jax.random.split(key)
+        t = jnp.sum(filled, axis=1).astype(jnp.int32)  # per-row revealed count
+        if apply_takes_positions:
+            pos_all = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
+            )
+            out = apply_fn(params, x, t, z_c, pos_all)
+        else:
+            out = apply_fn(params, x, t, z_c)
+        full = out.astype(jnp.float32)                  # (B, L, C)
+        conf = jnp.max(jax.nn.log_softmax(full, axis=-1), axis=-1)
+        conf = jnp.where(filled, -jnp.inf, conf)
+        pos = jnp.argmax(conf, axis=1).astype(jnp.int32)  # (B,)
+        lg = jnp.take_along_axis(full, pos[:, None, None], axis=1)[:, 0]
+        if temperature == 0.0:
+            smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            smp = jax.random.categorical(
+                sub, lg / temperature, axis=-1
+            ).astype(jnp.int32)
+        oh = pos[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
+        # finished rows (nothing masked) must no-op: argmax over all -inf
+        # confidences returns an arbitrary position
+        wrote = oh & ~filled & jnp.any(~filled, axis=1)[:, None]
+        x = jnp.where(wrote, smp[:, None], x)
+        return (x, filled | wrote, key), None
+
     chunk = chunk_steps if chunk_steps and num_steps % chunk_steps == 0 else None
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(params, z_c, path, t0, carry, start, n):
+        if order == "confidence":
+            return jax.lax.scan(
+                functools.partial(conf_step, params, z_c),
+                carry,
+                start + jnp.arange(n, dtype=jnp.int32),
+            )[0]
         return jax.lax.scan(
             functools.partial(step, params, z_c, path, t0),
             carry,
@@ -121,7 +168,10 @@ def make_inpainter(
         )[0]
 
     def inpaint(params, masked_tokens, z_c, path, t0, key):
-        carry = (masked_tokens, key)
+        if order == "confidence":
+            carry = (masked_tokens, masked_tokens != 0, key)
+        else:
+            carry = (masked_tokens, key)
         if chunk is None:
             return run_chunk(params, z_c, path, t0, carry,
                              jnp.int32(0), num_steps)[0]

@@ -105,6 +105,61 @@ def test_extract_samples_with_labels():
     np.testing.assert_array_equal(out["sample"][0], data[0] + 1)
 
 
+def test_inpainter_confidence_order():
+    """Confidence-ordered inpainting: keeps revealed positions, fills masked
+    ones most-certain-first, and no-ops fully-revealed rows."""
+    B, L, V = 3, 16, 6
+    peak = jnp.asarray(np.linspace(1.0, 8.0, L, dtype=np.float32))
+
+    def apply_fn(params, x, t, z_c):
+        # class 1 everywhere, peakedness increasing with position
+        return jnp.zeros((B, L, V)).at[..., 1].set(peak)
+
+    masked = jnp.asarray(np.array(
+        [[0] * L,                      # fully masked
+         [5] * 8 + [0] * 8,            # right half masked
+         [4] * L],                     # fully revealed — must no-op
+        np.int32))
+    t0 = jnp.asarray((masked != 0).sum(axis=1), jnp.int32)
+    inpaint = make_inpainter(
+        apply_fn, L, temperature=0.0, order="confidence"
+    )
+    out = np.asarray(inpaint(
+        None, masked, None, jnp.zeros((B, L), jnp.int32), t0,
+        jax.random.key(0),
+    ))
+    np.testing.assert_array_equal(out[0], np.ones(L))          # all filled
+    np.testing.assert_array_equal(out[1], [5] * 8 + [1] * 8)   # kept + filled
+    np.testing.assert_array_equal(out[2], [4] * L)             # untouched
+
+
+def test_inpainter_confidence_on_real_model():
+    model, params = _cond_model()
+    real = jnp.asarray(
+        np.random.default_rng(3).integers(1, 29, (2, 64)), jnp.int32
+    )
+    masked, path, t = corrupt_samples(jax.random.key(4), real, 0.5, 64)
+    inpaint = make_inpainter(
+        model.apply, TINY.num_timesteps, order="confidence", chunk_steps=32
+    )
+    out = np.asarray(
+        inpaint(params, masked, jnp.zeros((2, 16)), path, t, jax.random.key(5))
+    )
+    masked_np = np.asarray(masked)
+    # revealed positions preserved; every position visited (the random-init
+    # model can legitimately sample id 0, so check via a second temp-0 run:
+    # confidence order is model-determined → bit-identical)
+    np.testing.assert_array_equal(out[masked_np != 0], masked_np[masked_np != 0])
+    inpaint0 = make_inpainter(
+        model.apply, TINY.num_timesteps, temperature=0.0, order="confidence"
+    )
+    a = np.asarray(inpaint0(params, masked, jnp.zeros((2, 16)), path, t,
+                            jax.random.key(6)))
+    b = np.asarray(inpaint0(params, masked, jnp.zeros((2, 16)), path, t,
+                            jax.random.key(99)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_inpainter_stack_contract_matches_full_logits():
     """apply_takes_positions inpainting (the whole-stack-kernel fast path,
     one decoded position per step) must equal the full-logits path at
