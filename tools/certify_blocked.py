@@ -61,16 +61,29 @@ def make_batch(rng, B, L, cond_dim):
 
 
 def coherence_stats(seqs: np.ndarray, cls: np.ndarray):
-    """Per-row (majority-token fraction, majority-token-in-class-set)."""
+    """Per-row (majority-token fraction, majority-token-in-class-set), plus
+    mode diversity: normalized entropy of the majority-token distribution
+    within each class (1.0 = samples spread uniformly over the class's
+    4-token mode set, 0.0 = every sample picked the same mode).  Guards the
+    confidence-ordering A/B against trading diversity for coherence —
+    easy-first commits to a mode via its most-certain position, which could
+    collapse the mode distribution even while coherence improves."""
     B, L = seqs.shape
     coh = np.zeros(B)
     class_ok = np.zeros(B, bool)
+    tops = np.zeros(B, seqs.dtype)
     for b in range(B):
         toks, counts = np.unique(seqs[b], return_counts=True)
         top = toks[np.argmax(counts)]
         coh[b] = counts.max() / L
         class_ok[b] = top in MODES[cls[b]]
-    return coh, class_ok
+        tops[b] = top
+    ents = []
+    for c in np.unique(cls):
+        _, counts = np.unique(tops[cls == c], return_counts=True)
+        p = counts / counts.sum()
+        ents.append(-(p * np.log(p)).sum() / np.log(MODES.shape[1]))
+    return coh, class_ok, float(np.mean(ents))
 
 
 def main():
@@ -156,13 +169,14 @@ def main():
                     sampler(state.params, z_c, path, jax.random.key(5))
                 )
                 wall = time.time() - t0
-                cons, class_ok = coherence_stats(seqs, cls)
+                cons, class_ok, mode_entropy = coherence_stats(seqs, cls)
                 row = {
                     "order": order, "temp": temp, "k": k,
                     "coherence_mean": round(float(cons.mean()), 4),
                     "coherence_p10": round(float(np.percentile(cons, 10)), 4),
                     "frac_coherent_99": round(float((cons > 0.99).mean()), 3),
                     "class_acc": round(float(class_ok.mean()), 3),
+                    "mode_entropy": round(mode_entropy, 3),
                     "wall_s": round(wall, 1),
                 }
                 results.append(row)
