@@ -47,6 +47,11 @@ def parse_arguments():
     p.add_argument("--proj-quant", choices=["none", "int8"], default="none")
     p.add_argument("--decode_order", choices=["path", "confidence"],
                    default="path")
+    p.add_argument("--mesh_dp", type=int, default=1,
+                   help="spread Stage-3 rows over a dp-axis device mesh "
+                        "(multi-chip serving; rows_per_dispatch must be a "
+                        "multiple of mesh_dp*mesh_fsdp)")
+    p.add_argument("--mesh_fsdp", type=int, default=1)
     return p.parse_args()
 
 
@@ -68,11 +73,17 @@ def main() -> None:
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
         decode_order=args.decode_order,
     )
+    mesh = None
+    if args.mesh_dp * args.mesh_fsdp > 1:
+        from biom3_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(dp=args.mesh_dp, fsdp=args.mesh_fsdp))
     pipeline = ServingPipeline(
         s1, s2, s3,
         rows_per_dispatch=args.rows_per_dispatch,
         default_replicas=args.num_replicas,
         seed=args.seed,
+        mesh=mesh,
     )
     server = BioM3Server(
         pipeline, host=args.host, port=args.port,

@@ -137,19 +137,62 @@ class ProteoScribeEngine:
             )
         else:
             apply_fn, head_fn = self.model.apply, None
-        self.sampler = make_sampler(
-            apply_fn,
-            self.config.num_timesteps,
+        self._sampler_cfg = dict(
             temperature=temperature,
-            legacy_batch_update=legacy_batch_update,
             chunk_steps=chunk,
             positions_per_step=positions_per_step,
             top_k=top_k,
             top_p=top_p,
-            head_fn=head_fn,
-            apply_takes_positions=apply_takes_positions,
             order=decode_order,
         )
+        self._gather_k = gather_k
+        self.sampler = make_sampler(
+            apply_fn,
+            self.config.num_timesteps,
+            legacy_batch_update=legacy_batch_update,
+            head_fn=head_fn,
+            apply_takes_positions=apply_takes_positions,
+            **self._sampler_cfg,
+        )
+
+    def make_sharded_sampler(self, mesh, *, interpret: bool = False):
+        """Multi-chip serving backend: the whole-stack kernel under
+        ``shard_map`` over the mesh's (dp, fsdp) batch axes (params
+        replicated — denoising is embarrassingly batch-parallel, no
+        collectives).  Returns ``sample_rows(z_c (B, C), key) → (B, L)``
+        with ``sample_batch`` semantics; B must be a multiple of
+        dp·fsdp.  ``interpret=True`` runs the kernel in Pallas interpret
+        mode (CPU-mesh tests).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+
+        apply_fn = make_sharded_stack_apply(
+            self.config, mesh, gelu=self.gelu, interpret=interpret,
+            dtype=jnp.float32 if interpret else jnp.bfloat16,
+            gather_k=self._gather_k,
+        )
+        sampler = make_sampler(
+            apply_fn, self.config.num_timesteps,
+            apply_takes_positions=True, **self._sampler_cfg,
+        )
+        data = NamedSharding(mesh, P(("dp", "fsdp"), None))
+        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+
+        def sample_rows(z_c: np.ndarray, key: jax.Array) -> np.ndarray:
+            B = z_c.shape[0]
+            if B % shards:
+                raise ValueError(f"batch {B} not divisible by {shards} "
+                                 "mesh shards")
+            key, sub = jax.random.split(key)
+            path = sample_permutations(sub, B, self.config.max_seq_len)
+            zc = jax.device_put(jnp.asarray(z_c, jnp.float32), data)
+            pd = jax.device_put(path, data)
+            return np.asarray(sampler(params, zc, pd, key))
+
+        return sample_rows
 
     def sample_batch(
         self,

@@ -55,10 +55,27 @@ class ServingPipeline:
         default_replicas: int = 2,
         max_replicas: int = 64,
         seed: int = 0,
+        mesh=None,
+        interpret: bool = False,
     ):
         self.s1 = stage1_engine
         self.s2 = stage2_engine
         self.s3 = stage3_engine
+        # multi-chip serving: Stage-3 rows spread over the mesh's (dp,
+        # fsdp) batch axes — one whole-stack kernel per device shard,
+        # params replicated, linear scale-out by construction
+        if mesh is not None:
+            shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+            if rows_per_dispatch % shards:
+                raise ValueError(
+                    f"rows_per_dispatch={rows_per_dispatch} must be a "
+                    f"multiple of the mesh's dp*fsdp={shards}"
+                )
+            self._sample_rows = stage3_engine.make_sharded_sampler(
+                mesh, interpret=interpret
+            )
+        else:
+            self._sample_rows = stage3_engine.sample_batch
         self.rows_per_dispatch = rows_per_dispatch
         self.default_replicas = default_replicas
         self.max_replicas = max_replicas
@@ -109,7 +126,7 @@ class ServingPipeline:
                 self._dispatches += 1
                 self._rows_live += len(chunk)
                 self._rows_padded += R - len(chunk)
-            ids = self.s3.sample_batch(z_c[pad_idx], self._next_key())
+            ids = self._sample_rows(z_c[pad_idx], self._next_key())
             for row, (i, k) in enumerate(chunk):
                 seq = self.s3.vocab.clean_sequence(
                     self.s3.vocab.decode_ids(ids[row])

@@ -122,7 +122,7 @@ def test_plan_models_confidence_gather():
 # ------------------------------------------------------------ HTTP daemon
 
 
-def _tiny_pipeline(tmp_path):
+def _tiny_pipeline(tmp_path, s3_kwargs=None, **pipeline_kwargs):
     import jax.numpy as jnp
 
     from biom3_tpu.config import Config
@@ -149,10 +149,11 @@ def _tiny_pipeline(tmp_path):
     )
     s3 = ProteoScribeEngine(
         Config(dict(TINY_STAGE3, text_emb_dim=8)), None, dtype=jnp.float32,
+        **(s3_kwargs or {}),
     )
-    return ServingPipeline(
-        s1, s2, s3, rows_per_dispatch=4, default_replicas=2, seed=0
-    )
+    kwargs = dict(rows_per_dispatch=4, default_replicas=2, seed=0)
+    kwargs.update(pipeline_kwargs)
+    return ServingPipeline(s1, s2, s3, **kwargs)
 
 
 def _post(url: str, payload: dict, timeout: float = 300.0) -> dict:
@@ -248,6 +249,49 @@ def test_http_server_end_to_end(tmp_path):
             assert exc_info.value.code == code, path
     finally:
         server.close()
+
+
+def test_serving_pipeline_mesh_backend(tmp_path):
+    """Multi-chip serving through the daemon: Stage-3 rows spread over the
+    (dp, fsdp) mesh axes via the whole-stack kernel under shard_map
+    (interpret mode on the CPU mesh)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from biom3_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=2, tp=1))
+    pipeline = _tiny_pipeline(
+        tmp_path, s3_kwargs={"temperature": 0.0, "chunk_steps": 32},
+        mesh=mesh, interpret=True, rows_per_dispatch=8,
+    )
+    reqs = [
+        {"prompt": "membrane transport protein"},           # default 2
+        {"prompt": "kinase with atp binding", "num_replicas": 3},
+    ]
+    out = pipeline.generate(reqs)
+    assert len(out[0]["sequences"]) == 2
+    assert len(out[1]["sequences"]) == 3
+    for r in out:
+        for s in r["sequences"]:
+            assert isinstance(s, str)
+            assert "<START>" not in s and "<PAD>" not in s
+    # 5 live rows padded into one 8-row sharded dispatch
+    dev = pipeline.device_stats()
+    assert dev == {"dispatches": 1, "rows_live": 5, "rows_padded": 3,
+                   "row_occupancy": 0.625}
+    # temp-0 replicas of one prompt collapse under path ordering only if
+    # paths coincide — instead check determinism across identical calls
+    out2 = _tiny_pipeline(
+        tmp_path, s3_kwargs={"temperature": 0.0, "chunk_steps": 32},
+        mesh=mesh, interpret=True, rows_per_dispatch=8,
+    ).generate(reqs)
+    assert [r["sequences"] for r in out] == [r["sequences"] for r in out2]
+
+    # misaligned rows_per_dispatch rejected loudly
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        _tiny_pipeline(tmp_path, mesh=mesh, rows_per_dispatch=6)
 
 
 def test_load_tool_against_inprocess_server(tmp_path):
