@@ -106,19 +106,30 @@ class ServingPipeline:
 
     def generate(self, requests: list[dict]) -> list[dict]:
         """Batch entrypoint: each request is ``{"prompt": str,
-        "num_replicas": int}``; returns one dict per request."""
+        "num_replicas": int, "seed": int?}``; returns one dict per request.
+
+        Unseeded requests pack together (throughput path; tokens depend on
+        the whole batch's RNG stream, so results vary run to run).  A
+        request carrying ``"seed"`` gets its OWN padded dispatch with
+        ``key(seed)`` — same prompt/seed/replicas/engine config reproduces
+        the sequences bit-exactly, at the cost of that dispatch's
+        occupancy (visible in ``device_stats``).
+        """
         prompts = [r["prompt"] for r in requests]
         z_t, z_c = self.embed(prompts)
 
-        # pack (request, replica) rows into fixed-size device batches
+        # pack (request, replica) rows into fixed-size device batches;
+        # seeded requests dispatch alone for reproducibility
         rows = []  # (request_index, replica_index)
         for i, r in enumerate(requests):
+            if r.get("seed") is not None:
+                continue
             for k in range(int(r.get("num_replicas") or self.default_replicas)):
                 rows.append((i, k))
         sequences: dict[tuple[int, int], str] = {}
         R = self.rows_per_dispatch
-        for start in range(0, len(rows), R):
-            chunk = rows[start : start + R]
+
+        def dispatch(chunk: list[tuple[int, int]], key) -> None:
             idx = [i for i, _ in chunk]
             # pad by repeating the last row: same executable every dispatch
             pad_idx = idx + [idx[-1]] * (R - len(idx))
@@ -126,12 +137,25 @@ class ServingPipeline:
                 self._dispatches += 1
                 self._rows_live += len(chunk)
                 self._rows_padded += R - len(chunk)
-            ids = self._sample_rows(z_c[pad_idx], self._next_key())
+            ids = self._sample_rows(z_c[pad_idx], key)
             for row, (i, k) in enumerate(chunk):
-                seq = self.s3.vocab.clean_sequence(
+                sequences[(i, k)] = self.s3.vocab.clean_sequence(
                     self.s3.vocab.decode_ids(ids[row])
                 )
-                sequences[(i, k)] = seq
+
+        for start in range(0, len(rows), R):
+            dispatch(rows[start : start + R], self._next_key())
+        for i, r in enumerate(requests):
+            if r.get("seed") is None:
+                continue
+            n_rep = int(r.get("num_replicas") or self.default_replicas)
+            chunk = [(i, k) for k in range(n_rep)]
+            base = jax.random.key(int(r["seed"]))
+            for start in range(0, n_rep, R):
+                dispatch(chunk[start : start + R],
+                         base if start == 0
+                         else jax.random.fold_in(base, start))
+
         out = []
         for i, r in enumerate(requests):
             n_rep = int(r.get("num_replicas") or self.default_replicas)
@@ -295,9 +319,19 @@ class BioM3Server:
                                  f"[1, {cap}], got {n_rep!r}"
                     })
                     return
+                seed = req.get("seed")
+                if seed is not None and (
+                    not isinstance(seed, int) or isinstance(seed, bool)
+                    or not 0 <= seed < 2**32
+                ):
+                    self._reply(400, {
+                        "error": f"seed must be an int in [0, 2^32), "
+                                 f"got {seed!r}"
+                    })
+                    return
                 futures = [
                     server._gen_batcher.submit(
-                        {"prompt": p, "num_replicas": n_rep}
+                        {"prompt": p, "num_replicas": n_rep, "seed": seed}
                     )
                     for p in prompts
                 ]

@@ -239,6 +239,8 @@ def test_http_server_end_to_end(tmp_path):
             ("/v1/generate", {"prompt": "x", "num_replicas": "abc"}, 400),
             ("/v1/generate", {"prompt": "x", "num_replicas": 10**9}, 400),
             ("/v1/generate", {"prompt": "x", "num_replicas": True}, 400),
+            ("/v1/generate", {"prompt": "x", "seed": -1}, 400),
+            ("/v1/generate", {"prompt": "x", "seed": "y"}, 400),
             ("/v1/generate", ["not", "an", "object"], 400),
             ("/v1/embed", {}, 400),
             ("/v1/embed", {"prompts": ["ok", 42]}, 400),
@@ -292,6 +294,28 @@ def test_serving_pipeline_mesh_backend(tmp_path):
     # misaligned rows_per_dispatch rejected loudly
     with pytest.raises(ValueError, match="multiple of the mesh"):
         _tiny_pipeline(tmp_path, mesh=mesh, rows_per_dispatch=6)
+
+
+def test_seeded_requests_reproduce(tmp_path):
+    """A request carrying a seed gets its own deterministic dispatch:
+    identical results across calls regardless of co-batched traffic."""
+    pipeline = _tiny_pipeline(tmp_path)
+    a = pipeline.generate([
+        {"prompt": "membrane transport protein", "seed": 7,
+         "num_replicas": 2},
+        {"prompt": "unrelated co-traffic"},  # unseeded, packed separately
+    ])
+    b = pipeline.generate([
+        {"prompt": "other noise", "num_replicas": 3},
+        {"prompt": "membrane transport protein", "seed": 7,
+         "num_replicas": 2},
+    ])
+    assert a[0]["sequences"] == b[1]["sequences"]
+    c = pipeline.generate([
+        {"prompt": "membrane transport protein", "seed": 8,
+         "num_replicas": 2},
+    ])
+    assert c[0]["sequences"] != a[0]["sequences"]  # different seed
 
 
 def test_load_tool_against_inprocess_server(tmp_path):
