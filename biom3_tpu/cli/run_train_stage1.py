@@ -48,11 +48,12 @@ def parse_arguments():
                         "numerically identical (test_stage1_remat_matches_"
                         "plain)")
     p.add_argument("--layer-mode", default="xla",
-                   choices=["xla", "layer_block"],
+                   choices=["xla", "layer_block", "layer_block_bf16dq"],
                    help="layer_block = fused ESM2 layer custom-VJP kernels "
                         "(ops/pallas/esm2_block_tpu) — the TPU training "
                         "fast path; backward recomputes from layer inputs, "
-                        "so --remat is ignored with it")
+                        "so --remat is ignored with it; the bf16dq variant "
+                        "halves the backward's dqkv scratch (VMEM fallback)")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
@@ -78,7 +79,10 @@ def main() -> None:
           + (f", pfam: {len(pfam_dataset)}" if pfam_dataset else ""))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    attn_impl = "layer-block" if args.layer_mode == "layer_block" else "xla"
+    attn_impl = {
+        "layer_block": "layer-block",
+        "layer_block_bf16dq": "layer-block-bf16dq",
+    }.get(args.layer_mode, "xla")
     model = PenCL(model_cfg, dtype=dtype,
                   remat=args.remat and args.layer_mode == "xla",
                   attn_impl=attn_impl)

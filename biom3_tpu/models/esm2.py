@@ -125,13 +125,18 @@ class ESM2Layer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
         cfg = self.config
-        if self.attn_impl in ("layer-block", "layer-block-interpret"):
+        if self.attn_impl in ("layer-block", "layer-block-interpret",
+                              "layer-block-bf16dq"):
             # whole-layer custom-VJP kernels (ops/pallas/esm2_block_tpu):
             # the Stage-1 training fast path — LN/rotary-attention/FF and
             # residuals fused, backward recomputes from the layer input
             # (so use remat=False; the kernel already saves only x).
             # Param tree identical to the Flax modules below.
-            from biom3_tpu.ops.pallas.esm2_block_tpu import esm2_layer_block
+            # "layer-block-bf16dq": bf16 dqkv backward scratch (−8 MB VMEM
+            # at full size — the Mosaic-rejection fallback knob).
+            from biom3_tpu.ops.pallas.esm2_block_tpu import (
+                NEG_INF, esm2_layer_block,
+            )
 
             E = cfg.embed_dim
             ls1, lb1 = _LNParams(E, name="self_attn_layer_norm")()
@@ -139,12 +144,15 @@ class ESM2Layer(nn.Module):
             ls2, lb2 = _LNParams(E, name="final_layer_norm")()
             w1, b1 = _ProjParams(E, cfg.ffn_dim, name="fc1")()
             w2, b2 = _ProjParams(cfg.ffn_dim, E, name="fc2")()
-            padneg = padding_mask.astype(jnp.float32) * -1e9
+            padneg = padding_mask.astype(jnp.float32) * NEG_INF
             return esm2_layer_block(
                 x.astype(self.dtype), padneg, w3, b3, wo, bo, ls1, lb1,
                 ls2, lb2, w1, b1, w2, b2,
                 heads=cfg.attention_heads, gelu=self.gelu,
                 interpret=self.attn_impl == "layer-block-interpret",
+                dqkv_dtype=(jnp.bfloat16
+                            if self.attn_impl.endswith("bf16dq")
+                            else jnp.float32),
             )
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         x = x + ESM2SelfAttention(cfg, self.dtype, self.attn_impl, self.mesh, name="self_attn")(h, padding_mask)

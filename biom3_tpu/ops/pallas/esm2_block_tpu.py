@@ -42,31 +42,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu
-from biom3_tpu.ops.pallas.layer_block_tpu import _gelu_grad
+from biom3_tpu.ops.pallas.layer_block_tpu import (
+    _gelu_grad,
+    _ln_bwd,
+    _ln_fwd as _ln_fwd_generic,
+    _specs,
+)
 
 LN_EPS = 1e-5  # fair-esm LayerNorm eps — models/esm2.py:99,101
-NEG_INF = -1e9
+NEG_INF = -1e9  # PAD-key mask value (single source; models/esm2.py imports)
 
-
-def _ln_fwd(x, gamma, beta):
-    """Returns (y, xhat, rstd); f32, stats over the last axis, eps 1e-5."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + LN_EPS)
-    xhat = (x - mu) * rstd
-    return xhat * gamma + beta, xhat, rstd
-
-
-def _ln_bwd(dy, xhat, rstd, gamma):
-    dg = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db = jnp.sum(dy, axis=0, keepdims=True)
-    dxh = dy * gamma
-    dx = rstd * (
-        dxh
-        - jnp.mean(dxh, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True)
-    )
-    return dx, dg, db
+# shared LN fwd/bwd with layer_block_tpu, at fair-esm's eps
+_ln_fwd = functools.partial(_ln_fwd_generic, eps=LN_EPS)
 
 
 def rotary_tables(L: int, Dh: int):
@@ -390,21 +377,13 @@ def _ff_bwd_kernel(
     jax.lax.fori_loop(0, L // ff_block_l, body, None)
 
 
-def _row_specs(L, E):
-    row = lambda: pl.BlockSpec((1, L, E), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)
-    cst = lambda *s: pl.BlockSpec(s, lambda b: (0,) * len(s),
-                                  memory_space=pltpu.VMEM)
-    return row, cst
-
-
 def _attn_fwd_call(xb, pn, cost, sint, pt, w3, b3, wo, bo, ls1, lb1, *,
                    heads, vmem_limit_mb, interpret):
     B, L, E = xb.shape
     Dh = E // heads
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _row_specs(L, E)
+    row, cst = _specs(L, E)
     pn_spec = pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_attn_fwd_kernel, heads=heads,
@@ -435,7 +414,7 @@ def _attn_bwd_call(xb, pn, cost, sint, pt, w3, b3, wo, ls1, lb1, dy, *,
     Dh = E // heads
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _row_specs(L, E)
+    row, cst = _specs(L, E)
     pn_spec = pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_attn_bwd_kernel, heads=heads,
@@ -527,6 +506,12 @@ def esm2_attn_block(
     if not interpret and (E % 128 or L % 128):
         raise ValueError(f"esm2_attn_block needs E % 128 == 0 and "
                          f"L % 128 == 0 on TPU (got E={E}, L={L})")
+    if E % heads:
+        # the head fori_loop writes heads·Dh rows of the attention scratch;
+        # a non-dividing head count would leave the tail uninitialized
+        # (silent garbage in output AND weight grads) — fail loudly instead
+        raise ValueError(f"esm2_attn_block needs E % heads == 0 "
+                         f"(got E={E}, heads={heads})")
     cost, sint, pt = rotary_tables(L, E // heads)
     f32 = lambda z: jnp.asarray(z, jnp.float32)
     return _attn_block(
@@ -542,7 +527,7 @@ def _ff_fwd_call(xb, ls2, lb2, w1, b1, w2, b2, *, ff_block_l, gelu,
     F = w1.shape[1]
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _row_specs(L, E)
+    row, cst = _specs(L, E)
     kernel = functools.partial(_ff_fwd_kernel, ff_block_l=ff_block_l,
                                gelu=gelu, precision=precision)
     return pl.pallas_call(
@@ -565,7 +550,7 @@ def _ff_bwd_call(xb, ls2, lb2, w1, b1, w2, dy, *, ff_block_l, gelu,
     F = w1.shape[1]
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _row_specs(L, E)
+    row, cst = _specs(L, E)
     kernel = functools.partial(_ff_bwd_kernel, ff_block_l=ff_block_l,
                                gelu=gelu, precision=precision)
     return pl.pallas_call(
@@ -659,11 +644,17 @@ def esm2_layer_block(
     gelu: str = "erf",
     vmem_limit_mb: int = 120,
     interpret: bool = False,
+    dqkv_dtype=jnp.float32,
 ) -> jax.Array:
-    """Full ESM2Layer = attention half ∘ FF half (two fused VJP ops)."""
+    """Full ESM2Layer = attention half ∘ FF half (two fused VJP ops).
+
+    ``dqkv_dtype=jnp.bfloat16`` halves the backward's dqkv scratch
+    (−8 MB at full ESM2-650M size) — the VMEM fallback knob, forwarded to
+    the attention half."""
     xa = esm2_attn_block(
         x, padneg, w3, b3, wo, bo, ls1, lb1, heads=heads,
         vmem_limit_mb=vmem_limit_mb, interpret=interpret,
+        dqkv_dtype=dqkv_dtype,
     )
     return ff_residual_block(
         xa, ls2, lb2, w1, b1, w2, b2, ff_block_l=ff_block_l, gelu=gelu,

@@ -44,11 +44,13 @@ from biom3_tpu.ops.pallas.fused_layer_tpu import _erf, _gelu
 LN_EPS = 1e-6  # flax.linen.LayerNorm default — models/proteoscribe.py norms
 
 
-def _ln_fwd(x, gamma, beta):
-    """Returns (y, xhat, rstd); f32 in/out, stats over the last axis."""
+def _ln_fwd(x, gamma, beta, eps=LN_EPS):
+    """Returns (y, xhat, rstd); f32 in/out, stats over the last axis.
+    ``eps`` parameterized so the ESM2 block kernel (fair-esm eps 1e-5)
+    shares this implementation."""
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + LN_EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     xhat = (x - mu) * rstd
     return xhat * gamma + beta, xhat, rstd
 
@@ -369,7 +371,7 @@ def _layer_bwd_kernel(
     dxb_ref[0] = (dxa + dx_ln).astype(dxb_ref.dtype)
 
 
-def _specs(L, d, F):
+def _specs(L, d):
     row = lambda: pl.BlockSpec((1, L, d), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)
     cst = lambda *s: pl.BlockSpec(s, lambda b: (0,) * len(s),
@@ -386,7 +388,7 @@ def _fwd_call(xb, w3, wo, bo, ls1, lb1, ls2, lb2, w1, b1, w2, b2, *,
     nl_rows = max(local_heads * (d // heads), 8)
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _specs(L, d, F)
+    row, cst = _specs(L, d)
     kernel = functools.partial(
         _layer_fwd_kernel, local_heads=local_heads, heads=heads,
         window=window, ff_block_l=ff_block_l, precision=precision, gelu=gelu,
@@ -423,7 +425,7 @@ def _bwd_call(xb, w3, wo, bo, ls1, lb1, ls2, lb2, w1, b1, w2, dy, *,
     nl_rows = max(local_heads * (d // heads), 8)
     cdtype = xb.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
-    row, cst = _specs(L, d, F)
+    row, cst = _specs(L, d)
     kernel = functools.partial(
         _layer_bwd_kernel, local_heads=local_heads, heads=heads,
         window=window, ff_block_l=ff_block_l, precision=precision, gelu=gelu,
@@ -546,8 +548,16 @@ def transformer_layer_block(
             f"layer-block kernel needs window % 128 == 0 and dim % 128 == 0 "
             f"on TPU (got window={window}, dim={d}); use attn_impl='xla'"
         )
-    cdtype = xb.dtype
     L = xb.shape[1]
+    if local_heads and L % window:
+        # the local-attention fori_loop covers L//window full windows; a
+        # ragged tail would be read back uninitialized (NaN/garbage output
+        # AND poisoned weight grads) — fail loudly in every mode
+        raise ValueError(
+            f"layer-block kernel needs L % window == 0 with local heads "
+            f"(got L={L}, window={window}); pad L or use attn_impl='xla'"
+        )
+    cdtype = xb.dtype
     ff_block_l = min(ff_block_l, L)
     while L % ff_block_l:
         ff_block_l //= 2

@@ -36,10 +36,13 @@ def quant_rows(z: jax.Array):
     """Dynamic per-row symmetric int8: z ≈ q · a with a = amax_row/127.
 
     For (tokens, features) activations ahead of a row-contracting matmul;
-    returns (q int8, a f32 (rows, 1))."""
-    amax = jnp.maximum(jnp.max(jnp.abs(z), axis=1, keepdims=True), 1e-6)
+    returns (q int8, a f32 (rows, 1)).  amax is computed in f32 — bf16
+    inputs would otherwise round BOTH the quant multiplier and the dequant
+    scale independently (~2^-9 each, non-cancelling)."""
+    zf = z.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(zf), axis=1, keepdims=True), 1e-6)
     q = jnp.clip(
-        jnp.round(z.astype(jnp.float32) * (127.0 / amax)), -127.0, 127.0
+        jnp.round(zf * (127.0 / amax)), -127.0, 127.0
     ).astype(jnp.int8)
     return q, amax * (1.0 / 127.0)
 
@@ -47,8 +50,9 @@ def quant_rows(z: jax.Array):
 def quant_cols(z: jax.Array):
     """Per-column twin of :func:`quant_rows` for transposed
     (features, tokens) activations; returns (q int8, a f32 (1, cols))."""
-    amax = jnp.maximum(jnp.max(jnp.abs(z), axis=0, keepdims=True), 1e-6)
+    zf = z.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(zf), axis=0, keepdims=True), 1e-6)
     q = jnp.clip(
-        jnp.round(z.astype(jnp.float32) * (127.0 / amax)), -127.0, 127.0
+        jnp.round(zf * (127.0 / amax)), -127.0, 127.0
     ).astype(jnp.int8)
     return q, amax * (1.0 / 127.0)

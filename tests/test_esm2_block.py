@@ -110,3 +110,19 @@ def test_esm2_layer_block_bf16_drift(setup, rng):
         np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
     )
     assert cos.min() > 0.999, cos
+
+
+def test_esm2_attn_block_rejects_nondividing_heads():
+    """E % heads != 0 would leave the attention scratch tail uninitialized
+    (silent garbage output and grads) — must raise."""
+    import pytest
+
+    from biom3_tpu.ops.pallas.esm2_block_tpu import esm2_attn_block
+
+    E, L = 16, 8
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    with pytest.raises(ValueError, match="E % heads"):
+        esm2_attn_block(
+            z(1, L, E), z(1, L), z(3, E, E), z(3, E), z(E, E), z(E),
+            z(E), z(E), heads=3, interpret=True,
+        )

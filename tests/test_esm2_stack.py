@@ -170,3 +170,24 @@ def test_quant_helpers_zero_robustness():
     for fn, shape in ((quant_rows, (4, 8)), (quant_cols, (8, 4))):
         qa, a = fn(jnp.zeros(shape))
         assert np.isfinite(np.asarray(a)).all() and not np.asarray(qa).any()
+
+
+def test_quant_scales_are_f32_for_bf16_inputs():
+    """bf16 activations must get f32 scales (a bf16 amax would round the
+    quant multiplier and dequant scale independently, non-cancelling)."""
+    from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
+
+    z = jnp.asarray(
+        np.random.default_rng(0).standard_normal((8, 16)), jnp.bfloat16
+    )
+    for fn in (quant_rows, quant_cols):
+        q, a = fn(z)
+        assert q.dtype == jnp.int8
+        assert a.dtype == jnp.float32, fn.__name__
+        # round-trip stays within int8 resolution of the f32 value
+        err = np.abs(
+            np.asarray(q, np.float32)
+            * np.asarray(a)
+            - np.asarray(z, np.float32)
+        ).max()
+        assert err <= float(np.abs(np.asarray(z, np.float32)).max()) / 127

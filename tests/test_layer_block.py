@@ -134,3 +134,21 @@ def test_proteoscribe_layer_block_impl_matches_xla(rng):
             np.asarray(gb), np.asarray(gr), atol=1e-3 * scale, rtol=5e-3,
             err_msg=jax.tree_util.keystr(pr),
         )
+
+
+def test_layer_block_rejects_ragged_window():
+    """L % window != 0 with local heads would leave the tail windows'
+    attention scratch uninitialized (silent NaN/garbage + poisoned weight
+    grads) — must raise in every mode."""
+    import pytest
+
+    from biom3_tpu.ops.pallas.layer_block_tpu import transformer_layer_block
+
+    d, L, F = 128, 192, 256
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    with pytest.raises(ValueError, match="L % window"):
+        transformer_layer_block(
+            z(1, L, d), z(d, d), z(d, d), z(d, d), z(d, d), z(d),
+            z(d), z(d), z(d), z(d), z(d, F), z(F), z(F, d), z(d),
+            local_heads=2, heads=4, window=128, interpret=True,
+        )

@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--peak", type=float, default=190.0,
                     help="measured bf16 GEMM TF/s for the MFU estimate")
     ap.add_argument("--layer-mode", default="xla",
-                    choices=["xla", "layer_block"],
+                    choices=["xla", "layer_block", "layer_block_bf16dq"],
                     help="layer_block = fused ESM2 layer custom-VJP kernels "
                          "(ops/pallas/esm2_block_tpu; backward recomputes "
                          "from layer inputs, so remat is forced off)")
@@ -62,6 +62,8 @@ def main():
     attn_impl = "xla"
     if args.layer_mode == "layer_block":
         attn_impl, remat = "layer-block", False
+    elif args.layer_mode == "layer_block_bf16dq":
+        attn_impl, remat = "layer-block-bf16dq", False
     cfg = PenCLConfig()
     B = args.batch
     model = PenCL(cfg, dtype=jnp.bfloat16, remat=remat, attn_impl=attn_impl)
