@@ -331,7 +331,7 @@ def fused_esm2_cls(
         s1 = jnp.ones((depth, F), jnp.float32)
         s2 = jnp.ones((depth, E), jnp.float32)
     if proj_quant == "int8":
-        if wq.dtype != jnp.int8 or wo.dtype != jnp.int8:
+        if any(w.dtype != jnp.int8 for w in (wq, wk, wv, wo)):
             raise ValueError("proj_quant='int8' needs int8 wq/wk/wv/wo "
                              "(esm2_stack_arrays(..., proj_quant='int8'))")
         if any(s is None for s in (sq, sk, sv, so)):

@@ -45,22 +45,14 @@ from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
 from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
 
 
-def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
-               local_heads, heads, window, precision, cdtype, proj_quant):
-    """xb: (L, d) residual+bias → attention output + residual (f32 math as
-    fused_layer_tpu._attn_kernel; operates on one row).
-    ``proj_quant='int8'``: q/k/v/out projections on the int8 MXU path
-    (dynamic per-token activation quant × per-out-channel int8 weights);
-    attention dots/softmaxes stay bf16/f32."""
-    L, d = xb.shape
-    Dh = d // heads
-    nw = L // window
-    nl, ng = local_heads, heads - local_heads
-    W = window
-    scale = Dh ** -0.5
-
-    xnt = _layernorm(xb, ls, lb).astype(cdtype).T           # (d, L)
-
+def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
+                 scale, precision, cdtype, proj_quant):
+    """Shared d-major attention core of both stream layouts: LN'd (d, L)
+    activations → (d, L) concatenated [local-window | linear-attention]
+    head outputs (lucidrains semantics: ±1-window strips with joint
+    softmax; feature-softmax(q)·seq-softmax(k)ᵀv for the global heads).
+    ``proj_quant='int8'``: q/k/v on the int8 MXU path; dots/softmaxes
+    stay bf16/f32."""
     if proj_quant == "int8":
         qxnt, axn = quant_cols(xnt)                         # (d, L), (1, L)
 
@@ -116,7 +108,29 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
         preferred_element_type=jnp.float32, precision=precision,
     ).astype(cdtype)
 
-    attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    return jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+
+
+def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
+               local_heads, heads, window, precision, cdtype, proj_quant):
+    """xb: (L, d) residual+bias → attention output + residual (f32 math as
+    fused_layer_tpu._attn_kernel; operates on one row).
+    ``proj_quant='int8'``: q/k/v/out projections on the int8 MXU path
+    (dynamic per-token activation quant × per-out-channel int8 weights);
+    attention dots/softmaxes stay bf16/f32."""
+    L, d = xb.shape
+    Dh = d // heads
+    nw = L // window
+    nl, ng = local_heads, heads - local_heads
+    W = window
+    scale = Dh ** -0.5
+
+    xnt = _layernorm(xb, ls, lb).astype(cdtype).T           # (d, L)
+    attnt = _attn_core_t(
+        xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
+        L=L, scale=scale, precision=precision, cdtype=cdtype,
+        proj_quant=proj_quant,
+    )
     if proj_quant == "int8":
         qattn, aat = quant_cols(attnt)
         outt = jax.lax.dot_general(               # (L, d): contract d_in
@@ -150,63 +164,11 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
     var = jnp.mean((xf - mean) ** 2, axis=0, keepdims=True)
     xnt = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
            * ls[:, None] + lb[:, None]).astype(cdtype)
-
-    if proj_quant == "int8":
-        qxnt, axn = quant_cols(xnt)
-
-        def projt(wt, s):
-            return (jax.lax.dot_general(
-                wt, qxnt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * s[:, None] * axn).astype(cdtype)
-    else:
-        def projt(wt, s):
-            return jax.lax.dot_general(
-                wt, xnt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            ).astype(cdtype)
-
-    qt, kt, vt = projt(wqt, sq), projt(wkt, sk), projt(wvt, sv)
-
-    qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
-    ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
-    vtl = vt[:nl * Dh, :].reshape(nl, Dh, L)
-    w_strips = []
-    for w in range(nw):
-        lo = max(0, (w - 1) * W)
-        hi = min(L, (w + 2) * W)
-        qw = qtl[:, :, w * W:(w + 1) * W]
-        kn = ktl[:, :, lo:hi]
-        vn = vtl[:, :, lo:hi]
-        dots = jax.lax.dot_general(
-            qw, kn, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        ) * scale
-        m = jnp.max(dots, axis=-1, keepdims=True)
-        e = jnp.exp(dots - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
-        avt = jax.lax.dot_general(
-            vn, p, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(cdtype)
-        w_strips.append(avt.reshape(nl * Dh, W))
-    local_t = jnp.concatenate(w_strips, axis=1)
-
-    qtg = qt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
-    ktg = kt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
-    vtg = vt[nl * Dh:, :].reshape(ng, Dh, L)
-    qf = (jax.nn.softmax(qtg, axis=1) * scale).astype(cdtype)
-    kf = jax.nn.softmax(ktg, axis=2).astype(cdtype)
-    ctx = jax.lax.dot_general(
-        kf, vtg, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=precision,
-    ).astype(cdtype)
-    lin_t = jax.lax.dot_general(
-        ctx, qf, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=precision,
-    ).astype(cdtype)
-
-    attnt = jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    attnt = _attn_core_t(
+        xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
+        L=L, scale=scale, precision=precision, cdtype=cdtype,
+        proj_quant=proj_quant,
+    )
     if proj_quant == "int8":
         qattn, aat = quant_cols(attnt)
         outt = jax.lax.dot_general(              # (d, L)
@@ -321,7 +283,7 @@ def _stack_kernel(
     cdtype = h_ref.dtype
     L, d = h_ref.shape[1], h_ref.shape[2]
     C = hw_ref.shape[1]
-    k = pos_ref.shape[1]
+    k = pos_ref.shape[2]  # pos block is (rows, 1, k) — same as _resident_kernel
 
     # ---- l == 0: embed tokens + positions straight into VMEM scratch ----
     @pl.when(l == 0)
@@ -606,6 +568,11 @@ def fused_stack_logits(
     C = head_w.shape[1]
     if B % rows:
         raise ValueError(f"B={B} not divisible by rows={rows}")
+    if local_heads and L % window:
+        raise ValueError(f"L={L} not divisible by window={window} "
+                         "(the window loop would drop the tail)")
+    if d % heads:
+        raise ValueError(f"d={d} not divisible by heads={heads}")
     cdtype = tok_table.dtype
     precision = jax.lax.Precision.HIGHEST if cdtype == jnp.float32 else None
     if ff_quant == "int8":
@@ -619,7 +586,7 @@ def fused_stack_logits(
         s1 = jnp.ones((depth, ff), jnp.float32)
         s2 = jnp.ones((depth, d), jnp.float32)
     if proj_quant == "int8":
-        if wq.dtype != jnp.int8 or wo.dtype != jnp.int8:
+        if any(w.dtype != jnp.int8 for w in (wq, wk, wv, wo)):
             raise ValueError("proj_quant='int8' needs int8 wq/wk/wv/wo "
                              "(quantize via ops.pallas.quant)")
         if any(s is None for s in (sq, sk, sv, so)):

@@ -134,10 +134,11 @@ def test_fused_esm2_cls_int8_full_drift(tower, rng):
 
 
 def test_fused_esm2_pad_invariance(tower, rng):
-    """Q3: PAD keys are masked inside the kernel — changing the residues
-    hidden behind <pad> must not change the CLS output."""
+    """Q3: PAD keys are masked inside the kernel — the CLS embedding of a
+    sequence must not change when the pad tail grows (any leaked pad key
+    would add probability mass and shift the output).  Also sanity-check
+    that real content DOES matter."""
     model, params = tower
-    toks = _tokens(rng)
     arrays = esm2_stack_arrays(
         params["params"], CFG.num_layers, dtype=jnp.float32
     )
@@ -145,15 +146,25 @@ def test_fused_esm2_pad_invariance(tower, rng):
     def run(t):
         return np.asarray(fused_esm2_cls(
             jnp.asarray(t), **arrays, heads=CFG.attention_heads,
-            ff_block_l=64, gelu="erf", interpret=True,
+            ff_block_l=8, gelu="erf", interpret=True,
         ))
 
-    base = run(toks)
-    toks2 = toks.copy()
-    toks2[:, -3] = 1  # still pad (already pad) — now flip a non-pad residue
-    toks2[:, 3] = (toks2[:, 3] % 20) + 4
-    changed = run(toks2)
-    assert np.abs(changed - base).max() > 1e-6  # sanity: content matters
+    B, core = 2, 58  # <cls> + 56 residues + <eos>
+    body = np.concatenate(
+        [np.zeros((B, 1), np.int32),
+         rng.integers(4, 24, (B, core - 2)).astype(np.int32),
+         np.full((B, 1), 2, np.int32)], axis=1,
+    )
+    pad = lambda L: np.concatenate(
+        [body, np.full((B, L - core), 1, np.int32)], axis=1
+    )
+    short = run(pad(64))   # 6 pad keys
+    long = run(pad(128))   # 70 pad keys
+    np.testing.assert_allclose(long, short, atol=1e-5, rtol=1e-5)
+
+    flipped = pad(64)
+    flipped[:, 3] = (flipped[:, 3] % 20) + 4
+    assert np.abs(run(flipped) - short).max() > 1e-6  # content matters
 
 
 def test_quant_helpers_zero_robustness():
