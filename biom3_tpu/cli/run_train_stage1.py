@@ -55,6 +55,10 @@ def parse_arguments():
                         "so --remat is ignored with it; the bf16dq variant "
                         "halves the backward's dqkv scratch (VMEM fallback)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--export_bin", type=str, default=None,
+                   help="after training, also write the params as a "
+                        "published pfam_PEN_CL-layout .bin — directly "
+                        "servable via run_pencl_inference")
     return p.parse_args()
 
 
@@ -192,6 +196,15 @@ def main() -> None:
                 break
     ckpt.save(int(state.step), state, wait=True)
     logger.close()
+    if args.export_bin:
+        from biom3_tpu.io.export import pencl_params_to_torch
+        from biom3_tpu.io.torch_load import save_torch_file
+
+        tree = jax.tree.map(np.asarray, {"params": state.params["params"]})
+        save_torch_file(
+            pencl_params_to_torch(tree, model_cfg), args.export_bin
+        )
+        print(f"exported params to {args.export_bin}")
     print(f"finished at step {int(state.step)}")
 
 

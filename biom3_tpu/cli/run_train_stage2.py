@@ -32,6 +32,10 @@ def parse_arguments():
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--export_bin", type=str, default=None,
+                   help="after training, also write the params as a "
+                        "published main.* weight-norm .bin — directly "
+                        "servable via run_facilitator_sample")
     return p.parse_args()
 
 
@@ -89,6 +93,15 @@ def main() -> None:
 
     ckpt.save(int(state.step), state, wait=True)
     logger.close()
+    if args.export_bin:
+        from biom3_tpu.io.export import facilitator_params_to_torch
+        from biom3_tpu.io.torch_load import save_torch_file
+
+        tree = jax.tree.map(np.asarray, {"params": state.params["params"]})
+        save_torch_file(
+            facilitator_params_to_torch(tree, model_cfg), args.export_bin
+        )
+        print(f"exported params to {args.export_bin}")
     print(f"saved final checkpoint at step {int(state.step)}")
 
 

@@ -49,6 +49,14 @@ def parse_arguments():
     p.add_argument("--max_steps", type=int, default=None,
                    help="stop after N optimizer steps (default: epochs×data)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--export_bin", type=str, default=None,
+                   help="after training, also write the params as a "
+                        "published-layout .bin ('transformer.*' keys) — "
+                        "directly servable via run_proteoscribe_sample")
+    p.add_argument("--export_params", choices=["ema", "final"],
+                   default="ema",
+                   help="which weights go into --export_bin (the reference "
+                        "serves the ZeRO-EMA weights, DSEma.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--layer-mode",
                    choices=["layer_block", "block", "unrolled",
@@ -192,6 +200,20 @@ def main() -> None:
                 break
     ckpt.save(int(state.step), state, wait=True)
     logger.close()
+    if args.export_bin:
+        import numpy as np
+
+        from biom3_tpu.io.export import proteoscribe_params_to_torch
+        from biom3_tpu.io.torch_load import save_torch_file
+
+        src = (state.ema_params
+               if args.export_params == "ema" and state.ema_params is not None
+               else state.params)
+        tree = jax.tree.map(np.asarray, {"params": src["params"]})
+        sd = {f"transformer.{k}": v
+              for k, v in proteoscribe_params_to_torch(tree, model_cfg).items()}
+        save_torch_file(sd, args.export_bin)
+        print(f"exported {args.export_params} params to {args.export_bin}")
     print(f"finished at step {int(state.step)}")
 
 

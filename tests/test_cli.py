@@ -370,3 +370,54 @@ def test_proteoscribe_cli_temp0_deterministic(tmp_path):
     # determinism is only guaranteed per (seed, replica).  Check outputs are
     # well-formed and the dict structure matches.
     assert set(outs[0]) == set(outs[1])
+
+
+def test_train_stage2_cli_exports_servable_bin(tmp_path):
+    """Train CLI surface (previously untested as a subprocess): a short
+    Stage-2 training run with --export_bin must produce a published-layout
+    facilitator .bin that run_facilitator_sample serves directly."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    torch.save(
+        {"text_embedding": torch.from_numpy(
+             rng.standard_normal((32, 8)).astype(np.float32)),
+         "protein_embedding": torch.from_numpy(
+             rng.standard_normal((32, 8)).astype(np.float32))},
+        tmp_path / "stage1_out.pt",
+    )
+    (tmp_path / "s2.json").write_text(json.dumps(
+        {"emb_dim": 8, "hid_dim": 16, "dropout": 0.0, "loss_type": "MMD",
+         "batch_size": 16, "valid_size": 0.25, "seed": 0}
+    ))
+    exported = tmp_path / "trained_facilitator.bin"
+    r = run_cli(
+        "biom3_tpu.cli.run_train_stage2",
+        "--json_path", str(tmp_path / "s2.json"),
+        "--output_dir", str(tmp_path / "out"),
+        "--swissprot_data_path", str(tmp_path / "stage1_out.pt"),
+        "--epochs", "2",
+        "--export_bin", str(exported),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert f"exported params to {exported}" in r.stdout
+    sd = torch.load(exported, weights_only=False)
+    assert {"main.0.weight_g", "main.0.weight_v", "main.3.weight_g",
+            "main.3.weight_v", "main.0.bias", "main.3.bias"} <= set(sd)
+
+    # the exported .bin serves through the reference-compatible CLI
+    torch.save(
+        {"sequence": ["AA"], "text_prompts": ["x"],
+         "z_t": torch.zeros(1, 8), "z_p": torch.zeros(1, 8)},
+        tmp_path / "inp.pt",
+    )
+    r2 = run_cli(
+        "biom3_tpu.cli.run_facilitator_sample",
+        "--json_path", str(tmp_path / "s2.json"),
+        "--model_path", str(exported),
+        "--input_data_path", str(tmp_path / "inp.pt"),
+        "--output_data_path", str(tmp_path / "out.pt"),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    saved = torch.load(tmp_path / "out.pt", weights_only=False)
+    assert tuple(np.asarray(saved["z_c"]).shape) == (1, 8)
