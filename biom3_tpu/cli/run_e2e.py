@@ -44,6 +44,10 @@ def parse_arguments():
                    default="path",
                    help="confidence = MaskGIT-style easy-first decoding "
                         "(recommended with --positions_per_step > 1)")
+    p.add_argument("--sampler", choices=["ardm", "maskgit"], default="ardm",
+                   help="maskgit = parallel iterative re-masking "
+                        "(--maskgit_steps forwards instead of L)")
+    p.add_argument("--maskgit_steps", type=int, default=16)
     return p.parse_args()
 
 
@@ -75,6 +79,7 @@ def main() -> None:
         positions_per_step=args.positions_per_step,
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
         decode_order=args.decode_order,
+        sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )
     sequences = s3.generate_sequences(
         z_c, num_replicas=args.num_replicas, seed=args.seed

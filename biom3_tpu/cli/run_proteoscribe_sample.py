@@ -54,6 +54,13 @@ def parse_arguments():
                              "confidence = MaskGIT-style easy-first "
                              "(framework extension, recommended with "
                              "--positions-per-step > 1)")
+    parser.add_argument("--sampler", choices=["ardm", "maskgit"],
+                        default="ardm",
+                        help="ardm = the reference's L sequential steps; "
+                             "maskgit = parallel iterative re-masking "
+                             "(--maskgit-steps forwards total — framework "
+                             "extension, certify before production use)")
+    parser.add_argument("--maskgit-steps", type=int, default=16)
     return parser.parse_args()
 
 
@@ -80,6 +87,8 @@ def main() -> None:
         top_k=args.top_k,
         top_p=args.top_p,
         decode_order=args.decode_order,
+        sampler_mode=args.sampler,
+        maskgit_steps=args.maskgit_steps,
     )
 
     embedding_dataset = load_torch_file(args.input_path)

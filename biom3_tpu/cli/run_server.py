@@ -47,6 +47,8 @@ def parse_arguments():
     p.add_argument("--proj-quant", choices=["none", "int8"], default="none")
     p.add_argument("--decode_order", choices=["path", "confidence"],
                    default="path")
+    p.add_argument("--sampler", choices=["ardm", "maskgit"], default="ardm")
+    p.add_argument("--maskgit_steps", type=int, default=16)
     p.add_argument("--mesh_dp", type=int, default=1,
                    help="spread Stage-3 rows over a dp-axis device mesh "
                         "(multi-chip serving; rows_per_dispatch must be a "
@@ -72,6 +74,7 @@ def main() -> None:
         positions_per_step=args.positions_per_step,
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
         decode_order=args.decode_order,
+        sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )
     mesh = None
     if args.mesh_dp * args.mesh_fsdp > 1:

@@ -285,3 +285,113 @@ def sample_permutations(key: jax.Array, batch: int, length: int) -> jax.Array:
     """Batch of random sampling orders (ref run_ProteoScribe_sample.py:108)."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: jax.random.permutation(k, length))(keys).astype(jnp.int32)
+
+
+def make_maskgit_sampler(
+    apply_fn: Callable,
+    num_positions: int,
+    *,
+    steps: int = 16,
+    temperature: float = 1.0,
+    choice_temperature: float = 4.5,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    head_fn: Callable | None = None,
+    apply_takes_positions: bool = False,
+) -> Callable:
+    """Parallel iterative re-masking sampler (MaskGIT, Chang et al. 2022) —
+    framework extension: L tokens in ``steps`` forwards instead of the
+    reference's L (``sampling_analysis.py:204-265``).
+
+    Why this is sound for OA-ARDM: the training objective teaches the model
+    to predict EVERY masked position given any t revealed
+    (``diffusion/oa_ardm.py``) — exactly the conditional MaskGIT queries.
+    Each step samples all still-masked positions from the current
+    conditional, commits the most-confident ones per the cosine schedule
+    (mask count m_s = ceil(L·cos(π/2·s/S))), and re-masks the rest; the
+    per-row timestep fed to the model is the committed count, keeping the
+    conditioning inside the training distribution.
+
+    ``choice_temperature``: Gumbel noise scale on the commit ranking
+    (annealed to zero over the schedule, the paper's randomness knob —
+    0 = pure confidence order; temperature 0 forces it to 0 so greedy
+    extraction is deterministic).  Committed tokens never change; shapes
+    are static (the schedule enters as a traced per-step scalar, commit
+    selection is a per-row rank threshold, not a top-k).
+
+    Same call signature as :func:`make_sampler`'s output — the ``path``
+    argument is accepted and ignored (API drop-in for the engine).
+    Quality-vs-steps certification: ``tools/certify_blocked.py
+    --maskgit-steps``.
+    """
+    L = num_positions
+    if steps < 1 or steps > L:
+        raise ValueError(f"steps must be in [1, {L}], got {steps}")
+    # mask counts AFTER each step: strictly decreasing to 0, never
+    # increasing the committed count by zero (every step commits >= 1)
+    import math
+
+    m = [int(math.ceil(L * math.cos(math.pi / 2 * s / steps)))
+         for s in range(1, steps + 1)]
+    m[-1] = 0
+    for i in range(steps - 2, -1, -1):
+        m[i] = max(m[i], m[i + 1] + 1)  # monotone, >=1 commit per step
+    mask_schedule = jnp.asarray(m, jnp.int32)          # (S,)
+    anneal = jnp.asarray(
+        [choice_temperature * (1.0 - (s + 1) / steps) for s in range(steps)],
+        jnp.float32,
+    )
+
+    def step(params, z_c, carry, s):
+        x, filled, key = carry
+        B = x.shape[0]
+        key, k_tok, k_gum = jax.random.split(key, 3)
+        t = jnp.sum(filled, axis=1).astype(jnp.int32)      # committed count
+        if apply_takes_positions:
+            pos_all = jnp.broadcast_to(
+                jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
+            )
+            out = apply_fn(params, x, t, z_c, pos_all)
+        else:
+            out = apply_fn(params, x, t, z_c)
+            if head_fn is not None:
+                out = head_fn(params, out)
+        lg = out.astype(jnp.float32)                       # (B, L, C)
+        if top_k is not None or top_p is not None:
+            lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        if temperature == 0.0:
+            smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        else:
+            smp = jax.random.categorical(
+                k_tok, lg / temperature, axis=-1
+            ).astype(jnp.int32)
+        conf = jnp.take_along_axis(logp, smp[..., None], axis=-1)[..., 0]
+        if temperature != 0.0 and choice_temperature > 0.0:
+            conf = conf + anneal[s] * jax.random.gumbel(k_gum, conf.shape)
+        # committed positions always outrank candidates (their count is
+        # strictly below the keep target by schedule construction); keep
+        # the (L - m_s) best overall
+        conf = jnp.where(filled, jnp.inf, conf)
+        order = jnp.argsort(-conf, axis=1)                 # desc
+        rank = jnp.argsort(order, axis=1)                  # rank per position
+        new_filled = rank < (L - mask_schedule[s])
+        x = jnp.where(new_filled, jnp.where(filled, x, smp), 0)
+        return (x, new_filled, key), None
+
+    @jax.jit
+    def run(params, z_c, key):
+        B = z_c.shape[0]
+        x = jnp.zeros((B, L), jnp.int32)
+        filled = jnp.zeros((B, L), bool)
+        (x, filled, _), _ = jax.lax.scan(
+            functools.partial(step, params, z_c),
+            (x, filled, key),
+            jnp.arange(steps, dtype=jnp.int32),
+        )
+        return x
+
+    def sample(params, z_c, path=None, key=None):
+        return run(params, z_c, key)
+
+    return sample

@@ -17,7 +17,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from biom3_tpu.config import Config, ProteoScribeConfig
-from biom3_tpu.diffusion.sampler import make_sampler, sample_permutations
+from biom3_tpu.diffusion.sampler import (
+    make_maskgit_sampler,
+    make_sampler,
+    sample_permutations,
+)
 from biom3_tpu.io.convert import proteoscribe_params_from_torch
 from biom3_tpu.io.torch_load import load_torch_file
 from biom3_tpu.models.proteoscribe import ProteoScribe
@@ -43,6 +47,8 @@ class ProteoScribeEngine:
         top_k: int | None = None,
         top_p: float | None = None,
         decode_order: str = "path",
+        sampler_mode: str = "ardm",
+        maskgit_steps: int = 16,
     ):
         self.stage_config = stage_config
         self.config = ProteoScribeConfig.from_stage_config(stage_config)
@@ -82,12 +88,20 @@ class ProteoScribeEngine:
         # per-layer fused kernels remain as ``use_stack=False``; the Flax
         # graph covers CPU, f32 parity mode, and legacy Q5 replay (which
         # needs the full logit grid).
-        # confidence ordering needs the full logit grid: the stack kernel is
-        # passed every position (gather_k = L), which costs ~6 MB/row of
-        # extra VMEM at the reference shape — the plan models it and falls
-        # back to the fused/Flax full-grid path when it doesn't fit
+        # confidence ordering and the MaskGIT sampler need the full logit
+        # grid: the stack kernel is passed every position (gather_k = L),
+        # which costs ~6 MB/row of extra VMEM at the reference shape — the
+        # plan models it and falls back to the fused/Flax full-grid path
+        # when it doesn't fit
+        if sampler_mode not in ("ardm", "maskgit"):
+            raise ValueError(f"sampler_mode must be 'ardm' or 'maskgit', "
+                             f"got {sampler_mode!r}")
+        if sampler_mode == "maskgit" and legacy_batch_update:
+            raise ValueError("legacy_batch_update replays the reference's "
+                             "sequential sampler; incompatible with maskgit")
         gather_k = (
-            self.config.max_seq_len if decode_order == "confidence"
+            self.config.max_seq_len
+            if decode_order == "confidence" or sampler_mode == "maskgit"
             else positions_per_step
         )
         if use_stack is None:
@@ -146,14 +160,23 @@ class ProteoScribeEngine:
             order=decode_order,
         )
         self._gather_k = gather_k
-        self.sampler = make_sampler(
-            apply_fn,
-            self.config.num_timesteps,
-            legacy_batch_update=legacy_batch_update,
-            head_fn=head_fn,
-            apply_takes_positions=apply_takes_positions,
-            **self._sampler_cfg,
-        )
+        self._sampler_mode = sampler_mode
+        self._maskgit_steps = maskgit_steps
+        if sampler_mode == "maskgit":
+            self.sampler = make_maskgit_sampler(
+                apply_fn, self.config.max_seq_len, steps=maskgit_steps,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                head_fn=head_fn, apply_takes_positions=apply_takes_positions,
+            )
+        else:
+            self.sampler = make_sampler(
+                apply_fn,
+                self.config.num_timesteps,
+                legacy_batch_update=legacy_batch_update,
+                head_fn=head_fn,
+                apply_takes_positions=apply_takes_positions,
+                **self._sampler_cfg,
+            )
 
     def make_sharded_sampler(self, mesh, *, interpret: bool = False):
         """Multi-chip serving backend: the whole-stack kernel under
@@ -173,10 +196,19 @@ class ProteoScribeEngine:
             dtype=jnp.float32 if interpret else jnp.bfloat16,
             gather_k=self._gather_k,
         )
-        sampler = make_sampler(
-            apply_fn, self.config.num_timesteps,
-            apply_takes_positions=True, **self._sampler_cfg,
-        )
+        if self._sampler_mode == "maskgit":
+            cfg = self._sampler_cfg
+            sampler = make_maskgit_sampler(
+                apply_fn, self.config.max_seq_len,
+                steps=self._maskgit_steps, temperature=cfg["temperature"],
+                top_k=cfg["top_k"], top_p=cfg["top_p"],
+                apply_takes_positions=True,
+            )
+        else:
+            sampler = make_sampler(
+                apply_fn, self.config.num_timesteps,
+                apply_takes_positions=True, **self._sampler_cfg,
+            )
         data = NamedSharding(mesh, P(("dp", "fsdp"), None))
         params = jax.device_put(self.params, NamedSharding(mesh, P()))
         shards = mesh.shape["dp"] * mesh.shape["fsdp"]

@@ -141,6 +141,99 @@ def test_stack_apply_every_position_gather(rng):
     )
 
 
+def test_maskgit_one_step_equals_one_shot_argmax():
+    """steps=1 must degenerate to a single forward committing every
+    position at its argmax — i.e. exactly the autocomplete conditional."""
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    B, L, V = 2, 12, 7
+
+    def apply_fn(params, x, t, z_c):
+        return jnp.sin(
+            x[..., None].astype(jnp.float32) * 0.3
+            + jnp.arange(L, dtype=jnp.float32)[None, :, None] * 0.7
+            + jnp.arange(V) * 1.3
+        )
+
+    sampler = make_maskgit_sampler(apply_fn, L, steps=1, temperature=0.0)
+    z_c = jnp.zeros((B, 4))
+    ids = np.asarray(sampler(None, z_c, None, jax.random.key(0)))
+    want = np.asarray(jnp.argmax(
+        apply_fn(None, jnp.zeros((B, L), jnp.int32),
+                 jnp.zeros((B,), jnp.int32), z_c), axis=-1))
+    np.testing.assert_array_equal(ids, want)
+
+
+def test_maskgit_fills_everything_and_is_temp0_deterministic():
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+    from test_proteoscribe import _tiny_model_and_params
+
+    cfg, model, params = _tiny_model_and_params()
+    sampler = make_maskgit_sampler(
+        model.apply, cfg.max_seq_len, steps=8, temperature=0.0
+    )
+    z_c = jnp.zeros((2, cfg.cond_dim))
+    a = np.asarray(sampler(params, z_c, None, jax.random.key(0)))
+    b = np.asarray(sampler(params, z_c, None, jax.random.key(9)))
+    np.testing.assert_array_equal(a, b)  # temp 0: key-independent
+    assert a.shape == (2, cfg.max_seq_len)
+    assert a.min() >= 0 and a.max() < cfg.num_classes
+
+
+def test_maskgit_positional_contract_matches_full_grid():
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    B, L, V = 3, 16, 6
+
+    def grid(x, t):
+        return jnp.sin(
+            x[..., None].astype(jnp.float32) * 0.37
+            + t[:, None, None].astype(jnp.float32) * 0.11
+            + jnp.arange(V) * 0.53
+        )
+
+    full_fn = lambda params, x, t, z_c: grid(x, t)
+    pos_fn = lambda params, x, t, z_c, pos: jnp.take_along_axis(
+        grid(x, t), pos[..., None], axis=1
+    )
+    kw = dict(steps=4, temperature=1.0, choice_temperature=4.5)
+    s_full = make_maskgit_sampler(full_fn, L, **kw)
+    s_pos = make_maskgit_sampler(pos_fn, L, apply_takes_positions=True, **kw)
+    z_c = jnp.zeros((B, 4))
+    a = np.asarray(s_full(None, z_c, None, jax.random.key(5)))
+    b = np.asarray(s_pos(None, z_c, None, jax.random.key(5)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_maskgit_rejects_bad_steps():
+    import pytest
+
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    with pytest.raises(ValueError, match="steps"):
+        make_maskgit_sampler(lambda *a: None, 16, steps=0)
+    with pytest.raises(ValueError, match="steps"):
+        make_maskgit_sampler(lambda *a: None, 16, steps=17)
+
+
+def test_engine_maskgit_mode(tmp_path):
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+    from test_cli import TINY_STAGE3
+
+    engine = ProteoScribeEngine(
+        Config(TINY_STAGE3), None, temperature=0.0,
+        sampler_mode="maskgit", maskgit_steps=8,
+    )
+    z_c = np.zeros((2, 16), np.float32)
+    out = engine.generate_sequences(z_c, num_replicas=2, batch_size=2, seed=0)
+    for seqs in out.values():
+        assert len(seqs) == 2
+        for s in seqs:
+            assert isinstance(s, str)
+            assert "<START>" not in s and "<PAD>" not in s
+
+
 def test_engine_confidence_order(tmp_path):
     from biom3_tpu.config import Config
     from biom3_tpu.pipeline.stage3 import ProteoScribeEngine

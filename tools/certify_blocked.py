@@ -100,6 +100,10 @@ def main():
                          "recover blocked (k>1) quality at temp>0 because "
                          "the k most-certain positions are the ones whose "
                          "conditionals have already collapsed to one mode")
+    ap.add_argument("--maskgit-steps", type=int, nargs="*", default=[],
+                    help="also certify the parallel iterative re-masking "
+                         "sampler at these step counts (L tokens in S "
+                         "forwards; rows labeled order='maskgit-S')")
     ap.add_argument("--seq-len", type=int, default=256)
     args = ap.parse_args()
 
@@ -181,6 +185,31 @@ def main():
                 }
                 results.append(row)
                 print(json.dumps(row), flush=True)
+
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    for S in args.maskgit_steps:
+        for temp in args.temps:
+            sampler = make_maskgit_sampler(
+                model.apply, cfg.max_seq_len, steps=S, temperature=temp,
+            )
+            t0 = time.time()
+            seqs = np.asarray(
+                sampler(state.params, z_c, None, jax.random.key(5))
+            )
+            wall = time.time() - t0
+            cons, class_ok, mode_entropy = coherence_stats(seqs, cls)
+            row = {
+                "order": f"maskgit-{S}", "temp": temp, "k": None,
+                "coherence_mean": round(float(cons.mean()), 4),
+                "coherence_p10": round(float(np.percentile(cons, 10)), 4),
+                "frac_coherent_99": round(float((cons > 0.99).mean()), 3),
+                "class_acc": round(float(class_ok.mean()), 3),
+                "mode_entropy": round(mode_entropy, 3),
+                "wall_s": round(wall, 1),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
 
     print("\nSummary (coherence mean over", B, "samples):")
     temps = sorted({r["temp"] for r in results}, reverse=True)
