@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--positions-per-step", type=int, default=1)
     ap.add_argument("--decode-order", choices=["path", "confidence"],
                     default="path")
+    ap.add_argument("--sampler", choices=["ardm", "maskgit"], default="ardm")
+    ap.add_argument("--maskgit-steps", type=int, default=16)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--ff-quant", choices=["none", "int8"], default="none")
     ap.add_argument("--proj-quant", choices=["none", "int8"], default="none")
@@ -113,6 +115,7 @@ def main() -> None:
         positions_per_step=args.positions_per_step,
         decode_order=args.decode_order,
         ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+        sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )
     pipeline = ServingPipeline(
         s1, s2, s3, rows_per_dispatch=args.rows,
@@ -136,6 +139,7 @@ def main() -> None:
         "rows_per_dispatch": args.rows,
         "positions_per_step": args.positions_per_step,
         "decode_order": args.decode_order,
+        "sampler": args.sampler, "maskgit_steps": args.maskgit_steps,
         "temperature": args.temperature,
         "ff_quant": args.ff_quant, "proj_quant": args.proj_quant,
         "stack_path": s3.use_stack, "tiny": args.tiny,

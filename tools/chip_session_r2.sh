@@ -29,12 +29,12 @@ timeout 3000 python tools/certify_int8.py --steps 600 --batch 64 \
 # 5. Full bench refresh (new PenCL int8 default path end-to-end)
 timeout 5400 python bench.py > /tmp/chip_r2/bench.log 2>&1
 
-# 5b. Confidence-vs-path ordering quality A/B at full training strength
-#     (the CPU run only reaches ~600 steps; 2000 matches the recorded
-#     PARITY.md blocked-decoding table)
-timeout 3000 python tools/certify_blocked.py --steps 2000 --batch 64 \
+# 5b. Confidence-vs-path ordering + MaskGIT quality A/B at full training
+#     strength (the CPU run only reaches ~600 steps; 2000 matches the
+#     recorded PARITY.md blocked-decoding table)
+timeout 4200 python tools/certify_blocked.py --steps 2000 --batch 64 \
     --ks 1 8 --temps 1.0 0.5 0.0 --orders path confidence \
-    > /tmp/chip_r2/certify_order.log 2>&1
+    --maskgit-steps 8 16 32 > /tmp/chip_r2/certify_order.log 2>&1
 
 # 6. Serving daemon on-chip: HTTP round-trip throughput via the real
 #    batcher (exact mode, then blocked+confidence fast mode)
@@ -43,3 +43,6 @@ timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
 timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
     --requests 2 --positions-per-step 8 --decode-order confidence \
     > /tmp/chip_r2/serving_fast.log 2>&1
+timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 4 --sampler maskgit --maskgit-steps 16 \
+    > /tmp/chip_r2/serving_maskgit.log 2>&1
