@@ -369,29 +369,32 @@ def make_maskgit_sampler(
         conf = jnp.take_along_axis(logp, smp[..., None], axis=-1)[..., 0]
         if temperature != 0.0 and choice_temperature > 0.0:
             conf = conf + anneal[s] * jax.random.gumbel(k_gum, conf.shape)
-        # committed positions always outrank candidates (their count is
-        # strictly below the keep target by schedule construction); keep
-        # the (L - m_s) best overall
+        # committed positions always outrank candidates and are never
+        # re-masked (keep target floors at the committed count — relevant
+        # when inpainting starts above the schedule); keep the best overall
         conf = jnp.where(filled, jnp.inf, conf)
         order = jnp.argsort(-conf, axis=1)                 # desc
         rank = jnp.argsort(order, axis=1)                  # rank per position
-        new_filled = rank < (L - mask_schedule[s])
+        target = jnp.maximum(L - mask_schedule[s], t)      # (B,)
+        new_filled = rank < target[:, None]
         x = jnp.where(new_filled, jnp.where(filled, x, smp), 0)
         return (x, new_filled, key), None
 
     @jax.jit
-    def run(params, z_c, key):
-        B = z_c.shape[0]
-        x = jnp.zeros((B, L), jnp.int32)
-        filled = jnp.zeros((B, L), bool)
+    def run(params, z_c, key, x0):
         (x, filled, _), _ = jax.lax.scan(
             functools.partial(step, params, z_c),
-            (x, filled, key),
+            (x0, x0 != 0, key),
             jnp.arange(steps, dtype=jnp.int32),
         )
         return x
 
-    def sample(params, z_c, path=None, key=None):
-        return run(params, z_c, key)
+    def sample(params, z_c, path=None, key=None, *, x0=None):
+        """``x0`` (B, L) int32 resumes from a partially revealed sequence
+        (inpainting): nonzero positions are committed, absorbing-state 0
+        positions get filled over the remaining schedule."""
+        if x0 is None:
+            x0 = jnp.zeros((z_c.shape[0], L), jnp.int32)
+        return run(params, z_c, key, jnp.asarray(x0, jnp.int32))
 
     return sample

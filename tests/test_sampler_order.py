@@ -205,6 +205,29 @@ def test_maskgit_positional_contract_matches_full_grid():
     np.testing.assert_array_equal(a, b)
 
 
+def test_maskgit_inpaints_from_partial_sequence():
+    """x0 resumes: committed (nonzero) positions survive untouched, masked
+    ones fill; a fully revealed row is a no-op even though its committed
+    count exceeds every keep target in the schedule."""
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    B, L, V = 3, 12, 6
+
+    def apply_fn(params, x, t, z_c):
+        return jnp.zeros((B, L, V)).at[..., 1].set(1.0)
+
+    sampler = make_maskgit_sampler(apply_fn, L, steps=4, temperature=0.0)
+    x0 = jnp.asarray(np.array(
+        [[0] * L,
+         [5] * 6 + [0] * 6,
+         [4] * L], np.int32))
+    out = np.asarray(sampler(None, jnp.zeros((B, 2)), None,
+                             jax.random.key(0), x0=x0))
+    np.testing.assert_array_equal(out[0], np.ones(L))
+    np.testing.assert_array_equal(out[1], [5] * 6 + [1] * 6)
+    np.testing.assert_array_equal(out[2], [4] * L)
+
+
 def test_maskgit_rejects_bad_steps():
     import pytest
 
