@@ -346,7 +346,12 @@ def make_maskgit_sampler(
         x, filled, key = carry
         B = x.shape[0]
         key, k_tok, k_gum = jax.random.split(key, 3)
-        t = jnp.sum(filled, axis=1).astype(jnp.int32)      # committed count
+        # committed count conditions the model; clamp to the trained range
+        # (a fully-revealed inpaint row would otherwise index t == L into
+        # the precomputed time-bias table)
+        t = jnp.minimum(
+            jnp.sum(filled, axis=1), L - 1
+        ).astype(jnp.int32)
         if apply_takes_positions:
             pos_all = jnp.broadcast_to(
                 jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
