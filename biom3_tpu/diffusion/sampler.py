@@ -346,12 +346,12 @@ def make_maskgit_sampler(
         x, filled, key = carry
         B = x.shape[0]
         key, k_tok, k_gum = jax.random.split(key, 3)
-        # committed count conditions the model; clamp to the trained range
-        # (a fully-revealed inpaint row would otherwise index t == L into
-        # the precomputed time-bias table)
-        t = jnp.minimum(
-            jnp.sum(filled, axis=1), L - 1
-        ).astype(jnp.int32)
+        committed = jnp.sum(filled, axis=1).astype(jnp.int32)  # (B,)
+        # the committed count conditions the model, clamped to the trained
+        # range (a fully-revealed inpaint row would otherwise index t == L
+        # into the precomputed time-bias table); the UNclamped count stays
+        # the keep-target floor below, or that row would shed a position
+        t = jnp.minimum(committed, L - 1)
         if apply_takes_positions:
             pos_all = jnp.broadcast_to(
                 jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
@@ -380,7 +380,7 @@ def make_maskgit_sampler(
         conf = jnp.where(filled, jnp.inf, conf)
         order = jnp.argsort(-conf, axis=1)                 # desc
         rank = jnp.argsort(order, axis=1)                  # rank per position
-        target = jnp.maximum(L - mask_schedule[s], t)      # (B,)
+        target = jnp.maximum(L - mask_schedule[s], committed)  # (B,)
         new_filled = rank < target[:, None]
         x = jnp.where(new_filled, jnp.where(filled, x, smp), 0)
         return (x, new_filled, key), None
