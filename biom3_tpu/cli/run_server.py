@@ -93,9 +93,24 @@ def main() -> None:
         max_wait_s=args.max_wait_ms / 1000.0,
     )
     print(f"serving on http://{server.host}:{server.port}", flush=True)
+
+    import signal
+
+    def shutdown(signum, frame):
+        # break out of serve_forever on THIS thread; the actual close runs
+        # after it returns (calling httpd.shutdown() from inside the
+        # handler would deadlock: it waits on the serve loop the handler
+        # itself suspended)
+        print(f"signal {signum}: shutting down", flush=True)
+        raise SystemExit(0)
+
+    signal.signal(signal.SIGTERM, shutdown)
     try:
         server.serve_forever()
-    except KeyboardInterrupt:
+    except (KeyboardInterrupt, SystemExit):
+        pass
+    finally:
+        # drains in-flight batches, fails stranded futures, stops accepting
         server.close()
 
 
