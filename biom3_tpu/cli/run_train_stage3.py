@@ -210,9 +210,10 @@ def main() -> None:
                if args.export_params == "ema" and state.ema_params is not None
                else state.params)
         tree = jax.tree.map(np.asarray, {"params": src["params"]})
-        sd = {f"transformer.{k}": v
-              for k, v in proteoscribe_params_to_torch(tree, model_cfg).items()}
-        save_torch_file(sd, args.export_bin)
+        # exporter emits the published 'transformer.*' key layout already
+        save_torch_file(
+            proteoscribe_params_to_torch(tree, model_cfg), args.export_bin
+        )
         print(f"exported {args.export_params} params to {args.export_bin}")
     print(f"finished at step {int(state.step)}")
 

@@ -421,3 +421,56 @@ def test_train_stage2_cli_exports_servable_bin(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     saved = torch.load(tmp_path / "out.pt", weights_only=False)
     assert tuple(np.asarray(saved["z_c"]).shape) == (1, 8)
+
+
+@pytest.mark.slow  # two subprocesses with fresh train-step + sampler
+# compiles; stage-2's default-tier sibling covers the export plumbing
+def test_train_stage3_cli_exports_servable_bin(tmp_path):
+    """Flagship train CLI as a subprocess: short OA-ARDM training with
+    --export_bin (EMA weights) must produce a published-layout
+    transformer.* .bin that run_proteoscribe_sample serves directly."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 6))
+            for _ in range(16)]
+    torch.save(
+        {"sequence": seqs,
+         "text_to_protein_embedding": torch.from_numpy(
+             rng.standard_normal((16, 16)).astype(np.float32))},
+        tmp_path / "stage2_out.pt",
+    )
+    cfg = dict(TINY_STAGE3, batch_size=8, epochs=1, valid_size=0.25,
+               optimizer="AdamW", lr=1e-4)
+    (tmp_path / "s3.json").write_text(json.dumps(cfg))
+    exported = tmp_path / "trained_proteoscribe.bin"
+    r = run_cli(
+        "biom3_tpu.cli.run_train_stage3",
+        "--json_path", str(tmp_path / "s3.json"),
+        "--output_dir", str(tmp_path / "out"),
+        "--swissprot_data_root", str(tmp_path / "stage2_out.pt"),
+        "--max_steps", "2",
+        "--export_bin", str(exported),
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+    assert f"exported ema params to {exported}" in r.stdout
+    sd = torch.load(exported, weights_only=False)
+    assert all(k.startswith("transformer.") for k in sd)
+
+    rng2 = np.random.default_rng(1)
+    torch.save(
+        {"z_c": torch.from_numpy(
+            rng2.standard_normal((1, 16)).astype(np.float32))},
+        tmp_path / "fac.pt",
+    )
+    r2 = run_cli(
+        "biom3_tpu.cli.run_proteoscribe_sample",
+        "--json_path", str(tmp_path / "s3.json"),
+        "--model_path", str(exported),
+        "--input_path", str(tmp_path / "fac.pt"),
+        "--output_path", str(tmp_path / "designs.pt"),
+        "--temperature", "0",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    saved = torch.load(tmp_path / "designs.pt", weights_only=False)
+    assert len(saved) == cfg["num_replicas"]
