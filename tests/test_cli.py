@@ -474,3 +474,63 @@ def test_train_stage3_cli_exports_servable_bin(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     saved = torch.load(tmp_path / "designs.pt", weights_only=False)
     assert len(saved) == cfg["num_replicas"]
+
+
+@pytest.mark.slow  # tower train-step + inference compiles in subprocesses
+def test_train_stage1_cli_exports_servable_bin(tmp_path):
+    """Stage-1 train CLI as a subprocess: short contrastive training with
+    --export_bin must produce a pfam_PEN_CL-layout .bin that
+    run_pencl_inference serves directly."""
+    import torch
+
+    tok_dir = tmp_path / "tok"
+    vocab_size = _write_wordpiece_tokenizer(tok_dir)
+    rng = np.random.default_rng(0)
+    rows = [
+        {"primary_Accession": f"P{i:05d}",
+         "protein_sequence": "".join(
+            rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), 10)),
+         "[final]text_caption": "protein with binding activity"}
+        for i in range(12)
+    ]
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(tmp_path / "swissprot.csv", index=False)
+    cfg = {
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": vocab_size,
+        "bert_max_position_embeddings": 32, "proj_embedding_dim": 8,
+        "temperature": 0.8, "text_max_length": 16,
+        "text_model_path": str(tok_dir),
+        "protein_encoder_lr": 1e-4, "text_encoder_lr": 1e-4,
+        "head_lr": 1e-4, "weight_decay": "5e-7",
+        "batch_size": 4, "epochs": 1, "seed": 0,
+        "data_path": str(tmp_path / "swissprot.csv"),
+    }
+    (tmp_path / "s1.json").write_text(json.dumps(cfg))
+    exported = tmp_path / "trained_pencl.bin"
+    r = run_cli(
+        "biom3_tpu.cli.run_train_stage1",
+        "--json_path", str(tmp_path / "s1.json"),
+        "--output_dir", str(tmp_path / "out"),
+        "--max_steps", "2",
+        "--dtype", "float32",
+        "--export_bin", str(exported),
+    )
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-2000:])
+    assert f"exported params to {exported}" in r.stdout
+    sd = torch.load(exported, weights_only=False)
+    assert any(k.startswith("protein_encoder.model.") for k in sd)
+    assert any(k.startswith("text_projection.") for k in sd)
+
+    r2 = run_cli(
+        "biom3_tpu.cli.run_pencl_inference",
+        "--json_path", str(tmp_path / "s1.json"),
+        "--model_path", str(exported),
+        "--output_path", str(tmp_path / "pencl_out.pt"),
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    saved = torch.load(tmp_path / "pencl_out.pt", weights_only=False)
+    assert np.asarray(saved["z_t"]).shape == (5, 8)
