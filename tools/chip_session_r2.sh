@@ -22,6 +22,10 @@ timeout 3000 python tools/bench_train_stage1.py --layer-mode layer_block \
 timeout 3000 python tools/bench_train_stage1.py --remat-mode dots \
     --batch 4 --steps 4 > /tmp/chip_r2/train_xla.log 2>&1
 
+# 3b. streamed-weights stack path (the big-config fallback, never timed)
+timeout 3000 python tools/exp_kernels.py --which streamed --steps 64 \
+    > /tmp/chip_r2/stack_streamed.log 2>&1
+
 # 4. int8 on TRAINED weights (certification for PARITY.md)
 timeout 3000 python tools/certify_int8.py --steps 600 --batch 64 \
     > /tmp/chip_r2/certify_int8.log 2>&1

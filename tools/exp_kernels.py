@@ -349,6 +349,17 @@ def main():
                           (1, 1, "tanh", {"ff_block_l": 1024}),
                           (1, 1, "tanh", {"stream": "dl",
                                           "ff_block_l": 1024})])
+    if args.which == "streamed":
+        # per-layer weight-streaming path (grid=(B/rows, depth)) at the
+        # reference shape, vs the resident default — the streamed path is
+        # the fallback plan_stack_kernel picks for configs whose stacked
+        # weights exceed VMEM, and has never been timed on chip
+        run_stack(variables, args.steps, args.runs,
+                  combos=[(1, 1, "tanh", {"resident": True}),
+                          (1, 1, "tanh", {"resident": False}),
+                          (1, 2, "tanh", {"resident": False}),
+                          (1, 1, "tanh", {"resident": False,
+                                          "ff_quant": "int8"})])
     if args.which == "int8":
         # int8-FF serving candidate vs the bf16 resident kernel (the bench
         # path) — FF is 2/3 of layer FLOPs; v5e int8 MXU is ~2x bf16
