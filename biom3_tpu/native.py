@@ -1,9 +1,10 @@
-"""ctypes bindings for the C++ host library (csrc/biom3_native.cpp).
+"""ctypes bindings for the C++ host library (biom3_tpu/csrc/biom3_native.cpp).
 
-Builds the shared object on demand with g++ (cached next to the package) and
-falls back to the pure-Python tokenizers when no compiler is available —
-every native entry point has an identical-behavior Python twin, and the test
-suite asserts their equivalence.
+Builds the shared object on demand with g++ (cached next to the package, or
+under ``~/.cache/biom3_tpu`` when site-packages is read-only) and falls back
+to the pure-Python tokenizers when no compiler is available — every native
+entry point has an identical-behavior Python twin, and the test suite
+asserts their equivalence.
 """
 
 from __future__ import annotations
@@ -15,26 +16,40 @@ import threading
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_SRC = os.path.join(_REPO_ROOT, "csrc", "biom3_native.cpp")
-_LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_biom3_native.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "csrc", "biom3_native.cpp")
 
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
 
+def _lib_candidates():
+    yield os.path.join(_PKG_DIR, "_biom3_native.so")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "biom3_tpu",
+    )
+    yield os.path.join(cache, "_biom3_native.so")
+
+
 def _build() -> str | None:
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH],
-            check=True, capture_output=True, timeout=120,
-        )
-        return _LIB_PATH
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return None
+    for lib_path in _lib_candidates():
+        if (os.path.exists(lib_path)
+                and os.path.getmtime(lib_path) >= os.path.getmtime(_SRC)):
+            return lib_path
+    for lib_path in _lib_candidates():
+        try:
+            os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                 "-o", lib_path],
+                check=True, capture_output=True, timeout=120,
+            )
+            return lib_path
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            continue
+    return None
 
 
 def get_lib():
