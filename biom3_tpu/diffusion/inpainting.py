@@ -125,7 +125,12 @@ def make_inpainter(
         x, filled, key = carry
         B, L = x.shape
         key, sub = jax.random.split(key)
-        t = jnp.sum(filled, axis=1).astype(jnp.int32)  # per-row revealed count
+        # clamp the per-row revealed count to the trained range: a fully
+        # revealed row would otherwise feed t == L one past the model's
+        # precomputed time-bias table (same guard as make_maskgit_sampler)
+        t = jnp.minimum(
+            jnp.sum(filled, axis=1).astype(jnp.int32), x.shape[1] - 1
+        )
         if apply_takes_positions:
             pos_all = jnp.broadcast_to(
                 jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
@@ -151,7 +156,12 @@ def make_inpainter(
         x = jnp.where(wrote, smp[:, None], x)
         return (x, filled | wrote, key), None
 
-    chunk = chunk_steps if chunk_steps and num_steps % chunk_steps == 0 else None
+    if chunk_steps and num_steps % chunk_steps != 0:
+        raise ValueError(
+            f"num_steps {num_steps} not divisible by chunk_steps "
+            f"{chunk_steps}"
+        )
+    chunk = chunk_steps or None
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(params, z_c, path, t0, carry, start, n):

@@ -398,6 +398,17 @@ def make_maskgit_sampler(
         """``x0`` (B, L) int32 resumes from a partially revealed sequence
         (inpainting): nonzero positions are committed, absorbing-state 0
         positions get filled over the remaining schedule."""
+        if key is None:
+            # temperature 0 is fully deterministic (argmax tokens, no
+            # gumbel tie-break), so the key value is irrelevant; any
+            # stochastic mode without a key is a caller bug — fail fast
+            # instead of a TypeError deep inside the scan trace
+            if temperature != 0.0:
+                raise ValueError(
+                    "key is required when temperature > 0 "
+                    "(only temperature=0 greedy sampling is key-free)"
+                )
+            key = jax.random.key(0)
         if x0 is None:
             x0 = jnp.zeros((z_c.shape[0], L), jnp.int32)
         return run(params, z_c, key, jnp.asarray(x0, jnp.int32))

@@ -84,18 +84,23 @@ class MicroBatcher:
         self.stats = BatcherStats()
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
+        # serializes the closed-check+enqueue in submit() against close()'s
+        # final drain, so no future can be enqueued after the drain and
+        # left permanently unresolved
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name=name, daemon=True
         )
         self._thread.start()
 
     def submit(self, item) -> Future:
-        if self._closed.is_set():
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        with self.stats._lock:
-            self.stats.requests += 1
-        self._queue.put((item, fut))
+        with self._submit_lock:
+            if self._closed.is_set():
+                raise RuntimeError("batcher is closed")
+            with self.stats._lock:
+                self.stats.requests += 1
+            self._queue.put((item, fut))
         return fut
 
     def close(self, timeout: float = 10.0) -> None:
@@ -103,13 +108,16 @@ class MicroBatcher:
         self._thread.join(timeout=timeout)
         # a submit() racing close() can enqueue after the dispatcher's final
         # empty-queue check — fail those futures instead of leaving their
-        # callers blocked until the request timeout
-        while True:
-            try:
-                _, fut = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            fut.set_exception(RuntimeError("batcher is closed"))
+        # callers blocked until the request timeout.  The drain holds
+        # _submit_lock: any put that beat us is drained here, any submit
+        # that arrives after sees _closed and raises.
+        with self._submit_lock:
+            while True:
+                try:
+                    _, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                fut.set_exception(RuntimeError("batcher is closed"))
 
     # -- dispatcher ---------------------------------------------------
 

@@ -13,9 +13,13 @@ TPU-native design decisions:
     (prompt×replica rows, padded by repetition) so every dispatch reuses
     one executable.  Stage-1/2 embed calls pad the prompt list the same
     way.
-  * **One dispatch thread owns the device** (`MicroBatcher`): HTTP handler
-    threads only enqueue and wait on futures, so jit dispatches are never
-    interleaved.
+  * **Device dispatches are serialized** (`MicroBatcher` + a pipeline-level
+    device lock): HTTP handler threads only enqueue and wait on futures,
+    and the two dispatch threads (generate / embed) take the pipeline's
+    ``_device_lock`` around every device call — an embed waits out an
+    in-flight generate sample rather than dispatching concurrently with
+    it (tunnel runtimes kill single executions whose wall-clock stretches
+    past ~60 s; concurrent dispatch would stretch them).
   * **Row-level packing.** Requests with different prompts pack into one
     Stage-3 batch as independent rows (each row carries its own z_c and
     its own decode permutation — `pipeline/stage3.py:sample_batch`), so a
@@ -90,6 +94,10 @@ class ServingPipeline:
         self._dispatches = 0
         self._rows_live = 0
         self._rows_padded = 0
+        # serializes device calls across the generate- and embed-batcher
+        # threads (see module docstring); held per device call (one embed
+        # batch / one sample batch), not across a whole generate request
+        self._device_lock = threading.Lock()
 
     def _next_key(self) -> jax.Array:
         with self._key_lock:
@@ -99,9 +107,14 @@ class ServingPipeline:
     def embed(self, prompts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """prompts → (z_t, z_c), padded to a fixed batch internally."""
         n = len(prompts)
+        if n == 0:
+            raise ValueError("embed() needs at least one prompt")
         padded = prompts + [prompts[-1]] * (-n % self.rows_per_dispatch)
-        z_t = self.s1.embed_text(padded, batch_size=self.rows_per_dispatch)
-        z_c = np.asarray(self.s2(z_t))
+        with self._device_lock:
+            z_t = self.s1.embed_text(
+                padded, batch_size=self.rows_per_dispatch
+            )
+            z_c = np.asarray(self.s2(z_t))
         return np.asarray(z_t)[:n], z_c[:n]
 
     def generate(self, requests: list[dict]) -> list[dict]:
@@ -137,7 +150,8 @@ class ServingPipeline:
                 self._dispatches += 1
                 self._rows_live += len(chunk)
                 self._rows_padded += R - len(chunk)
-            ids = self._sample_rows(z_c[pad_idx], key)
+            with self._device_lock:
+                ids = self._sample_rows(z_c[pad_idx], key)
             for row, (i, k) in enumerate(chunk):
                 sequences[(i, k)] = self.s3.vocab.clean_sequence(
                     self.s3.vocab.decode_ids(ids[row])
@@ -302,11 +316,14 @@ class BioM3Server:
                         self._reply(400, {"error": "need prompt or prompts"})
                         return
                     prompts = [req["prompt"]]
-                if not prompts or not all(
+                # require a real list: a bare string would pass an
+                # all(isinstance(p, str)) check per CHARACTER and fan out
+                # one pipeline per character
+                if not isinstance(prompts, list) or not prompts or not all(
                     isinstance(p, str) and p.strip() for p in prompts
                 ):
-                    self._reply(400, {"error": "prompts must be non-empty "
-                                               "strings"})
+                    self._reply(400, {"error": "prompts must be a non-empty "
+                                               "list of non-empty strings"})
                     return
                 n_rep = req.get("num_replicas")
                 cap = server.pipeline.max_replicas
@@ -342,14 +359,15 @@ class BioM3Server:
                 self._reply(200, {"results": results})
 
             def _embed(self, req: dict) -> None:
-                prompts = req.get("prompts") or (
-                    [req["prompt"]] if "prompt" in req else None
-                )
-                if not prompts or not all(
+                prompts = req.get("prompts")
+                if prompts is None and "prompt" in req:
+                    prompts = [req["prompt"]]
+                # same bare-string guard as _generate
+                if not isinstance(prompts, list) or not prompts or not all(
                     isinstance(p, str) and p.strip() for p in prompts
                 ):
-                    self._reply(400, {"error": "prompts must be non-empty "
-                                               "strings"})
+                    self._reply(400, {"error": "prompts must be a non-empty "
+                                               "list of non-empty strings"})
                     return
                 futures = [
                     server._embed_batcher.submit(p) for p in prompts

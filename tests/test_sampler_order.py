@@ -239,6 +239,34 @@ def test_maskgit_rejects_bad_steps():
         make_maskgit_sampler(lambda *a: None, 16, steps=17)
 
 
+def test_maskgit_keyless_greedy_works_stochastic_requires_key():
+    """temperature=0 is deterministic, so sample() must run without a key
+    (docstring contract); any stochastic mode without a key fails fast at
+    entry, not as a TypeError inside the scan trace."""
+    import pytest
+
+    from biom3_tpu.diffusion.sampler import make_maskgit_sampler
+
+    B, L, V = 2, 12, 7
+
+    def apply_fn(params, x, t, z_c):
+        return jnp.sin(
+            x[..., None].astype(jnp.float32) * 0.3
+            + jnp.arange(L, dtype=jnp.float32)[None, :, None] * 0.7
+            + jnp.arange(V) * 1.3
+        )
+
+    z_c = jnp.zeros((B, 4))
+    greedy = make_maskgit_sampler(apply_fn, L, steps=4, temperature=0.0)
+    keyless = np.asarray(greedy(None, z_c))
+    keyed = np.asarray(greedy(None, z_c, None, jax.random.key(3)))
+    np.testing.assert_array_equal(keyless, keyed)
+
+    stoch = make_maskgit_sampler(apply_fn, L, steps=4, temperature=1.0)
+    with pytest.raises(ValueError, match="key is required"):
+        stoch(None, z_c)
+
+
 def test_engine_maskgit_mode(tmp_path):
     from biom3_tpu.config import Config
     from biom3_tpu.pipeline.stage3 import ProteoScribeEngine

@@ -242,8 +242,13 @@ def test_http_server_end_to_end(tmp_path):
             ("/v1/generate", {"prompt": "x", "seed": -1}, 400),
             ("/v1/generate", {"prompt": "x", "seed": "y"}, 400),
             ("/v1/generate", ["not", "an", "object"], 400),
+            # a bare string must not be iterated per character
+            ("/v1/generate", {"prompts": "design a kinase"}, 400),
+            ("/v1/generate", {"prompts": {"p": "x"}}, 400),
             ("/v1/embed", {}, 400),
             ("/v1/embed", {"prompts": ["ok", 42]}, 400),
+            ("/v1/embed", {"prompts": "design a kinase"}, 400),
+            ("/v1/embed", {"prompts": []}, 400),
             ("/v1/nope", {"prompt": "x"}, 404),
         ):
             with pytest.raises(urllib.error.HTTPError) as exc_info:
