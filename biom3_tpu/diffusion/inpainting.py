@@ -73,6 +73,7 @@ def make_inpainter(
     apply_takes_positions: bool = False,
     chunk_steps: int | None = None,
     order: str = "path",
+    early_exit: bool = False,
 ) -> Callable:
     """Compiled resume-from-t denoiser: finishes a corrupted sample's
     trajectory position by position (the reference's predict_next_index loop,
@@ -92,7 +93,15 @@ def make_inpainter(
     ordering — masked positions are read off the absorbing state (id 0,
     which ``mask_realizations`` writes), the per-row timestep fed to the
     model is the count of revealed positions, and rows that finish early
-    (or arrive fully revealed) no-op for the remaining steps."""
+    (or arrive fully revealed) no-op for the remaining steps.
+
+    ``early_exit=True`` (requires ``chunk_steps``) stops dispatching once
+    no absorbing-state position remains (host check between chunks).  In
+    confidence order every step fills one position per row, so a batch
+    with at most ``m`` masked positions costs ``ceil(m/chunk)`` chunks
+    instead of the full trajectory — the serving path for user-masked
+    inpainting.  Results are identical to the full run: remaining steps
+    are no-ops once every position is revealed, in both orders."""
     if order not in ("path", "confidence"):
         raise ValueError(f"order must be 'path' or 'confidence', got {order!r}")
 
@@ -162,6 +171,9 @@ def make_inpainter(
             f"{chunk_steps}"
         )
     chunk = chunk_steps or None
+    if early_exit and chunk is None:
+        raise ValueError("early_exit needs chunk_steps (the exit check "
+                         "runs between chunk dispatches)")
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run_chunk(params, z_c, path, t0, carry, start, n):
@@ -186,6 +198,8 @@ def make_inpainter(
             return run_chunk(params, z_c, path, t0, carry,
                              jnp.int32(0), num_steps)[0]
         for c in range(num_steps // chunk):
+            if early_exit and not np.any(np.asarray(carry[0]) == 0):
+                break
             carry = run_chunk(params, z_c, path, t0, carry,
                               jnp.int32(c * chunk), chunk)
         return carry[0]

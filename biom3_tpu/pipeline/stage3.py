@@ -162,6 +162,9 @@ class ProteoScribeEngine:
         self._gather_k = gather_k
         self._sampler_mode = sampler_mode
         self._maskgit_steps = maskgit_steps
+        self._chunk_steps_arg = chunk_steps
+        self._quant = (ff_quant, proj_quant)
+        self._inpainter = None
         if sampler_mode == "maskgit":
             self.sampler = make_maskgit_sampler(
                 apply_fn, self.config.max_seq_len, steps=maskgit_steps,
@@ -225,6 +228,84 @@ class ProteoScribeEngine:
             return np.asarray(sampler(params, zc, pd, key))
 
         return sample_rows
+
+    def _get_inpainter(self):
+        """Compiled confidence-order inpainter over the engine's serving
+        path (built on first use; `diffusion/inpainting.py:make_inpainter`).
+
+        Confidence order is the certified default (PARITY.md: dominates
+        random order in every cell) and lets ``early_exit`` bound the cost
+        at one step per masked position.  The whole-stack kernel needs the
+        full logit grid here (gather_k = L); when the engine was built
+        with a narrower gather (path-order ARDM serving) a dedicated
+        stack apply is constructed, falling back to the Flax graph when
+        the plan rejects the wider gather or the engine isn't on the
+        stack path.
+        """
+        if self._inpainter is not None:
+            return self._inpainter
+        from biom3_tpu.diffusion.inpainting import make_inpainter
+
+        L = self.config.max_seq_len
+        apply_fn, takes_positions = self.model.apply, False
+        if self.use_stack:
+            from biom3_tpu.models.fused_forward import (
+                make_stack_apply,
+                plan_stack_kernel,
+            )
+
+            if plan_stack_kernel(self.config, gather_k=L)["supported"]:
+                ff_quant, proj_quant = self._quant
+                apply_fn = make_stack_apply(
+                    self.config, gelu=self.gelu, ff_quant=ff_quant,
+                    proj_quant=proj_quant, gather_k=L,
+                )
+                takes_positions = True
+        chunk = self._chunk_steps_arg
+        if chunk and (chunk > L or L % chunk != 0):
+            chunk = None
+        self._inpainter = make_inpainter(
+            apply_fn,
+            L,
+            temperature=self._sampler_cfg["temperature"],
+            apply_takes_positions=takes_positions,
+            chunk_steps=chunk,
+            order="confidence",
+            early_exit=chunk is not None,
+        )
+        return self._inpainter
+
+    def inpaint_batch(
+        self,
+        masked_ids: np.ndarray,
+        z_c: np.ndarray,
+        key: jax.Array,
+    ) -> np.ndarray:
+        """Fill the absorbing-state (0) positions of ``masked_ids`` (B, L)
+        conditioned on ``z_c`` (B, cond_dim); committed ids never change.
+
+        Ports the reference's resume-from-corruption surface
+        (``Stage3_source/sampling_analysis.py:21-61,96-147``) to a serving
+        entrypoint: encode user sequences with
+        ``Stage3Vocab.encode_partial``, fill here, decode as usual.  In
+        ``sampler_mode="maskgit"`` the parallel sampler resumes from the
+        partial sequence directly (S forwards); otherwise a compiled
+        confidence-order inpainter decodes one position per step with
+        chunked early exit.
+        """
+        masked = jnp.asarray(masked_ids, jnp.int32)
+        zc = jnp.asarray(z_c, jnp.float32)
+        if self._sampler_mode == "maskgit":
+            return np.asarray(
+                self.sampler(self.params, zc, None, key, x0=masked)
+            )
+        inpaint = self._get_inpainter()
+        B, L = masked.shape
+        # confidence order ignores path/t0 (ordering comes off the
+        # absorbing state); placeholders keep the signature uniform
+        path = jnp.zeros((B, L), jnp.int32)
+        t0 = jnp.zeros((B,), jnp.int32)
+        return np.asarray(inpaint(self.params, masked, zc, path, t0, key))
 
     def sample_batch(
         self,

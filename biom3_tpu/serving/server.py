@@ -29,6 +29,10 @@ TPU-native design decisions:
 Endpoints (stdlib ``http.server``; JSON in/out):
   * ``POST /v1/generate`` ``{"prompt": str | "prompts": [str],
     "num_replicas": int?}`` → per-prompt designed sequences.
+  * ``POST /v1/inpaint`` ``{"prompt": str, "sequence": str,
+    "num_replicas": int?, "unknown": str?}`` → the sequence with every
+    ``unknown`` character (default ``"?"``) filled, conditioned on the
+    prompt; known residues and length are preserved.
   * ``POST /v1/embed`` ``{"prompts": [str]}`` → z_t, z_c.
   * ``GET /healthz`` → liveness + device platform.
   * ``GET /v1/metrics`` → batcher counters (occupancy, latency).
@@ -117,22 +121,18 @@ class ServingPipeline:
             z_c = np.asarray(self.s2(z_t))
         return np.asarray(z_t)[:n], z_c[:n]
 
-    def generate(self, requests: list[dict]) -> list[dict]:
-        """Batch entrypoint: each request is ``{"prompt": str,
-        "num_replicas": int, "seed": int?}``; returns one dict per request.
+    def _run_rows_packed(self, requests: list[dict], row_fn) -> list[dict]:
+        """Pack (request, replica) rows into fixed ``rows_per_dispatch``
+        device batches and run ``row_fn(request_indices, key) → (R, L)
+        ids``; returns one ``{"prompt", "sequences"}`` dict per request.
 
         Unseeded requests pack together (throughput path; tokens depend on
         the whole batch's RNG stream, so results vary run to run).  A
         request carrying ``"seed"`` gets its OWN padded dispatch with
-        ``key(seed)`` — same prompt/seed/replicas/engine config reproduces
+        ``key(seed)`` — same inputs/seed/replicas/engine config reproduces
         the sequences bit-exactly, at the cost of that dispatch's
         occupancy (visible in ``device_stats``).
         """
-        prompts = [r["prompt"] for r in requests]
-        z_t, z_c = self.embed(prompts)
-
-        # pack (request, replica) rows into fixed-size device batches;
-        # seeded requests dispatch alone for reproducibility
         rows = []  # (request_index, replica_index)
         for i, r in enumerate(requests):
             if r.get("seed") is not None:
@@ -151,7 +151,7 @@ class ServingPipeline:
                 self._rows_live += len(chunk)
                 self._rows_padded += R - len(chunk)
             with self._device_lock:
-                ids = self._sample_rows(z_c[pad_idx], key)
+                ids = row_fn(pad_idx, key)
             for row, (i, k) in enumerate(chunk):
                 sequences[(i, k)] = self.s3.vocab.clean_sequence(
                     self.s3.vocab.decode_ids(ids[row])
@@ -178,6 +178,43 @@ class ServingPipeline:
                 "sequences": [sequences[(i, k)] for k in range(n_rep)],
             })
         return out
+
+    def generate(self, requests: list[dict]) -> list[dict]:
+        """Batch entrypoint: each request is ``{"prompt": str,
+        "num_replicas": int, "seed": int?}``; returns one dict per request
+        (packing/seeding semantics in ``_run_rows_packed``)."""
+        prompts = [r["prompt"] for r in requests]
+        z_t, z_c = self.embed(prompts)
+        return self._run_rows_packed(
+            requests, lambda idx, key: self._sample_rows(z_c[idx], key)
+        )
+
+    def inpaint(self, requests: list[dict]) -> list[dict]:
+        """Fill user-masked residues conditioned on the text prompt.
+
+        Each request is ``{"prompt": str, "sequence": str,
+        "num_replicas": int?, "seed": int?, "unknown": str?}`` — the
+        sequence fixes the design's length and committed residues;
+        every ``unknown`` character (default ``"?"``) is generated.
+        Serving port of the reference's corrupt/autocomplete analysis
+        surface (``Stage3_source/sampling_analysis.py:21-119``); rides
+        the engine's compiled inpainter (``ProteoScribeEngine.
+        inpaint_batch``) on the default device path — rows pack exactly
+        like ``generate``.
+        """
+        prompts = [r["prompt"] for r in requests]
+        z_t, z_c = self.embed(prompts)
+        L = self.s3.config.max_seq_len
+        masked = np.stack([
+            self.s3.vocab.encode_partial(
+                r["sequence"], L, r.get("unknown") or "?"
+            )
+            for r in requests
+        ])
+        return self._run_rows_packed(
+            requests,
+            lambda idx, key: self.s3.inpaint_batch(masked[idx], z_c[idx], key),
+        )
 
     def device_stats(self) -> dict:
         with self._dev_lock:
@@ -220,6 +257,12 @@ class BioM3Server:
             max_wait_s=max_wait_s,
             name="embed-batcher",
         )
+        self._inpaint_batcher = MicroBatcher(
+            pipeline.inpaint,
+            max_batch=pipeline.rows_per_dispatch,
+            max_wait_s=max_wait_s,
+            name="inpaint-batcher",
+        )
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.host, self.port = self.httpd.server_address[:2]
@@ -248,6 +291,7 @@ class BioM3Server:
         self.httpd.server_close()
         self._gen_batcher.close()
         self._embed_batcher.close()
+        self._inpaint_batcher.close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=10)
 
@@ -280,6 +324,7 @@ class BioM3Server:
                 elif self.path == "/v1/metrics":
                     self._reply(200, {
                         "generate": server._gen_batcher.stats.as_dict(),
+                        "inpaint": server._inpaint_batcher.stats.as_dict(),
                         "embed": server._embed_batcher.stats.as_dict(),
                         "device": server.pipeline.device_stats(),
                     })
@@ -302,6 +347,8 @@ class BioM3Server:
                 try:
                     if self.path == "/v1/generate":
                         self._generate(req)
+                    elif self.path == "/v1/inpaint":
+                        self._inpaint(req)
                     elif self.path == "/v1/embed":
                         self._embed(req)
                     else:
@@ -325,26 +372,8 @@ class BioM3Server:
                     self._reply(400, {"error": "prompts must be a non-empty "
                                                "list of non-empty strings"})
                     return
-                n_rep = req.get("num_replicas")
-                cap = server.pipeline.max_replicas
-                if n_rep is not None and (
-                    not isinstance(n_rep, int) or isinstance(n_rep, bool)
-                    or not 1 <= n_rep <= cap
-                ):
-                    self._reply(400, {
-                        "error": f"num_replicas must be an int in "
-                                 f"[1, {cap}], got {n_rep!r}"
-                    })
-                    return
-                seed = req.get("seed")
-                if seed is not None and (
-                    not isinstance(seed, int) or isinstance(seed, bool)
-                    or not 0 <= seed < 2**32
-                ):
-                    self._reply(400, {
-                        "error": f"seed must be an int in [0, 2^32), "
-                                 f"got {seed!r}"
-                    })
+                ok, n_rep, seed = self._rep_seed(req)
+                if not ok:
                     return
                 futures = [
                     server._gen_batcher.submit(
@@ -357,6 +386,72 @@ class BioM3Server:
                     for f in futures
                 ]
                 self._reply(200, {"results": results})
+
+            def _rep_seed(self, req: dict):
+                """Validate num_replicas/seed; replies 400 and returns
+                (False, ..) on failure."""
+                n_rep = req.get("num_replicas")
+                cap = server.pipeline.max_replicas
+                if n_rep is not None and (
+                    not isinstance(n_rep, int) or isinstance(n_rep, bool)
+                    or not 1 <= n_rep <= cap
+                ):
+                    self._reply(400, {
+                        "error": f"num_replicas must be an int in "
+                                 f"[1, {cap}], got {n_rep!r}"
+                    })
+                    return False, None, None
+                seed = req.get("seed")
+                if seed is not None and (
+                    not isinstance(seed, int) or isinstance(seed, bool)
+                    or not 0 <= seed < 2**32
+                ):
+                    self._reply(400, {
+                        "error": f"seed must be an int in [0, 2^32), "
+                                 f"got {seed!r}"
+                    })
+                    return False, None, None
+                return True, n_rep, seed
+
+            def _inpaint(self, req: dict) -> None:
+                prompt = req.get("prompt")
+                if not isinstance(prompt, str) or not prompt.strip():
+                    self._reply(400, {"error": "prompt must be a non-empty "
+                                               "string"})
+                    return
+                sequence = req.get("sequence")
+                if not isinstance(sequence, str) or not sequence:
+                    self._reply(400, {"error": "sequence must be a "
+                                               "non-empty string"})
+                    return
+                unknown = req.get("unknown")
+                if unknown is not None and (
+                    not isinstance(unknown, str) or len(unknown) != 1
+                ):
+                    self._reply(400, {"error": "unknown must be a single "
+                                               "character"})
+                    return
+                ok, n_rep, seed = self._rep_seed(req)
+                if not ok:
+                    return
+                # pre-validate the encode on the handler thread: a bad
+                # sequence must 400 here, not poison a co-batched dispatch
+                try:
+                    server.pipeline.s3.vocab.encode_partial(
+                        sequence,
+                        server.pipeline.s3.config.max_seq_len,
+                        unknown or "?",
+                    )
+                except ValueError as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+                fut = server._inpaint_batcher.submit({
+                    "prompt": prompt, "sequence": sequence,
+                    "num_replicas": n_rep, "seed": seed,
+                    "unknown": unknown or "?",
+                })
+                result = fut.result(timeout=server.request_timeout_s)
+                self._reply(200, {"results": [result]})
 
             def _embed(self, req: dict) -> None:
                 prompts = req.get("prompts")

@@ -65,6 +65,40 @@ class Stage3Vocab:
         (ref transformer_training_helper.py:187-208)."""
         return train_ids + 1
 
+    def encode_partial(
+        self, sequence: str, pad_to: int, unknown: str = "?"
+    ) -> np.ndarray:
+        """Partial sequence → model-ready (decode-table) ids with the
+        absorbing state (0) at ``unknown`` positions.
+
+        Inpainting entry: known residues, the '<START>'/'<END>' markers and
+        the '-' padding are committed (decode ids = shifted train ids);
+        each ``unknown`` character becomes id 0 for the denoiser to fill.
+        The sequence length is fixed by the input — markers and padding
+        are never regenerated.
+        """
+        if len(unknown) != 1 or unknown in self.train_tok_to_id:
+            raise ValueError(
+                f"unknown marker must be a single non-vocabulary character, "
+                f"got {unknown!r}"
+            )
+        toks = ["<START>"] + list(sequence) + ["<END>"]
+        if len(toks) > pad_to:
+            raise ValueError(f"sequence too long: {len(toks)} > {pad_to}")
+        toks += ["-"] * (pad_to - len(toks))
+        ids = np.empty(pad_to, dtype=np.int32)
+        for i, t in enumerate(toks):
+            if t == unknown:
+                ids[i] = self.absorbing_id
+            elif t in self.train_tok_to_id:
+                ids[i] = self.train_tok_to_id[t] + 1
+            else:
+                raise ValueError(
+                    f"invalid residue {t!r} at position {i - 1} "
+                    f"(valid: amino acids, {unknown!r} for unknowns)"
+                )
+        return ids
+
     # --- decoding (sampling-side) ------------------------------------------
     def decode_ids(self, ids) -> str:
         """Model/decode-table ids → character string (ref animation_tools.py:7-11)."""

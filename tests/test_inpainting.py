@@ -189,3 +189,92 @@ def test_inpainter_stack_contract_matches_full_logits():
             fast(params, masked, z_c, path, t, jax.random.key(7))
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_encode_partial():
+    from biom3_tpu.tokenizers.stage3_vocab import Stage3Vocab
+
+    v = Stage3Vocab()
+    ids = v.encode_partial("AC?G?", 10)
+    # <START> A C ? G ? <END> - - -   (decode ids = train ids + 1)
+    want = [1, v.train_tok_to_id["A"] + 1, v.train_tok_to_id["C"] + 1, 0,
+            v.train_tok_to_id["G"] + 1, 0, v.train_tok_to_id["<END>"] + 1]
+    pad = v.train_tok_to_id["-"] + 1
+    np.testing.assert_array_equal(ids, want + [pad] * 3)
+    # round-trip: committed ids decode back to the input characters
+    assert v.decode_ids(ids[1:3]) == "AC"
+    # invalid inputs fail loudly
+    with pytest.raises(ValueError, match="too long"):
+        v.encode_partial("A" * 9, 10)
+    with pytest.raises(ValueError, match="invalid residue"):
+        v.encode_partial("AJ?", 10)
+    with pytest.raises(ValueError, match="unknown marker"):
+        v.encode_partial("A?", 10, unknown="A")
+    with pytest.raises(ValueError, match="unknown marker"):
+        v.encode_partial("A?", 10, unknown="??")
+    # custom marker
+    ids2 = v.encode_partial("A_C", 8, unknown="_")
+    assert ids2[2] == 0 and ids2[1] != 0 and ids2[3] != 0
+
+
+def test_inpainter_early_exit_matches_full():
+    """Chunked early exit must be a pure optimization: bit-identical temp-0
+    output, and ZERO dispatches when nothing is masked."""
+    model, params = _cond_model()
+    real = jnp.asarray(
+        np.random.default_rng(7).integers(1, 29, (2, 64)), jnp.int32
+    )
+    masked, path, t = corrupt_samples(jax.random.key(8), real, 0.75, 64)
+    z_c = jnp.zeros((2, 16))
+    full = make_inpainter(
+        model.apply, 64, temperature=0.0, order="confidence", chunk_steps=16
+    )
+    fast = make_inpainter(
+        model.apply, 64, temperature=0.0, order="confidence", chunk_steps=16,
+        early_exit=True,
+    )
+    want = np.asarray(full(params, masked, z_c, path, t, jax.random.key(9)))
+    got = np.asarray(fast(params, masked, z_c, path, t, jax.random.key(9)))
+    np.testing.assert_array_equal(got, want)
+
+    # fully revealed input: the model function must never even be traced
+    def explode(*a):
+        raise AssertionError("dispatched on a fully revealed batch")
+
+    noop = make_inpainter(
+        explode, 64, temperature=0.0, order="confidence", chunk_steps=16,
+        early_exit=True,
+    )
+    out = np.asarray(noop(params, real, z_c, path, t, jax.random.key(0)))
+    np.testing.assert_array_equal(out, np.asarray(real))
+
+    with pytest.raises(ValueError, match="early_exit needs chunk_steps"):
+        make_inpainter(model.apply, 64, early_exit=True)
+
+
+def test_engine_inpaint_batch(tmp_path):
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+    from test_cli import TINY_STAGE3
+
+    z_c = np.zeros((2, 16), np.float32)
+    for mode, kw in (("ardm", {}), ("maskgit", {"maskgit_steps": 8})):
+        engine = ProteoScribeEngine(
+            Config(TINY_STAGE3), None, temperature=0.0,
+            sampler_mode=mode, **kw,
+        )
+        masked = np.stack([
+            engine.vocab.encode_partial("AC?G?MK?", 64),
+            engine.vocab.encode_partial("??????", 64),
+        ])
+        out = engine.inpaint_batch(masked, z_c, jax.random.key(1))
+        assert out.shape == masked.shape
+        # committed positions (markers, residues, padding) never change
+        np.testing.assert_array_equal(
+            out[masked != 0], masked[masked != 0], err_msg=mode
+        )
+        # every absorbing position was filled
+        assert (out != 0).all(), mode
+        # temp-0 determinism regardless of key
+        out2 = engine.inpaint_batch(masked, z_c, jax.random.key(42))
+        np.testing.assert_array_equal(out, out2, err_msg=mode)
