@@ -43,6 +43,11 @@ def main() -> None:
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--ff-quant", choices=["none", "int8"], default="none")
     ap.add_argument("--proj-quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--endpoint", choices=["generate", "inpaint"],
+                    default="generate")
+    ap.add_argument("--inpaint-len", type=int, default=300,
+                    help="residues in the synthetic inpaint request")
+    ap.add_argument("--inpaint-masked-frac", type=float, default=0.25)
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
@@ -124,9 +129,24 @@ def main() -> None:
     server = BioM3Server(pipeline, port=0, max_wait_s=0.05)
     server.start()
     base = f"http://{server.host}:{server.port}"
+    sequence = None
+    if args.endpoint == "inpaint":
+        if args.tiny:
+            args.inpaint_len = min(args.inpaint_len, 30)  # tiny L=64
+        # deterministic synthetic partial design: every Nth residue unknown
+        import random
+
+        rng = random.Random(0)
+        n_mask = max(1, int(args.inpaint_len * args.inpaint_masked_frac))
+        chars = [rng.choice("ACDEFGHIKLMNPQRSTVWY")
+                 for _ in range(args.inpaint_len)]
+        for i in rng.sample(range(args.inpaint_len), n_mask):
+            chars[i] = "?"
+        sequence = "".join(chars)
     # one warmup request owns every compile
     warm = run_load(base, clients=1, requests_per_client=1,
-                    num_replicas=args.replicas)
+                    num_replicas=args.replicas,
+                    endpoint=args.endpoint, sequence=sequence)
     setup_s = time.time() - t0
     print(json.dumps({"warmup": warm, "setup_s": round(setup_s, 1)}),
           flush=True)
@@ -134,8 +154,14 @@ def main() -> None:
     report = run_load(
         base, clients=args.clients, requests_per_client=args.requests,
         num_replicas=args.replicas,
+        endpoint=args.endpoint, sequence=sequence,
     )
     report["config"] = {
+        "endpoint": args.endpoint,
+        "inpaint_len": args.inpaint_len if args.endpoint == "inpaint" else None,
+        "inpaint_masked_frac": (
+            args.inpaint_masked_frac if args.endpoint == "inpaint" else None
+        ),
         "rows_per_dispatch": args.rows,
         "positions_per_step": args.positions_per_step,
         "decode_order": args.decode_order,

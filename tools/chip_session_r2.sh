@@ -50,3 +50,12 @@ timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
 timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
     --requests 4 --sampler maskgit --maskgit-steps 16 \
     > /tmp/chip_r2/serving_maskgit.log 2>&1
+
+# 6b. Inpainting endpoint on-chip (new surface: confidence-order inpainter
+#     with chunked early exit; 300 residues, 25% masked)
+timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 2 --endpoint inpaint --inpaint-len 300 \
+    --inpaint-masked-frac 0.25 > /tmp/chip_r2/serving_inpaint.log 2>&1
+timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 2 --endpoint inpaint --sampler maskgit --maskgit-steps 16 \
+    > /tmp/chip_r2/serving_inpaint_maskgit.log 2>&1

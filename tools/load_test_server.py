@@ -38,18 +38,31 @@ def run_load(
     prompt: str = "membrane transport protein",
     num_replicas: int = 1,
     timeout_s: float = 600.0,
+    endpoint: str = "generate",
+    sequence: str | None = None,
 ) -> dict:
+    """``endpoint="inpaint"`` posts ``sequence`` (a partial design with
+    ``?`` unknowns) to ``/v1/inpaint`` instead; latency/occupancy
+    semantics are identical."""
+    if endpoint not in ("generate", "inpaint"):
+        raise ValueError(f"endpoint must be generate|inpaint, got {endpoint}")
+    if endpoint == "inpaint" and not sequence:
+        raise ValueError("inpaint load needs a sequence")
     latencies: list[float] = []
     errors: list[str] = []
     lock = threading.Lock()
 
     def client(cid: int) -> None:
         for r in range(requests_per_client):
+            payload = {"prompt": f"{prompt} #{cid}",
+                       "num_replicas": num_replicas}
+            if endpoint == "inpaint":
+                payload["sequence"] = sequence
             t0 = time.perf_counter()
             try:
                 out = _post(
-                    f"{base_url}/v1/generate",
-                    {"prompt": f"{prompt} #{cid}", "num_replicas": num_replicas},
+                    f"{base_url}/v1/{endpoint}",
+                    payload,
                     timeout_s,
                 )
                 ok = len(out["results"][0]["sequences"]) == num_replicas
@@ -83,6 +96,7 @@ def run_load(
         return round(lat[max(0, math.ceil(q * n) - 1)], 3) if n else None
 
     report = {
+        "endpoint": endpoint,
         "clients": clients,
         "requests": clients * requests_per_client,
         "completed": n,
@@ -112,11 +126,16 @@ def main() -> None:
     ap.add_argument("--prompt", default="membrane transport protein")
     ap.add_argument("--num-replicas", type=int, default=1)
     ap.add_argument("--timeout-s", type=float, default=600.0)
+    ap.add_argument("--endpoint", choices=["generate", "inpaint"],
+                    default="generate")
+    ap.add_argument("--sequence", default=None,
+                    help="partial design with '?' unknowns (inpaint mode)")
     args = ap.parse_args()
     report = run_load(
         args.base_url, clients=args.clients,
         requests_per_client=args.requests, prompt=args.prompt,
         num_replicas=args.num_replicas, timeout_s=args.timeout_s,
+        endpoint=args.endpoint, sequence=args.sequence,
     )
     print(json.dumps(report))
 
