@@ -278,3 +278,36 @@ def test_engine_inpaint_batch(tmp_path):
         # temp-0 determinism regardless of key
         out2 = engine.inpaint_batch(masked, z_c, jax.random.key(42))
         np.testing.assert_array_equal(out, out2, err_msg=mode)
+
+
+def test_inpainter_confidence_stack_contract():
+    """The serving /v1/inpaint on-chip path = whole-stack kernel at
+    gather_k=L + confidence-order inpainter (pos_all contract).  Interpret-
+    mode twin: temp-0 trajectories must bit-match the Flax full-logits
+    confidence inpainter."""
+    from biom3_tpu.diffusion.inpainting import make_inpainter
+    from biom3_tpu.models.fused_forward import make_stack_apply
+
+    model, params = _cond_model()
+    real = jnp.asarray(
+        np.random.default_rng(11).integers(1, 29, (2, 64)), jnp.int32
+    )
+    masked, path, t = corrupt_samples(jax.random.key(12), real, 0.5, 64)
+    z_c = jnp.zeros((2, 16))
+
+    ref = make_inpainter(
+        model.apply, 64, temperature=0.0, order="confidence"
+    )
+    want = np.asarray(ref(params, masked, z_c, path, t, jax.random.key(13)))
+
+    stack_apply = make_stack_apply(
+        TINY, dtype=jnp.float32, resident=True, interpret=True, gather_k=64
+    )
+    fast = make_inpainter(
+        stack_apply, 64, temperature=0.0, order="confidence",
+        apply_takes_positions=True, chunk_steps=16, early_exit=True,
+    )
+    got = np.asarray(fast(params, masked, z_c, path, t, jax.random.key(13)))
+    np.testing.assert_array_equal(got, want)
+    masked_np = np.asarray(masked)
+    np.testing.assert_array_equal(got[masked_np != 0], masked_np[masked_np != 0])
