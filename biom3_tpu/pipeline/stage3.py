@@ -229,6 +229,67 @@ class ProteoScribeEngine:
 
         return sample_rows
 
+    def make_sharded_inpainter(self, mesh, *, interpret: bool = False):
+        """Multi-chip inpainting backend, mirroring ``make_sharded_sampler``:
+        the whole-stack kernel under ``shard_map`` over the mesh's (dp,
+        fsdp) batch axes feeding a confidence-order inpainter (or, in
+        maskgit mode, the parallel sampler resuming from the partial
+        sequence).  Returns ``inpaint_rows(masked (B, L), z_c (B, C), key)
+        → (B, L)`` with ``inpaint_batch`` semantics; B must be a multiple
+        of dp·fsdp."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from biom3_tpu.diffusion.inpainting import make_inpainter
+        from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+
+        L = self.config.max_seq_len
+        apply_fn = make_sharded_stack_apply(
+            self.config, mesh, gelu=self.gelu, interpret=interpret,
+            dtype=jnp.float32 if interpret else jnp.bfloat16,
+            gather_k=L,
+        )
+        temperature = self._sampler_cfg["temperature"]
+        if self._sampler_mode == "maskgit":
+            sampler = make_maskgit_sampler(
+                apply_fn, L, steps=self._maskgit_steps,
+                temperature=temperature,
+                top_k=self._sampler_cfg["top_k"],
+                top_p=self._sampler_cfg["top_p"],
+                apply_takes_positions=True,
+            )
+            run = lambda params, masked, zc, key: sampler(
+                params, zc, None, key, x0=masked
+            )
+        else:
+            chunk = self._chunk_steps_arg
+            if chunk and (chunk > L or L % chunk != 0):
+                chunk = None
+            inpaint = make_inpainter(
+                apply_fn, L, temperature=temperature,
+                apply_takes_positions=True, chunk_steps=chunk,
+                order="confidence", early_exit=chunk is not None,
+            )
+            run = lambda params, masked, zc, key: inpaint(
+                params, masked, zc,
+                jnp.zeros(masked.shape, jnp.int32),
+                jnp.zeros((masked.shape[0],), jnp.int32), key,
+            )
+        data = NamedSharding(mesh, P(("dp", "fsdp"), None))
+        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+
+        def inpaint_rows(masked_ids: np.ndarray, z_c: np.ndarray,
+                         key: jax.Array) -> np.ndarray:
+            B = masked_ids.shape[0]
+            if B % shards:
+                raise ValueError(f"batch {B} not divisible by {shards} "
+                                 "mesh shards")
+            masked = jax.device_put(jnp.asarray(masked_ids, jnp.int32), data)
+            zc = jax.device_put(jnp.asarray(z_c, jnp.float32), data)
+            return np.asarray(run(params, masked, zc, key))
+
+        return inpaint_rows
+
     def _get_inpainter(self):
         """Compiled confidence-order inpainter over the engine's serving
         path (built on first use; `diffusion/inpainting.py:make_inpainter`).

@@ -82,8 +82,12 @@ class ServingPipeline:
             self._sample_rows = stage3_engine.make_sharded_sampler(
                 mesh, interpret=interpret
             )
+            self._inpaint_rows = stage3_engine.make_sharded_inpainter(
+                mesh, interpret=interpret
+            )
         else:
             self._sample_rows = stage3_engine.sample_batch
+            self._inpaint_rows = stage3_engine.inpaint_batch
         self.rows_per_dispatch = rows_per_dispatch
         self.default_replicas = default_replicas
         self.max_replicas = max_replicas
@@ -199,8 +203,8 @@ class ServingPipeline:
         Serving port of the reference's corrupt/autocomplete analysis
         surface (``Stage3_source/sampling_analysis.py:21-119``); rides
         the engine's compiled inpainter (``ProteoScribeEngine.
-        inpaint_batch``) on the default device path — rows pack exactly
-        like ``generate``.
+        inpaint_batch``, or its shard_map twin under a mesh) — rows pack
+        exactly like ``generate``.
         """
         prompts = [r["prompt"] for r in requests]
         z_t, z_c = self.embed(prompts)
@@ -213,7 +217,7 @@ class ServingPipeline:
         ])
         return self._run_rows_packed(
             requests,
-            lambda idx, key: self.s3.inpaint_batch(masked[idx], z_c[idx], key),
+            lambda idx, key: self._inpaint_rows(masked[idx], z_c[idx], key),
         )
 
     def device_stats(self) -> dict:

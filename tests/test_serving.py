@@ -320,6 +320,23 @@ def test_serving_pipeline_mesh_backend(tmp_path):
     dev = pipeline.device_stats()
     assert dev == {"dispatches": 1, "rows_live": 5, "rows_padded": 3,
                    "row_occupancy": 0.625}
+
+    # inpainting through the sharded backend: committed residues survive,
+    # temp-0 deterministic across calls
+    inp = pipeline.inpaint([{"prompt": "zinc finger domain",
+                             "sequence": "MK??ACDE??", "num_replicas": 2}])
+    assert len(inp[0]["sequences"]) == 2
+    inp2 = pipeline.inpaint([{"prompt": "zinc finger domain",
+                              "sequence": "MK??ACDE??", "num_replicas": 2}])
+    assert inp[0]["sequences"] == inp2[0]["sequences"]
+
+    def is_subseq(needle, hay):
+        it = iter(hay)
+        return all(c in it for c in needle)
+
+    for s in inp[0]["sequences"]:
+        assert "?" not in s
+        assert is_subseq("MKACDE", s), s
     # temp-0 replicas of one prompt collapse under path ordering only if
     # paths coincide — instead check determinism across identical calls
     out2 = _tiny_pipeline(

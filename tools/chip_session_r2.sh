@@ -59,3 +59,9 @@ timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
 timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
     --requests 2 --endpoint inpaint --sampler maskgit --maskgit-steps 16 \
     > /tmp/chip_r2/serving_inpaint_maskgit.log 2>&1
+
+# 5c. Inpainting restoration certification at full training strength
+#     (copy task: restore_acc must be ~1.0 at temp 0 for all methods)
+timeout 4200 python tools/certify_inpaint.py --steps 2000 --batch 64 \
+    --fracs 0.5 0.25 0.05 --temps 0.0 1.0 --maskgit-steps 16 \
+    > /tmp/chip_r2/certify_inpaint.log 2>&1
