@@ -48,6 +48,14 @@ def parse_arguments():
                    help="maskgit = parallel iterative re-masking "
                         "(--maskgit_steps forwards instead of L)")
     p.add_argument("--maskgit_steps", type=int, default=16)
+    p.add_argument("--inpaint_sequence", type=str, default=None,
+                   help="partial design: fill each --inpaint_unknown "
+                        "character conditioned on the prompt, preserving "
+                        "the committed residues and length (instead of "
+                        "free generation)")
+    p.add_argument("--inpaint_unknown", type=str, default="?",
+                   help="single character marking unknowns in "
+                        "--inpaint_sequence")
     return p.parse_args()
 
 
@@ -81,9 +89,29 @@ def main() -> None:
         decode_order=args.decode_order,
         sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )
-    sequences = s3.generate_sequences(
-        z_c, num_replicas=args.num_replicas, seed=args.seed
-    )
+    if args.inpaint_sequence is not None:
+        import jax
+
+        L = s3.config.max_seq_len
+        n_rep = args.num_replicas or s3.stage_config.int("num_replicas", 5)
+        masked = np.stack([
+            s3.vocab.encode_partial(args.inpaint_sequence, L,
+                                    args.inpaint_unknown)
+        ] * n_rep)
+        sequences = {f"replica_{k}": [] for k in range(n_rep)}
+        for i, z in enumerate(np.atleast_2d(z_c)):
+            ids = s3.inpaint_batch(
+                masked, np.tile(z[None, :], (n_rep, 1)),
+                jax.random.key(args.seed + i),
+            )
+            for k in range(n_rep):
+                sequences[f"replica_{k}"].append(
+                    s3.vocab.clean_sequence(s3.vocab.decode_ids(ids[k]))
+                )
+    else:
+        sequences = s3.generate_sequences(
+            z_c, num_replicas=args.num_replicas, seed=args.seed
+        )
 
     result = {"prompts": prompts, "z_t": z_t, "z_c": z_c, "sequences": sequences}
     save_torch_file(result, args.output_path)

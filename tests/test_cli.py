@@ -332,6 +332,37 @@ def test_e2e_cli_fast_mode(tmp_path):
             assert "<START>" not in s and "<PAD>" not in s
 
 
+@pytest.mark.slow  # subprocess startup; the inpaint path itself is
+# default-covered in-process (test_serving.py, test_inpainting.py) — this
+# drives the CLI flag wiring
+def test_e2e_cli_inpaint_mode(tmp_path):
+    import torch
+
+    stage_flags = build_tiny_stage_files(tmp_path)
+    (tmp_path / "prompts.txt").write_text("zinc finger domain\n")
+    out_path = tmp_path / "e2e_inpaint.pt"
+    r = run_cli(
+        "biom3_tpu.cli.run_e2e",
+        *[a for kv in stage_flags.items() for a in kv],
+        "--prompts", str(tmp_path / "prompts.txt"),
+        "--output_path", str(out_path),
+        "--inpaint_sequence", "MK??ACDE??",
+        "--num_replicas", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    saved = torch.load(out_path, weights_only=False)
+    assert set(saved["sequences"]) == {"replica_0", "replica_1"}
+
+    def is_subseq(needle, hay):
+        it = iter(hay)
+        return all(c in it for c in needle)
+
+    for seqs in saved["sequences"].values():
+        assert len(seqs) == 1
+        assert "?" not in seqs[0]
+        assert is_subseq("MKACDE", seqs[0]), seqs[0]
+
+
 @pytest.mark.slow  # 17 s (two subprocess runs); the Stage-3 CLI surface
 # stays default via test_proteoscribe_cli, and temp-0 determinism of the
 # sampler itself is covered default in
