@@ -326,11 +326,28 @@ class BioM3Server:
                             server.pipeline.rows_per_dispatch,
                     })
                 elif self.path == "/v1/metrics":
+                    from biom3_tpu.utils.profiling import (
+                        device_memory_stats,
+                        host_memory_mb,
+                    )
+
                     self._reply(200, {
                         "generate": server._gen_batcher.stats.as_dict(),
                         "inpaint": server._inpaint_batcher.stats.as_dict(),
                         "embed": server._embed_batcher.stats.as_dict(),
                         "device": server.pipeline.device_stats(),
+                        # operator memory view (the reference's pynvml/
+                        # psutil probes, SURVEY.md component 7, as live
+                        # serving telemetry): HBM MB + host RSS MB
+                        "memory": {
+                            "hbm_mb": {
+                                k: round(v, 1)
+                                for k, v in device_memory_stats().items()
+                                if k in ("bytes_in_use", "peak_bytes_in_use",
+                                         "bytes_limit")
+                            },
+                            "host_rss_mb": round(host_memory_mb(), 1),
+                        },
                     })
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})

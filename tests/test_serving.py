@@ -249,6 +249,8 @@ def test_http_server_end_to_end(tmp_path):
         assert metrics["embed"]["requests"] == 1
         assert metrics["inpaint"]["requests"] == 1
         assert metrics["inpaint"]["errors"] == 0
+        assert metrics["memory"]["host_rss_mb"] > 0
+        assert isinstance(metrics["memory"]["hbm_mb"], dict)
         dev = metrics["device"]  # row-level packing counters
         assert dev["rows_live"] == 2 * 2 + 2 + 1 + 2  # a+b+c + inpaint rows
         assert dev["dispatches"] >= 3  # 9 rows at 4/dispatch
