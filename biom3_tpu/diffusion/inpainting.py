@@ -74,6 +74,8 @@ def make_inpainter(
     chunk_steps: int | None = None,
     order: str = "path",
     early_exit: bool = False,
+    top_k: int | None = None,
+    top_p: float | None = None,
 ) -> Callable:
     """Compiled resume-from-t denoiser: finishes a corrupted sample's
     trajectory position by position (the reference's predict_next_index loop,
@@ -105,6 +107,15 @@ def make_inpainter(
     if order not in ("path", "confidence"):
         raise ValueError(f"order must be 'path' or 'confidence', got {order!r}")
 
+    from biom3_tpu.diffusion.sampler import apply_logit_filters
+
+    def filt(lg):
+        # same top-k/nucleus knobs as make_sampler, so an engine's
+        # configured filters apply to inpainting fills too
+        if top_k is not None or top_p is not None:
+            return apply_logit_filters(lg, top_k=top_k, top_p=top_p)
+        return lg
+
     def step(params, z_c, path, t0, carry, t):
         x, key = carry
         key, sub = jax.random.split(key)
@@ -119,6 +130,7 @@ def make_inpainter(
             ).astype(jnp.float32)                       # (B, 1, C)
         else:
             logits = apply_fn(params, x, tb, z_c).astype(jnp.float32)
+        logits = filt(logits)
         if temperature == 0.0:
             sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
@@ -151,7 +163,9 @@ def make_inpainter(
         conf = jnp.max(jax.nn.log_softmax(full, axis=-1), axis=-1)
         conf = jnp.where(filled, -jnp.inf, conf)
         pos = jnp.argmax(conf, axis=1).astype(jnp.int32)  # (B,)
-        lg = jnp.take_along_axis(full, pos[:, None, None], axis=1)[:, 0]
+        lg = filt(
+            jnp.take_along_axis(full, pos[:, None, None], axis=1)[:, 0]
+        )
         if temperature == 0.0:
             smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         else:

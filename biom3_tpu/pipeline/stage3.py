@@ -165,6 +165,7 @@ class ProteoScribeEngine:
         self._chunk_steps_arg = chunk_steps
         self._quant = (ff_quant, proj_quant)
         self._inpainter = None
+        self._mesh_params_cache: dict[int, object] = {}
         if sampler_mode == "maskgit":
             self.sampler = make_maskgit_sampler(
                 apply_fn, self.config.max_seq_len, steps=maskgit_steps,
@@ -213,7 +214,7 @@ class ProteoScribeEngine:
                 apply_takes_positions=True, **self._sampler_cfg,
             )
         data = NamedSharding(mesh, P(("dp", "fsdp"), None))
-        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        params = self._replicated_params(mesh)
         shards = mesh.shape["dp"] * mesh.shape["fsdp"]
 
         def sample_rows(z_c: np.ndarray, key: jax.Array) -> np.ndarray:
@@ -229,6 +230,19 @@ class ProteoScribeEngine:
 
         return sample_rows
 
+    def _replicated_params(self, mesh):
+        """Params replicated over ``mesh``, cached per mesh — the sharded
+        sampler and inpainter share ONE copy instead of each device_put
+        doubling the replicated HBM footprint."""
+        key = id(mesh)
+        if key not in self._mesh_params_cache:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._mesh_params_cache[key] = jax.device_put(
+                self.params, NamedSharding(mesh, P())
+            )
+        return self._mesh_params_cache[key]
+
     def make_sharded_inpainter(self, mesh, *, interpret: bool = False):
         """Multi-chip inpainting backend, mirroring ``make_sharded_sampler``:
         the whole-stack kernel under ``shard_map`` over the mesh's (dp,
@@ -236,13 +250,26 @@ class ProteoScribeEngine:
         maskgit mode, the parallel sampler resuming from the partial
         sequence).  Returns ``inpaint_rows(masked (B, L), z_c (B, C), key)
         → (B, L)`` with ``inpaint_batch`` semantics; B must be a multiple
-        of dp·fsdp."""
+        of dp·fsdp.
+
+        Inpainting needs the full logit grid (gather_k = L); when the
+        config's plan rejects that wider gather the single-device
+        ``inpaint_batch`` path (with its own Flax fallback) is returned
+        instead of failing — the mesh keeps serving ``generate`` sharded
+        and inpaint degrades to one device."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from biom3_tpu.diffusion.inpainting import make_inpainter
-        from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+        from biom3_tpu.models.fused_forward import (
+            make_sharded_stack_apply,
+            plan_stack_kernel,
+        )
 
         L = self.config.max_seq_len
+        if not interpret and not plan_stack_kernel(
+            self.config, gather_k=L
+        )["supported"]:
+            return self.inpaint_batch
         apply_fn = make_sharded_stack_apply(
             self.config, mesh, gelu=self.gelu, interpret=interpret,
             dtype=jnp.float32 if interpret else jnp.bfloat16,
@@ -268,6 +295,8 @@ class ProteoScribeEngine:
                 apply_fn, L, temperature=temperature,
                 apply_takes_positions=True, chunk_steps=chunk,
                 order="confidence", early_exit=chunk is not None,
+                top_k=self._sampler_cfg["top_k"],
+                top_p=self._sampler_cfg["top_p"],
             )
             run = lambda params, masked, zc, key: inpaint(
                 params, masked, zc,
@@ -275,7 +304,7 @@ class ProteoScribeEngine:
                 jnp.zeros((masked.shape[0],), jnp.int32), key,
             )
         data = NamedSharding(mesh, P(("dp", "fsdp"), None))
-        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        params = self._replicated_params(mesh)
         shards = mesh.shape["dp"] * mesh.shape["fsdp"]
 
         def inpaint_rows(masked_ids: np.ndarray, z_c: np.ndarray,
@@ -333,6 +362,8 @@ class ProteoScribeEngine:
             chunk_steps=chunk,
             order="confidence",
             early_exit=chunk is not None,
+            top_k=self._sampler_cfg["top_k"],
+            top_p=self._sampler_cfg["top_p"],
         )
         return self._inpainter
 

@@ -82,12 +82,14 @@ class ServingPipeline:
             self._sample_rows = stage3_engine.make_sharded_sampler(
                 mesh, interpret=interpret
             )
-            self._inpaint_rows = stage3_engine.make_sharded_inpainter(
-                mesh, interpret=interpret
-            )
         else:
             self._sample_rows = stage3_engine.sample_batch
-            self._inpaint_rows = stage3_engine.inpaint_batch
+        # the inpaint backend builds lazily on first use (only the inpaint
+        # batcher's single dispatcher thread touches it, so no lock): a
+        # deployment that never inpaints pays nothing for it
+        self._mesh = mesh
+        self._interpret = interpret
+        self._inpaint_rows = None
         self.rows_per_dispatch = rows_per_dispatch
         self.default_replicas = default_replicas
         self.max_replicas = max_replicas
@@ -206,11 +208,22 @@ class ServingPipeline:
         inpaint_batch``, or its shard_map twin under a mesh) — rows pack
         exactly like ``generate``.
         """
+        if self._inpaint_rows is None:
+            if self._mesh is not None:
+                self._inpaint_rows = self.s3.make_sharded_inpainter(
+                    self._mesh, interpret=self._interpret
+                )
+            else:
+                self._inpaint_rows = self.s3.inpaint_batch
         prompts = [r["prompt"] for r in requests]
         z_t, z_c = self.embed(prompts)
         L = self.s3.config.max_seq_len
         masked = np.stack([
-            self.s3.vocab.encode_partial(
+            # the HTTP handler pre-encodes for validation and forwards the
+            # row as "masked_ids"; encode here only for direct library use
+            np.asarray(r["masked_ids"], np.int32)
+            if r.get("masked_ids") is not None
+            else self.s3.vocab.encode_partial(
                 r["sequence"], L, r.get("unknown") or "?"
             )
             for r in requests
@@ -455,10 +468,11 @@ class BioM3Server:
                 ok, n_rep, seed = self._rep_seed(req)
                 if not ok:
                     return
-                # pre-validate the encode on the handler thread: a bad
-                # sequence must 400 here, not poison a co-batched dispatch
+                # encode on the handler thread: a bad sequence must 400
+                # here, not poison a co-batched dispatch — and the encoded
+                # row rides the payload so the batcher doesn't redo it
                 try:
-                    server.pipeline.s3.vocab.encode_partial(
+                    masked_ids = server.pipeline.s3.vocab.encode_partial(
                         sequence,
                         server.pipeline.s3.config.max_seq_len,
                         unknown or "?",
@@ -470,6 +484,7 @@ class BioM3Server:
                     "prompt": prompt, "sequence": sequence,
                     "num_replicas": n_rep, "seed": seed,
                     "unknown": unknown or "?",
+                    "masked_ids": masked_ids,
                 })
                 result = fut.result(timeout=server.request_timeout_s)
                 self._reply(200, {"results": [result]})

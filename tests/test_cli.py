@@ -14,6 +14,13 @@ import pytest
 REPO = pathlib.Path(__file__).parent.parent
 
 
+def is_subsequence(needle: str, hay: str) -> bool:
+    """Committed residues survive inpainting in order (filled positions may
+    decode to stripped marker tokens, so exact offsets aren't stable)."""
+    it = iter(hay)
+    return all(c in it for c in needle)
+
+
 def run_cli(module: str, *args: str):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -352,15 +359,10 @@ def test_e2e_cli_inpaint_mode(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     saved = torch.load(out_path, weights_only=False)
     assert set(saved["sequences"]) == {"replica_0", "replica_1"}
-
-    def is_subseq(needle, hay):
-        it = iter(hay)
-        return all(c in it for c in needle)
-
     for seqs in saved["sequences"].values():
         assert len(seqs) == 1
         assert "?" not in seqs[0]
-        assert is_subseq("MKACDE", seqs[0]), seqs[0]
+        assert is_subsequence("MKACDE", seqs[0]), seqs[0]
 
 
 @pytest.mark.slow  # 17 s (two subprocess runs); the Stage-3 CLI surface

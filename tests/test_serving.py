@@ -223,9 +223,7 @@ def test_http_server_end_to_end(tmp_path):
         })
         filled = inp["results"][0]["sequences"]
         assert len(filled) == 2
-        def is_subsequence(needle: str, hay: str) -> bool:
-            it = iter(hay)
-            return all(c in it for c in needle)
+        from test_cli import is_subsequence
 
         for seq in filled:
             assert isinstance(seq, str)
@@ -332,13 +330,11 @@ def test_serving_pipeline_mesh_backend(tmp_path):
                               "sequence": "MK??ACDE??", "num_replicas": 2}])
     assert inp[0]["sequences"] == inp2[0]["sequences"]
 
-    def is_subseq(needle, hay):
-        it = iter(hay)
-        return all(c in it for c in needle)
+    from test_cli import is_subsequence
 
     for s in inp[0]["sequences"]:
         assert "?" not in s
-        assert is_subseq("MKACDE", s), s
+        assert is_subsequence("MKACDE", s), s
     # temp-0 replicas of one prompt collapse under path ordering only if
     # paths coincide — instead check determinism across identical calls
     out2 = _tiny_pipeline(

@@ -130,7 +130,8 @@ def main():
 
     print("\nSummary (coherence mean over", B, "samples):")
     temps = sorted({r["temp"] for r in results}, reverse=True)
-    ks = sorted({r["k"] for r in results})
+    # maskgit rows carry k=None and live outside the per-order tables
+    ks = sorted({r["k"] for r in results if r["k"] is not None})
     for order in args.orders:
         print(f"\norder={order}")
         header = "| temp | " + " | ".join(f"k={k}" for k in ks) + " |"
