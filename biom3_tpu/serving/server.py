@@ -34,6 +34,9 @@ Endpoints (stdlib ``http.server``; JSON in/out):
     ``unknown`` character (default ``"?"``) filled, conditioned on the
     prompt; known residues and length are preserved.
   * ``POST /v1/embed`` ``{"prompts": [str]}`` → z_t, z_c.
+  * ``POST /v1/profile`` ``{"seconds": float, "log_dir": str?}`` →
+    captures a ``jax.profiler`` trace of whatever the daemon dispatches
+    during that window (view in TensorBoard/XProf); one at a time.
   * ``GET /healthz`` → liveness + device platform.
   * ``GET /v1/metrics`` → batcher counters (occupancy, latency).
 """
@@ -280,6 +283,8 @@ class BioM3Server:
             max_wait_s=max_wait_s,
             name="inpaint-batcher",
         )
+        # jax.profiler trace capture is process-global: one window at a time
+        self._profile_lock = threading.Lock()
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.host, self.port = self.httpd.server_address[:2]
@@ -385,6 +390,8 @@ class BioM3Server:
                         self._inpaint(req)
                     elif self.path == "/v1/embed":
                         self._embed(req)
+                    elif self.path == "/v1/profile":
+                        self._profile(req)
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as exc:  # noqa: BLE001 — HTTP boundary
@@ -488,6 +495,41 @@ class BioM3Server:
                 })
                 result = fut.result(timeout=server.request_timeout_s)
                 self._reply(200, {"results": [result]})
+
+            def _profile(self, req: dict) -> None:
+                """Trace the daemon's device activity for a bounded window
+                (the serving twin of ``utils/profiling.profile_trace``)."""
+                seconds = req.get("seconds", 5)
+                if (not isinstance(seconds, (int, float))
+                        or isinstance(seconds, bool)
+                        or not 0 < seconds <= 60):
+                    self._reply(400, {"error": "seconds must be a number "
+                                               "in (0, 60]"})
+                    return
+                log_dir = req.get("log_dir")
+                if log_dir is not None and not isinstance(log_dir, str):
+                    self._reply(400, {"error": "log_dir must be a string"})
+                    return
+                if not server._profile_lock.acquire(blocking=False):
+                    self._reply(409, {"error": "a profile capture is "
+                                               "already running"})
+                    return
+                try:
+                    import tempfile
+                    import time as _time
+
+                    import jax.profiler
+
+                    log_dir = log_dir or tempfile.mkdtemp(
+                        prefix="biom3_profile_"
+                    )
+                    jax.profiler.start_trace(log_dir)
+                    _time.sleep(float(seconds))
+                    jax.profiler.stop_trace()
+                finally:
+                    server._profile_lock.release()
+                self._reply(200, {"log_dir": log_dir,
+                                  "seconds": float(seconds)})
 
             def _embed(self, req: dict) -> None:
                 prompts = req.get("prompts")

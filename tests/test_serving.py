@@ -254,8 +254,26 @@ def test_http_server_end_to_end(tmp_path):
         assert dev["dispatches"] >= 3  # 9 rows at 4/dispatch
         assert 0 < dev["row_occupancy"] <= 1.0
 
+        # profile capture: a short trace window produces a log dir; only
+        # one capture at a time (process-global jax profiler)
+        import os
+
+        prof = _post(f"{base}/v1/profile", {"seconds": 0.2})
+        assert prof["log_dir"] and os.path.isdir(prof["log_dir"])
+        server._profile_lock.acquire()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                _post(f"{base}/v1/profile", {"seconds": 0.2})
+            assert exc_info.value.code == 409
+        finally:
+            server._profile_lock.release()
+
         # bad requests → 400, unknown route → 404
         for path, payload, code in (
+            ("/v1/profile", {"seconds": 0}, 400),
+            ("/v1/profile", {"seconds": "x"}, 400),
+            ("/v1/profile", {"seconds": 2, "log_dir": 5}, 400),
+            ("/v1/profile", {"seconds": True}, 400),
             ("/v1/generate", {}, 400),
             ("/v1/generate", {"prompt": "  "}, 400),
             ("/v1/generate", {"prompt": "x", "num_replicas": 0}, 400),
