@@ -402,6 +402,56 @@ def test_seeded_inpaint_reproduces(tmp_path):
     assert c[0]["sequences"] != a[0]["sequences"]
 
 
+@pytest.mark.slow  # ~1 min: the e2e test covers each endpoint; this one
+# drives all three endpoint types CONCURRENTLY (three batcher dispatch
+# threads interleaving on the pipeline device lock)
+def test_mixed_endpoint_concurrency(tmp_path):
+    from biom3_tpu.serving import BioM3Server
+
+    pipeline = _tiny_pipeline(tmp_path)
+    server = BioM3Server(pipeline, port=0, max_wait_s=0.02)
+    server.start()
+    base = f"http://{server.host}:{server.port}"
+    results: dict = {}
+
+    def client(name, path, payload):
+        results[name] = _post(f"{base}{path}", payload)
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(f"g{i}", "/v1/generate",
+                             {"prompt": f"transport protein {i}",
+                              "num_replicas": 1}))
+            for i in range(2)
+        ] + [
+            threading.Thread(target=client, args=(f"e{i}", "/v1/embed",
+                             {"prompts": [f"kinase {i}"]}))
+            for i in range(2)
+        ] + [
+            threading.Thread(target=client, args=(f"i{i}", "/v1/inpaint",
+                             {"prompt": f"zinc finger {i}",
+                              "sequence": "MK??ACDE??",
+                              "num_replicas": 1}))
+            for i in range(2)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert set(results) == {"g0", "g1", "e0", "e1", "i0", "i1"}
+        for i in range(2):
+            assert len(results[f"g{i}"]["results"][0]["sequences"]) == 1
+            assert len(results[f"e{i}"]["results"][0]["z_c"]) == 8
+            seq = results[f"i{i}"]["results"][0]["sequences"][0]
+            assert "?" not in seq
+        metrics = _get(f"{base}/v1/metrics")
+        for kind in ("generate", "embed", "inpaint"):
+            assert metrics[kind]["errors"] == 0, (kind, metrics[kind])
+            assert metrics[kind]["requests"] == 2, (kind, metrics[kind])
+    finally:
+        server.close()
+
+
 def test_load_tool_against_inprocess_server(tmp_path):
     import sys
 
