@@ -66,10 +66,14 @@ def main():
                          "sampler at these step counts (L tokens in S "
                          "forwards; rows labeled order='maskgit-S')")
     ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--state-path", default=None,
+                    help="pickle of trained params: load if present, save "
+                         "after training otherwise (share one training run "
+                         "across the certification tools)")
     args = ap.parse_args()
 
     cfg, model, state = build_and_train(
-        args.steps, args.batch, args.seq_len
+        args.steps, args.batch, args.seq_len, state_path=args.state_path
     )
 
     B = args.sample_batch

@@ -71,9 +71,15 @@ def main():
     ap.add_argument("--temps", type=float, nargs="*", default=[0.0, 1.0])
     ap.add_argument("--maskgit-steps", type=int, nargs="*", default=[16])
     ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--state-path", default=None,
+                    help="pickle of trained params: load if present, save "
+                         "after training otherwise (share one training run "
+                         "across the certification tools)")
     args = ap.parse_args()
 
-    cfg, model, state = build_and_train(args.steps, args.batch, args.seq_len)
+    cfg, model, state = build_and_train(
+        args.steps, args.batch, args.seq_len, state_path=args.state_path
+    )
     L = cfg.max_seq_len
     B = args.sample_batch
     real, z_c, cls = make_batch(np.random.default_rng(7), B, L, cfg.cond_dim)
@@ -90,18 +96,33 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # build each (temp, order/method) executable ONCE — revealed fraction
+    # only changes inputs, so every frac reuses the same compiled fn
+    methods = {}
+    for temp in args.temps:
+        for order in ("confidence", "path"):
+            methods[(f"inpaint-{order}", temp)] = make_inpainter(
+                model.apply, L, temperature=temp, order=order,
+            )
+        for S in args.maskgit_steps:
+            methods[(f"maskgit-{S}", temp)] = make_maskgit_sampler(
+                model.apply, L, steps=S, temperature=temp,
+            )
+
     for frac in args.fracs:
         masked, path, t = corrupt_samples(jax.random.key(3), real, frac, L)
         for temp in args.temps:
-            for order in ("confidence", "path"):
-                inpaint = make_inpainter(
-                    model.apply, L, temperature=temp, order=order,
-                )
+            for (name, mtemp), fn in methods.items():
+                if mtemp != temp:
+                    continue
                 t0 = time.time()
-                out = inpaint(state.params, masked, z_c, path, t,
-                              jax.random.key(5))
-                out = np.asarray(out)
-                record(f"inpaint-{order}", frac, temp, out, masked,
+                if name.startswith("maskgit"):
+                    out = fn(state.params, z_c, None, jax.random.key(5),
+                             x0=masked)
+                else:
+                    out = fn(state.params, masked, z_c, path, t,
+                             jax.random.key(5))
+                record(name, frac, temp, np.asarray(out), masked,
                        time.time() - t0)
 
             t0 = time.time()
@@ -111,16 +132,6 @@ def main():
             )
             record("autocomplete", frac, temp, np.asarray(out), masked,
                    time.time() - t0)
-
-            for S in args.maskgit_steps:
-                sampler = make_maskgit_sampler(
-                    model.apply, L, steps=S, temperature=temp,
-                )
-                t0 = time.time()
-                out = sampler(state.params, z_c, None, jax.random.key(5),
-                              x0=masked)
-                record(f"maskgit-{S}", frac, temp, np.asarray(out), masked,
-                       time.time() - t0)
 
     print("\nSummary (restore_acc):")
     methods = sorted({r["method"] for r in results})

@@ -64,11 +64,18 @@ def coherence_stats(seqs: np.ndarray, cls: np.ndarray):
 
 
 def build_and_train(steps: int, batch: int, seq_len: int, *,
-                    chunk: int = 100, seed: int = 0):
+                    chunk: int = 100, seed: int = 0,
+                    state_path: str | None = None):
     """Train the toy ProteoScribe on the copy task; returns (cfg, model,
     state).  Scanned trainer: data pre-generated on host, steps chunked per
     dispatch (the tunnel adds ~0.2 s/dispatch; a python-loop trainer would
-    spend 13 min dispatching 4 s of compute)."""
+    spend 13 min dispatching 4 s of compute).
+
+    ``state_path``: pickle of the trained params — loaded instead of
+    training when it exists, written after training otherwise, so the
+    certification tools (certify_blocked / certify_inpaint) share ONE
+    training run per session instead of each re-training the same model
+    on the same task."""
     cfg = ProteoScribeConfig(
         num_classes=29, dim=128, depth=4, n_blocks=1, heads=8, local_heads=4,
         local_window=min(64, seq_len // 2), max_seq_len=seq_len,
@@ -81,6 +88,23 @@ def build_and_train(steps: int, batch: int, seq_len: int, *,
     )
     tx = make_optimizer("AdamW", 1e-3, weight_decay=1e-6)
     state = TrainState.create(params, tx)
+    if state_path:
+        import os
+        import pickle
+
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as f:
+                loaded = pickle.load(f)
+            if loaded["key"] != (steps, batch, seq_len, seed):
+                raise ValueError(
+                    f"saved state {state_path} was trained with "
+                    f"{loaded['key']}, requested {(steps, batch, seq_len, seed)}"
+                )
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, loaded["params"])
+            )
+            print(f"loaded trained params from {state_path}", flush=True)
+            return cfg, model, state
     step = jax.jit(make_stage3_train_step(model.apply, tx))
 
     rng = np.random.default_rng(seed)
@@ -113,4 +137,15 @@ def build_and_train(steps: int, batch: int, seq_len: int, *,
               f"loss {float(loss):.4f}", flush=True)
     print(f"trained {n_chunks * chunk} steps in {time.time()-t0:.0f}s",
           flush=True)
+    if state_path:
+        import pickle
+
+        with open(state_path, "wb") as f:
+            pickle.dump({
+                "key": (steps, batch, seq_len, seed),
+                "params": jax.tree.map(
+                    lambda a: np.asarray(a), state.params
+                ),
+            }, f)
+        print(f"saved trained params to {state_path}", flush=True)
     return cfg, model, state

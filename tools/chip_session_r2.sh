@@ -38,7 +38,8 @@ timeout 5400 python bench.py > /tmp/chip_r2/bench.log 2>&1
 #     recorded PARITY.md blocked-decoding table)
 timeout 4200 python tools/certify_blocked.py --steps 2000 --batch 64 \
     --ks 1 8 --temps 1.0 0.5 0.0 --orders path confidence \
-    --maskgit-steps 8 16 32 > /tmp/chip_r2/certify_order.log 2>&1
+    --maskgit-steps 8 16 32 --state-path /tmp/chip_r2/toy_state.pkl \
+    > /tmp/chip_r2/certify_order.log 2>&1
 
 # 6. Serving daemon on-chip: HTTP round-trip throughput via the real
 #    batcher (exact mode, then blocked+confidence fast mode)
@@ -64,4 +65,5 @@ timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
 #     (copy task: restore_acc must be ~1.0 at temp 0 for all methods)
 timeout 4200 python tools/certify_inpaint.py --steps 2000 --batch 64 \
     --fracs 0.5 0.25 0.05 --temps 0.0 1.0 --maskgit-steps 16 \
+    --state-path /tmp/chip_r2/toy_state.pkl \
     > /tmp/chip_r2/certify_inpaint.log 2>&1
