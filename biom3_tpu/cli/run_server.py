@@ -54,6 +54,10 @@ def parse_arguments():
                         "(multi-chip serving; rows_per_dispatch must be a "
                         "multiple of mesh_dp*mesh_fsdp)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every serving executable (embed, generate, "
+                        "inpaint) with dummy dispatches before accepting "
+                        "traffic — first clients skip the compile wait")
     return p.parse_args()
 
 
@@ -88,6 +92,10 @@ def main() -> None:
         seed=args.seed,
         mesh=mesh,
     )
+    if args.warmup:
+        print("warming up (compiling serving executables)...", flush=True)
+        times = pipeline.warmup()
+        print(f"warmup done: {times}", flush=True)
     server = BioM3Server(
         pipeline, host=args.host, port=args.port,
         max_wait_s=args.max_wait_ms / 1000.0,

@@ -198,6 +198,48 @@ class ServingPipeline:
             requests, lambda idx, key: self._sample_rows(z_c[idx], key)
         )
 
+    def _get_inpaint_rows(self):
+        if self._inpaint_rows is None:
+            if self._mesh is not None:
+                self._inpaint_rows = self.s3.make_sharded_inpainter(
+                    self._mesh, interpret=self._interpret
+                )
+            else:
+                self._inpaint_rows = self.s3.inpaint_batch
+        return self._inpaint_rows
+
+    def warmup(self, *, include_inpaint: bool = True) -> dict:
+        """Compile every serving executable with one padded dummy dispatch
+        per endpoint BEFORE accepting traffic — otherwise the first
+        client's latency includes the sampler's compile (minutes through
+        some runtimes).  Returns per-executable wall-clock (dominated by
+        compiles; steady-state dispatches are orders faster)."""
+        import time
+
+        times = {}
+        t0 = time.time()
+        _, z_c = self.embed(["warmup prompt"])
+        times["embed_s"] = round(time.time() - t0, 1)
+        zpad = np.repeat(
+            np.asarray(z_c[:1], np.float32), self.rows_per_dispatch, axis=0
+        )
+        t0 = time.time()
+        with self._device_lock:
+            self._sample_rows(zpad, self._next_key())
+        times["generate_s"] = round(time.time() - t0, 1)
+        if include_inpaint:
+            L = self.s3.config.max_seq_len
+            masked = np.repeat(
+                self.s3.vocab.encode_partial("?", L)[None, :],
+                self.rows_per_dispatch, axis=0,
+            )
+            inpaint_rows = self._get_inpaint_rows()
+            t0 = time.time()
+            with self._device_lock:
+                inpaint_rows(masked, zpad, self._next_key())
+            times["inpaint_s"] = round(time.time() - t0, 1)
+        return times
+
     def inpaint(self, requests: list[dict]) -> list[dict]:
         """Fill user-masked residues conditioned on the text prompt.
 
@@ -211,13 +253,7 @@ class ServingPipeline:
         inpaint_batch``, or its shard_map twin under a mesh) — rows pack
         exactly like ``generate``.
         """
-        if self._inpaint_rows is None:
-            if self._mesh is not None:
-                self._inpaint_rows = self.s3.make_sharded_inpainter(
-                    self._mesh, interpret=self._interpret
-                )
-            else:
-                self._inpaint_rows = self.s3.inpaint_batch
+        inpaint_rows = self._get_inpaint_rows()
         prompts = [r["prompt"] for r in requests]
         z_t, z_c = self.embed(prompts)
         L = self.s3.config.max_seq_len
@@ -233,7 +269,7 @@ class ServingPipeline:
         ])
         return self._run_rows_packed(
             requests,
-            lambda idx, key: self._inpaint_rows(masked[idx], z_c[idx], key),
+            lambda idx, key: inpaint_rows(masked[idx], z_c[idx], key),
         )
 
     def device_stats(self) -> dict:

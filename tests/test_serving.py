@@ -388,6 +388,24 @@ def test_seeded_requests_reproduce(tmp_path):
     assert c[0]["sequences"] != a[0]["sequences"]  # different seed
 
 
+def test_pipeline_warmup_compiles_all_executables(tmp_path):
+    """warmup() runs one padded dispatch per endpoint; later requests reuse
+    the executables (dispatch counters prove the warmup dispatches ran)."""
+    pipeline = _tiny_pipeline(tmp_path)
+    times = pipeline.warmup()
+    assert set(times) == {"embed_s", "generate_s", "inpaint_s"}
+    assert all(t >= 0 for t in times.values())
+    # warmup dispatches bypass the packing counters (they'd skew the
+    # live-traffic occupancy an operator reads off /v1/metrics)
+    assert pipeline.device_stats()["dispatches"] == 0
+    out = pipeline.generate([{"prompt": "membrane protein",
+                              "num_replicas": 1}])
+    assert len(out[0]["sequences"]) == 1
+    inp = pipeline.inpaint([{"prompt": "kinase", "sequence": "MK??"}])
+    assert all("?" not in s for s in inp[0]["sequences"])
+    assert pipeline.device_stats()["dispatches"] == 2
+
+
 def test_seeded_inpaint_reproduces(tmp_path):
     """Seeded inpainting dispatches alone and reproduces bit-exactly;
     committed ids survive at the engine level."""
