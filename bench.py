@@ -457,7 +457,50 @@ def _with_retries(fn, peak, attempts=2, unit=""):
     return {"value": None, "unit": unit, "tflops": None, "error": err}
 
 
+def _probe_backend(timeout_s: float = 420.0) -> str | None:
+    """Prove the device backend answers — in a SUBPROCESS, because a dead
+    TPU tunnel makes jax.devices() hang ~indefinitely in-process (CLAUDE.md)
+    and a hung bench is worse than an honest failure stub.  Returns the
+    platform string, or None when the backend is unreachable."""
+    import os
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "d = jax.devices()\n"
+        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+        "np.asarray(x @ x)\n"  # a real dispatch must round-trip
+        "print(d[0].platform)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, env=dict(os.environ),
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        print(f"# backend probe failed: {r.stderr[-300:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# backend probe timed out after {timeout_s}s",
+              file=sys.stderr)
+    return None
+
+
 def main() -> None:
+    platform = _probe_backend()
+    if platform is None:
+        # one parseable line, value null — the driver's artifact records a
+        # dead tunnel instead of a hung or absent bench
+        print(json.dumps({
+            "metric": "proteoscribe_seqs_per_sec_per_chip",
+            "value": None,
+            "unit": "seqs/s/chip",
+            "vs_baseline": None,
+            "error": "device backend unreachable (TPU tunnel down; "
+                     "probe dispatch timed out)",
+        }))
+        return
+
     from biom3_tpu.utils.flops import device_peak_flops
 
     label_peak = device_peak_flops()
