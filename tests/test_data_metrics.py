@@ -240,3 +240,32 @@ def test_mask_tokens_801010_mix():
     )
     ch2 = out2 != tokens
     assert (out2[ch2] == 32).all()
+
+
+def test_certify_task_state_roundtrip(tmp_path):
+    """The certification tools share one trained state via a pickle
+    (chip_session_r2.sh trains once, both tools load); a break here would
+    only surface mid-chip-session, so gate it at tiny shapes."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "tools"))
+    import jax
+    import numpy as np
+    from certify_task import build_and_train
+
+    path = str(tmp_path / "toy.pkl")
+    cfg, model, trained = build_and_train(
+        2, 2, 32, chunk=2, state_path=path
+    )
+    cfg2, model2, loaded = build_and_train(
+        2, 2, 32, chunk=2, state_path=path
+    )
+    for a, b in zip(jax.tree.leaves(trained.params),
+                    jax.tree.leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a mismatched training key refuses the stale pickle
+    import pytest
+
+    with pytest.raises(ValueError, match="was trained with"):
+        build_and_train(4, 2, 32, chunk=2, state_path=path)
