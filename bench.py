@@ -333,11 +333,39 @@ def bench_e2e(peak):
     attn_impl = "stack-pallas-resident(tanh-gelu)" if on_tpu else "xla"
 
     pencl = PenCL(p_cfg, dtype=jnp.bfloat16)
-    x_t = jnp.zeros((1, p_cfg.text_max_length), jnp.int32)
-    p_params = _host_init(pencl.init, x_t, jnp.ones((1, 8), jnp.int32))
+    x_t0 = jnp.zeros((1, p_cfg.text_max_length), jnp.int32)
+    p_params = _host_init(pencl.init, x_t0, jnp.ones((1, 8), jnp.int32))
     encode = jax.jit(
         lambda p, x: pencl.apply(p, x, method=PenCL.encode_text)
     )
+
+    # Host wordpiece tokenization IN the timed loop (SURVEY.md §7 hard part
+    # 5; VERDICT r2 #4): self-contained encoder over a PubMedBERT-scale
+    # synthetic vocab (the published vocab.txt is not downloadable here;
+    # greedy-match cost depends on vocab shape, not its words).
+    import tempfile
+
+    from biom3_tpu.tokenizers.synthetic import write_rich_wordpiece
+    from biom3_tpu.tokenizers.wordpiece import WordPieceTokenizer
+
+    vocab_dir = tempfile.mkdtemp(prefix="bench_vocab_")
+    n_vocab = write_rich_wordpiece(
+        vocab_dir, n_pieces=min(30522, p_cfg.bert.vocab_size)
+    )
+    tok = WordPieceTokenizer(vocab_dir, max_length=p_cfg.text_max_length)
+    prompt = (
+        "PROTEIN NAME: Tumor necrosis factor. FUNCTION: Cytokine that binds "
+        "to TNFRSF1A/TNFR1 and TNFRSF1B/TNFBR, and is mainly secreted by "
+        "macrophages; it can induce cell death of certain tumor cell lines, "
+        "is a potent pyrogen causing fever by direct action or by "
+        "stimulation of interleukin-1 secretion, and is implicated in the "
+        "induction of cachexia. SUBCELLULAR LOCATION: cell membrane; "
+        "single-pass type II membrane protein."
+    )
+
+    def encode_prompt(text):
+        ids = tok.batch_encode([text])["input_ids"] % p_cfg.bert.vocab_size
+        return jnp.asarray(ids)
 
     fac = Facilitator(f_cfg)
     f_params = fac.init(jax.random.key(1), jnp.zeros((1, f_cfg.in_dim)))
@@ -368,6 +396,7 @@ def bench_e2e(peak):
     path = sample_permutations(jax.random.key(3), R, s_cfg.max_seq_len)
 
     def pipeline(key, fast=False):
+        x_t = encode_prompt(prompt)  # host tokenize → device transfer
         z_t = encode(p_params, x_t)
         z_c = facilitate(f_params, z_t.astype(jnp.float32))
         z_c = jnp.tile(z_c, (R, 1))
@@ -388,6 +417,15 @@ def bench_e2e(peak):
         np.asarray(pipeline(jax.random.key(10 + i), fast=True))
         fast_times.append(time.perf_counter() - t0)
     p50_fast = float(np.median(fast_times))
+    # host-tokenization throughput: the 1k-prompt sweep's input-side rate
+    # (pipeline/sweep.py feeds z_c downstream of exactly this encode).  If
+    # prompts/s here >> TPU pairs/s, the sweep is provably not input-bound.
+    prompts_1k = [f"{prompt} variant {i} with activity {i % 7}."
+                  for i in range(1000)]
+    t0 = time.perf_counter()
+    tok.batch_encode(prompts_1k)
+    tokenize_1k_s = time.perf_counter() - t0
+
     flops = (
         pencl_pair_forward_flops(p_cfg) * 0.4  # text tower + head only (~40%)
         + proteoscribe_forward_flops(s_cfg, R) * s_cfg.num_timesteps
@@ -405,6 +443,9 @@ def bench_e2e(peak):
             "attn_impl": attn_impl,
             "fast_mode_p50_s": round(p50_fast, 2),
             "fast_mode": "blocked any-order decoding, 8 pos/forward",
+            "host_tokenize_in_loop": True,
+            "wordpiece_vocab_size": n_vocab,
+            "tokenize_prompts_per_s": round(1000 / tokenize_1k_s, 1),
         },
     }
 

@@ -75,8 +75,19 @@ def get_lib():
         lib.stage3_batch_encode.argtypes = lib.esm_batch_encode.argtypes
         lib.stage3_compact_decode.restype = None
         lib.stage3_compact_decode.argtypes = [i32p, ctypes.c_int32, ctypes.c_char_p]
+        lib.wordpiece_create.restype = ctypes.c_void_p
+        lib.wordpiece_create.argtypes = [
+            ctypes.c_char_p, i64p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.wordpiece_destroy.restype = None
+        lib.wordpiece_destroy.argtypes = [ctypes.c_void_p]
+        lib.wordpiece_batch_encode.restype = ctypes.c_int32
+        lib.wordpiece_batch_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, i64p, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p,
+        ]
         lib.biom3_native_abi_version.restype = ctypes.c_int32
-        assert lib.biom3_native_abi_version() == 1
+        assert lib.biom3_native_abi_version() == 2
         _lib = lib
     return _lib
 
@@ -133,6 +144,60 @@ def stage3_batch_encode(sequences: list[str], pad_to: int) -> np.ndarray:
     if rc > 0:
         raise ValueError(f"sequence {rc - 1} contains out-of-vocab characters")
     return out
+
+
+class NativeWordPiece:
+    """C++ twin of ``WordPieceTokenizer``'s ASCII path.
+
+    Built from the Python tokenizer's vocab dict (token → id, ids dense
+    from 0).  ``batch_encode_into`` fills caller buffers for the given
+    row indices; rows must be pure-ASCII (the caller routes non-ASCII
+    rows to the Python twin).  Returns None from ``create`` when the
+    native library (or a special token) is unavailable.
+    """
+
+    def __init__(self, handle, lib):
+        self._handle = handle
+        self._lib = lib
+
+    @classmethod
+    def create(cls, vocab: dict[str, int], do_lower_case: bool):
+        lib = get_lib()
+        if lib is None:
+            return None
+        toks = sorted(vocab, key=vocab.get)
+        if [vocab[t] for t in toks] != list(range(len(toks))):
+            return None  # ids must be dense 0..n-1 (vocab.txt order)
+        data = "".join(toks).encode("utf-8")
+        lens = np.fromiter(
+            (len(t.encode("utf-8")) for t in toks), np.int64, len(toks)
+        )
+        offsets = np.zeros(len(toks) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        handle = lib.wordpiece_create(
+            data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(toks), int(do_lower_case),
+        )
+        return cls(handle, lib) if handle else None
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.wordpiece_destroy(self._handle)
+            self._handle = None
+
+    def batch_encode(self, texts: list[str], max_length: int) -> dict:
+        data, offsets = _pack(texts)
+        ids = np.empty((len(texts), max_length), np.int32)
+        mask = np.empty((len(texts), max_length), np.int32)
+        rc = self._lib.wordpiece_batch_encode(
+            self._handle, data,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(texts), max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        assert rc == 0, rc
+        return {"input_ids": ids, "attention_mask": mask}
 
 
 def stage3_compact_decode(ids: np.ndarray) -> str:
