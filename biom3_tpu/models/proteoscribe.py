@@ -338,6 +338,24 @@ class ProteoScribe(nn.Module):
 
         h = jnp.zeros_like(x_embed)
         if self.scan_layers:
+            import os as _os
+
+            if (not self.remat and jax.default_backend() not in ("cpu",)
+                    and not _os.environ.get("BIOM3_ALLOW_COMPILER_KILLERS")):
+                # KNOWN BACKEND CRASH: the backward graph of a plain
+                # (un-remat'd) layer scan makes the remote TPU compiler
+                # fail with HTTP 500 (BACKLOG.md "Known limitations" #3).
+                # Forward-only callers should use the stack kernels; for
+                # training use scan_layers+remat (CLI --layer-mode
+                # scan_remat) or unrolled.  Minimal repro + retest recipe:
+                # tools/repro_compiler_crashes.py --which scan_bwd.
+                raise ValueError(
+                    "scan_layers=True without remat crashes the TPU "
+                    "compiler on the training backward graph; set "
+                    "remat=True (CLI: --layer-mode scan_remat) or use an "
+                    "unrolled mode.  Re-test per backend upgrade with "
+                    "tools/repro_compiler_crashes.py --which scan_bwd"
+                )
             body = _ScanBody
             if self.remat:
                 body = nn.remat(body, prevent_cse=False)

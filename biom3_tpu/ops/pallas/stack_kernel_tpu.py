@@ -568,6 +568,20 @@ def fused_stack_logits(
     C = head_w.shape[1]
     if B % rows:
         raise ValueError(f"B={B} not divisible by rows={rows}")
+    import os as _os
+
+    if (rows >= 2 and stream == "dl" and not interpret
+            and not _os.environ.get("BIOM3_ALLOW_COMPILER_KILLERS")):
+        # KNOWN BACKEND CRASH: rows>=2 + the d-major residual stream makes
+        # the remote TPU compiler fail with HTTP 500 (observed 2026-08-17,
+        # BACKLOG.md "Known limitations" #1).  Minimal repro + retest
+        # recipe: tools/repro_compiler_crashes.py --which dl_rows2.
+        raise ValueError(
+            "stream='dl' with rows>=2 crashes the TPU compiler "
+            "(remote-compile HTTP 500); use stream='ld' for rows>=2 or "
+            "rows=1 for 'dl'.  Re-test per backend upgrade with "
+            "tools/repro_compiler_crashes.py --which dl_rows2"
+        )
     if local_heads and L % window:
         raise ValueError(f"L={L} not divisible by window={window} "
                          "(the window loop would drop the tail)")

@@ -1,0 +1,116 @@
+"""Minimal repros for the two known TPU-backend compiler crashes.
+
+Both combinations are fenced by loud guards (VERDICT r2 #6); this script
+re-tests them after a backend upgrade by running each minimal case in a
+SUBPROCESS (a compiler crash must not kill the caller) with the guard
+disabled via BIOM3_ALLOW_COMPILER_KILLERS=1.
+
+  1. ``scan_bwd``  — grad of a plain (remat-free) ``nn.scan`` layer stack
+     (ProteoScribe ``scan_layers=True, remat=False``): the backward graph
+     makes the remote TPU compiler fail with HTTP 500 (observed
+     2026-08-17; guard in models/proteoscribe.py).
+  2. ``dl_rows2``  — the whole-stack serving kernel with the d-major
+     residual stream and rows>=2 (``stream="dl", rows=2``): remote-compile
+     HTTP 500 (observed 2026-08-17; guard in ops/pallas/stack_kernel_tpu).
+
+Usage (on the real chip):  python tools/repro_compiler_crashes.py [--which
+scan_bwd|dl_rows2|all] [--timeout 900].  Prints one line per case:
+CRASH (expected today → keep the guard), PASS (backend fixed → lift the
+guard), or TIMEOUT.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCAN_BWD = """
+import jax, jax.numpy as jnp
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.models.proteoscribe import ProteoScribe
+
+cfg = ProteoScribeConfig(
+    num_classes=29, dim=128, depth=4, n_blocks=1, heads=4, local_heads=2,
+    local_window=64, max_seq_len=256, num_timesteps=256, cond_dim=32,
+)
+model = ProteoScribe(cfg, scan_layers=True, remat=False)
+x = jnp.ones((2, cfg.max_seq_len), jnp.int32)
+t = jnp.zeros((2,), jnp.int32)
+z = jnp.zeros((2, cfg.cond_dim), jnp.float32)
+params = model.init(jax.random.key(0), x, t, z)
+
+def loss(p):
+    return model.apply(p, x, t, z).mean()
+
+g = jax.jit(jax.grad(loss))(params)
+import numpy as np
+np.asarray(jax.tree.leaves(g)[0])
+print("REPRO-OK")
+"""
+
+_DL_ROWS2 = """
+import jax, jax.numpy as jnp, numpy as np
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.models.fused_forward import make_stack_apply
+from biom3_tpu.models.proteoscribe import ProteoScribe
+
+cfg = ProteoScribeConfig(
+    num_classes=29, dim=128, depth=2, n_blocks=1, heads=4, local_heads=2,
+    local_window=64, max_seq_len=256, num_timesteps=256, cond_dim=32,
+)
+model = ProteoScribe(cfg)
+params = model.init(
+    jax.random.key(0), jnp.ones((1, cfg.max_seq_len), jnp.int32),
+    jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
+)
+fn = make_stack_apply(cfg, rows=2, stream="dl", resident=True)
+out = fn(params, jnp.ones((2, cfg.max_seq_len), jnp.int32),
+         jnp.zeros((2,), jnp.int32), jnp.zeros((2, cfg.cond_dim)),
+         jnp.zeros((2, 1), jnp.int32))
+np.asarray(out)
+print("REPRO-OK")
+"""
+
+CASES = {"scan_bwd": _SCAN_BWD, "dl_rows2": _DL_ROWS2}
+
+
+def run_case(name: str, timeout: float) -> str:
+    env = dict(os.environ)
+    env["BIOM3_ALLOW_COMPILER_KILLERS"] = "1"
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", CASES[name]], env=env, timeout=timeout,
+            capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return "TIMEOUT"
+    if p.returncode == 0 and "REPRO-OK" in p.stdout:
+        return "PASS"
+    tail = (p.stderr or p.stdout).strip().splitlines()[-3:]
+    return "CRASH: " + " | ".join(tail)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="all",
+                    choices=["all", *CASES])
+    ap.add_argument("--timeout", type=float, default=900.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        print("refusing: these are TPU-backend repros; run on the chip")
+        sys.exit(2)
+    names = list(CASES) if args.which == "all" else [args.which]
+    for name in names:
+        print(f"{name}: {run_case(name, args.timeout)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
