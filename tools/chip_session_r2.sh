@@ -67,3 +67,13 @@ timeout 4200 python tools/certify_inpaint.py --steps 2000 --batch 64 \
     --fracs 0.5 0.25 0.05 --temps 0.0 1.0 --maskgit-steps 16 \
     --state-path /tmp/chip_r2/toy_state.pkl \
     > /tmp/chip_r2/certify_inpaint.log 2>&1
+
+# 7. (r3) Backend-crash re-test: the two fenced compiler killers
+#    (scan-without-remat bwd, stack dl+rows2). CRASH = keep guards,
+#    PASS = backend fixed, lift them (models/proteoscribe.py,
+#    ops/pallas/stack_kernel_tpu.py).
+timeout 2000 python tools/repro_compiler_crashes.py --which all \
+    > /tmp/chip_r2/repro_crashes.log 2>&1
+
+echo "chip session r2+r3 queue complete: $(date -Is)" \
+    >> /tmp/chip_r2/session_driver.log
