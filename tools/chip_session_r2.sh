@@ -75,5 +75,13 @@ timeout 4200 python tools/certify_inpaint.py --steps 2000 --batch 64 \
 timeout 2000 python tools/repro_compiler_crashes.py --which all \
     > /tmp/chip_r2/repro_crashes.log 2>&1
 
+# 8. (r3) ESM2 streamed-tower timing-vs-B sweep (VERDICT r2 weak #4:
+#    the streamed path makes promises nothing has timed at B != 16)
+for B in 4 8 16 32; do
+  timeout 2400 python tools/exp_esm2_stack.py --batch $B --iters 8 \
+      --skip-xla --ff-quant none int8 \
+      > /tmp/chip_r2/esm2_stack_B${B}.log 2>&1
+done
+
 echo "chip session r2+r3 queue complete: $(date -Is)" \
     >> /tmp/chip_r2/session_driver.log
