@@ -85,3 +85,10 @@ done
 
 echo "chip session r2+r3 queue complete: $(date -Is)" \
     >> /tmp/chip_r2/session_driver.log
+
+# 9. (r3) Archive: logs are decision records — keep them with the repo
+#    (/tmp does not survive between rounds) plus a folded summary.
+mkdir -p /root/repo/outputs/chip_session_logs
+cp /tmp/chip_r2/*.log /root/repo/outputs/chip_session_logs/ 2>/dev/null
+python tools/summarize_chip_session.py \
+    > /root/repo/outputs/chip_session_logs/SUMMARY.txt 2>&1
