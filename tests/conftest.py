@@ -21,12 +21,33 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the suite is dominated by CPU XLA compiles of
 # the same graphs every run (~400 s of the ~530 s wall).  Keyed by HLO
-# hash, so edits to a model invalidate exactly its own entries.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+# hash, so edits to a model invalidate exactly its own entries.  The dir is
+# additionally keyed by a host-CPU fingerprint: sandbox machines change
+# between rounds, and XLA:CPU AOT artifacts built for another machine's
+# feature set load with SIGILL-risk warnings instead of recompiling.
+
+
+def _machine_tag() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next(ln for ln in fh if ln.startswith("flags"))
+        h = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    except (OSError, StopIteration):
+        h = "na"
+    return f"{platform.machine()}-{h}"
+
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(__file__), "..", ".jax_cache", _machine_tag()
 )
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# subprocess-launching tests reuse the same machine-keyed dir
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
 
 import numpy as np
 import pytest

@@ -29,7 +29,8 @@ def run_cli(module: str, *args: str):
     # share the suite's persistent compile cache (conftest) — repeat CLI
     # graphs (e.g. the tiny Stage-3 sampler, compiled by three tests) are
     # disk hits instead of fresh XLA compiles
-    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
+    # machine-keyed cache dir set by conftest
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ["JAX_COMPILATION_CACHE_DIR"]
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
     return subprocess.run(
         [sys.executable, "-m", module, *args],

@@ -193,7 +193,8 @@ def test_eval_cli_stats_and_scoring(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH','')}"
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache")
+    # machine-keyed cache dir set by conftest
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ["JAX_COMPILATION_CACHE_DIR"]
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
     r = subprocess.run(
         [sys.executable, "-m", "biom3_tpu.cli.run_eval",

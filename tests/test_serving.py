@@ -511,7 +511,8 @@ def test_server_cli_subprocess(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
-    env["JAX_COMPILATION_CACHE_DIR"] = str(REPO / ".jax_cache")
+    # machine-keyed cache dir set by conftest
+    env["JAX_COMPILATION_CACHE_DIR"] = os.environ["JAX_COMPILATION_CACHE_DIR"]
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.1"
     proc = subprocess.Popen(
         [sys.executable, "-m", "biom3_tpu.cli.run_server",
@@ -520,8 +521,17 @@ def test_server_cli_subprocess(tmp_path):
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     try:
-        line = proc.stdout.readline().strip()  # "serving on http://..."
-        assert line.startswith("serving on http://"), line
+        # stderr merges into stdout, and XLA/absl may log diagnostics (e.g.
+        # cross-machine persistent-cache AOT warnings) before the protocol
+        # line — scan for it instead of trusting line 1
+        seen = []
+        for _ in range(200):
+            line = proc.stdout.readline().strip()
+            seen.append(line)
+            if line.startswith("serving on http://"):
+                break
+            assert line, f"server exited before protocol line:\n" + "\n".join(seen)
+        assert line.startswith("serving on http://"), "\n".join(seen)
         base = line.split()[-1]
         out = _post(f"{base}/v1/generate",
                     {"prompt": "membrane transport protein"})
