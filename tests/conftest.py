@@ -10,9 +10,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if ("xla_backend_optimization_level" not in flags
+        and not os.environ.get("BIOM3_FULL_XLA_OPT")):
+    # the suite is compile-bound on the 1-core CI boxes; opt level 0 cuts
+    # cold wall-clock ~30% and is semantics-preserving (parity suites stay
+    # green — HIGHEST matmul precision is a lowering choice, not an
+    # optimization pass).  BIOM3_FULL_XLA_OPT=1 restores production
+    # compilation for perf-sensitive investigations.
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

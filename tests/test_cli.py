@@ -406,6 +406,8 @@ def test_proteoscribe_cli_temp0_deterministic(tmp_path):
     assert set(outs[0]) == set(outs[1])
 
 
+@pytest.mark.slow  # ~36 s (two subprocesses); joins the stage-1/3 train-CLI
+# lifecycle tests in the RUN_SLOW tier, recorded per round in PARITY.md
 def test_train_stage2_cli_exports_servable_bin(tmp_path):
     """Train CLI surface (previously untested as a subprocess): a short
     Stage-2 training run with --export_bin must produce a published-layout
