@@ -163,7 +163,7 @@ def bench_pencl(peak):
     from biom3_tpu.config import PenCLConfig
     from biom3_tpu.models.pencl import PenCL
     from biom3_tpu.utils.flops import (
-        pencl_esm_ff_flops_fraction,
+        pencl_int8_flops_fraction,
         pencl_pair_forward_flops,
     )
 
@@ -173,7 +173,8 @@ def bench_pencl(peak):
     # vs 74.4 XLA seq/s tower-only, CLS cosine 0.999939) + fused BERT tower
     # + tanh-GELU
     on_tpu = jax.devices()[0].platform != "cpu"
-    tower_impl = "esm2-stack-int8ff+pallas" if on_tpu else "xla"
+    tower_impl = ("esm2-stack-int8[ff+proj]+bert-int8ff+pallas"
+                  if on_tpu else "xla")
     model = PenCL(cfg, dtype=jnp.bfloat16,
                   attn_impl="pallas:1024:1024" if on_tpu else "xla",
                   gelu="tanh" if on_tpu else "erf")
@@ -195,15 +196,17 @@ def bench_pencl(peak):
         )
 
         arrays = {
-            # int8 FF: on-chip 126.9 vs 100.9 tower seq/s (exp_esm2_stack),
-            # CLS cosine 0.999939 — covered by the drift gate below
+            # full int8 combo (ESM2 FF + q/k/v/out, BERT FF): pair-level
+            # on-chip A/B tools/exp_pencl_quant.py (2026-08-19, B=16):
+            # 125.4 pairs/s vs 108.8 ff-only vs 94.5 bf16, min cosine
+            # 0.999980 — covered by the drift gate below
             "esm": esm2_stack_arrays(
                 params["params"]["protein_encoder"], cfg.esm.num_layers,
-                jnp.bfloat16, ff_quant="int8",
+                jnp.bfloat16, ff_quant="int8", proj_quant="int8",
             ),
             "bert": bert_stack_arrays(
                 params["params"]["text_encoder"], cfg.bert.num_layers,
-                jnp.bfloat16,
+                jnp.bfloat16, ff_quant="int8",
             ),
         }
         proj = ProjectionHead(cfg.proj_dim, cfg.dropout, jnp.bfloat16)
@@ -211,7 +214,8 @@ def bench_pencl(peak):
         def pair_forward(params, arrays, x_t, x_p):
             x0 = bert_embed(params["params"]["text_encoder"], x_t)
             t_cls = fused_bert_cls(
-                x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh"
+                x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
+                ff_quant="int8",
             )
             z_t = proj.apply(
                 {"params": params["params"]["text_projection"]},
@@ -219,7 +223,7 @@ def bench_pencl(peak):
             )
             cls = fused_esm2_cls(
                 x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
-                gelu="tanh", ff_quant="int8",
+                gelu="tanh", ff_quant="int8", proj_quant="int8",
             )
             z_p = proj.apply(
                 {"params": params["params"]["protein_projection"]},
@@ -257,7 +261,11 @@ def bench_pencl(peak):
     # peak/(1 − f/2) with f the int8-covered FLOP fraction — without this,
     # an int8 win would read as >100% MFU (or, via main()'s basis
     # inflation, silently deflate the other metrics' MFU)
-    int8_frac = pencl_esm_ff_flops_fraction(cfg) if on_tpu else 0.0
+    int8_frac = (
+        pencl_int8_flops_fraction(cfg, esm_ff=True, esm_proj=True,
+                                  bert_ff=True)
+        if on_tpu else 0.0
+    )
     peak_basis = peak / (1.0 - int8_frac / 2.0) if peak else None
 
     # serving-vs-parity drift gate: protein embedding cosine between the
@@ -289,7 +297,7 @@ def bench_pencl(peak):
     return {
         "value": round(pairs_per_sec, 2),
         "unit": "embedding pairs/sec (ESM2-650M L=1024 + BERT L=512, "
-                "bf16 + int8 FF)",
+                "bf16 + int8 FF/proj)",
         "tflops": round(tflops, 1),
         "mfu": round(tflops * 1e12 / peak_basis, 3) if peak_basis else None,
         # own mixed-precision ceiling — main() must NOT fold this metric's

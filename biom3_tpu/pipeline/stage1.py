@@ -47,8 +47,8 @@ class PenCLEngine:
         attn_impl: str | None = None,
         tower_impl: str | None = None,
         ff_quant: str | None = None,
-        proj_quant: str = "none",
-        bert_ff_quant: str = "none",
+        proj_quant: str | None = None,
+        bert_ff_quant: str | None = None,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -72,9 +72,15 @@ class PenCLEngine:
             # drift-gated >0.999 in bench and test_esm2_stack's CPU twin
             ff_quant = "int8" if perf_mode else "none"
         self.ff_quant = ff_quant
-        # int8 q/k/v/out projections (ESM2) and int8 BERT FF: implemented +
-        # CPU drift-tested, opt-in until the on-chip A/B
-        # (tools/exp_pencl_quant.py) certifies them as defaults
+        # int8 ESM2 q/k/v/out projections + int8 BERT FF: pair-level on-chip
+        # A/B (tools/exp_pencl_quant.py, 2026-08-19, B=16): full combo 125.4
+        # pairs/s vs 108.8 (ff-only) vs 94.5 (bf16), min embedding cosine
+        # 0.999980 vs the erf/XLA graph — serving defaults in perf mode;
+        # parity mode keeps full bf16/f32
+        if proj_quant is None:
+            proj_quant = "int8" if perf_mode else "none"
+        if bert_ff_quant is None:
+            bert_ff_quant = "int8" if perf_mode else "none"
         self.proj_quant = proj_quant
         self.bert_ff_quant = bert_ff_quant
         self.tower_impl = tower_impl

@@ -87,10 +87,27 @@ def pencl_esm_ff_flops_fraction(cfg) -> float:
     issue rate on v5e/v6e).  Used by bench for the mixed-precision MFU
     basis: with f the int8-covered fraction, the bf16-equivalent ceiling is
     ``peak_bf16 / (1 − f/2)``."""
-    esm_ff = (cfg.esm.num_layers
-              * 2 * 2 * cfg.seq_max_length * cfg.esm.embed_dim
-              * 4 * cfg.esm.embed_dim)
-    return esm_ff / pencl_pair_forward_flops(cfg)
+    return pencl_int8_flops_fraction(cfg, esm_ff=True)
+
+
+def pencl_int8_flops_fraction(cfg, *, esm_ff: bool = True,
+                              esm_proj: bool = False,
+                              bert_ff: bool = False) -> float:
+    """Fraction of the pair's matmul FLOPs covered by the Stage-1 int8
+    serving modes: ``esm_ff`` → the ESM2 FF matmuls, ``esm_proj`` → the
+    ESM2 q/k/v/out projections, ``bert_ff`` → the BERT FF matmuls.  Same
+    blended-ceiling use as :func:`pencl_esm_ff_flops_fraction`; all three
+    measured as a combo on-chip (tools/exp_pencl_quant.py)."""
+    E, Lp = cfg.esm.embed_dim, cfg.seq_max_length
+    covered = 0.0
+    if esm_ff:
+        covered += cfg.esm.num_layers * 2 * 2 * Lp * E * (4 * E)
+    if esm_proj:
+        covered += cfg.esm.num_layers * 4 * 2 * Lp * E * E
+    if bert_ff:
+        covered += (cfg.bert.num_layers * 2 * 2 * cfg.text_max_length
+                    * cfg.bert.hidden_size * cfg.bert.intermediate_size)
+    return covered / pencl_pair_forward_flops(cfg)
 
 
 def proteoscribe_int8_flops_fraction(cfg, *, ff: bool = True,
