@@ -122,18 +122,34 @@ class ESM2Layer(nn.Module):
     gelu: str = "erf"  # "tanh" = serving perf mode (366 ms/fwd cheaper at
                        # full size, B=16; drift recorded in tests/bench)
 
+    def _dqkv_dtype(self, E: int, L: int):
+        """dqkv backward-staging dtype for the layer-block kernels: forced
+        by an explicit ``-bf16dq``/``-f32dq`` suffix, else auto — bf16 when
+        the f32 (3E, L) staging buffer is ≥12 MB (the full-size regime
+        whose f32 layout overflowed Mosaic's 120 MB scoped VMEM by 4.55 MB
+        on chip; the bf16 buffer fits), f32 below it (tighter parity)."""
+        if self.attn_impl.endswith("bf16dq"):
+            return jnp.bfloat16
+        if self.attn_impl.endswith("f32dq"):
+            return jnp.float32
+        return jnp.bfloat16 if 3 * E * L * 4 >= 12e6 else jnp.float32
+
     @nn.compact
     def __call__(self, x: jax.Array, padding_mask: jax.Array) -> jax.Array:
         cfg = self.config
         if self.attn_impl in ("layer-block", "layer-block-interpret",
-                              "layer-block-bf16dq"):
+                              "layer-block-bf16dq", "layer-block-f32dq",
+                              "layer-block-interpret-bf16dq"):
             # whole-layer custom-VJP kernels (ops/pallas/esm2_block_tpu):
             # the Stage-1 training fast path — LN/rotary-attention/FF and
             # residuals fused, backward recomputes from the layer input
             # (so use remat=False; the kernel already saves only x).
             # Param tree identical to the Flax modules below.
-            # "layer-block-bf16dq": bf16 dqkv backward scratch (−8 MB VMEM
-            # at full size — the Mosaic-rejection fallback knob).
+            # dqkv backward staging dtype: plain "layer-block" auto-picks
+            # bf16 when the f32 (3E, L) buffer would overflow Mosaic's
+            # scoped VMEM — measured at full size (E=1280, L=1024,
+            # 2026-08-19): f32 dqkv needs 124.55 MB > the 120 MB limit,
+            # bf16 (−7.9 MB) fits.  "-bf16dq"/"-f32dq" force the choice.
             from biom3_tpu.ops.pallas.esm2_block_tpu import (
                 NEG_INF, esm2_layer_block,
             )
@@ -149,10 +165,8 @@ class ESM2Layer(nn.Module):
                 x.astype(self.dtype), padneg, w3, b3, wo, bo, ls1, lb1,
                 ls2, lb2, w1, b1, w2, b2,
                 heads=cfg.attention_heads, gelu=self.gelu,
-                interpret=self.attn_impl == "layer-block-interpret",
-                dqkv_dtype=(jnp.bfloat16
-                            if self.attn_impl.endswith("bf16dq")
-                            else jnp.float32),
+                interpret="interpret" in self.attn_impl,
+                dqkv_dtype=self._dqkv_dtype(E, x.shape[1]),
             )
         h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         x = x + ESM2SelfAttention(cfg, self.dtype, self.attn_impl, self.mesh, name="self_attn")(h, padding_mask)

@@ -126,3 +126,50 @@ def test_esm2_attn_block_rejects_nondividing_heads():
             z(1, L, E), z(1, L), z(3, E, E), z(3, E), z(E, E), z(E),
             z(E), z(E), heads=3, interpret=True,
         )
+
+
+def test_esm2_layer_block_bf16dq_grad_parity(setup, rng):
+    """The bf16 dqkv-staging backward (the auto fallback when the f32
+    (3E, L) buffer would overflow Mosaic's scoped VMEM at full size) must
+    track the Flax/XLA gradients within bf16-staging tolerance."""
+    ref, _, params, toks = setup
+    fused = ESM2(CFG, dtype=jnp.float32,
+                 attn_impl="layer-block-interpret-bf16dq")
+    probe = jnp.asarray(
+        rng.standard_normal((toks.shape[0], L, CFG.embed_dim))
+        .astype(np.float32)
+    )
+
+    def loss(model):
+        def fn(p):
+            h = model.apply(p, toks)["hidden"]
+            return jnp.sum(h * probe) / h.size
+        return fn
+
+    g_ref = jax.grad(loss(ref))(params)
+    g_fus = jax.grad(loss(fused))(params)
+    flat_fus = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_fus)}
+    for k, v_ref in jax.tree_util.tree_leaves_with_path(g_ref):
+        key = jax.tree_util.keystr(k)
+        v_ref = np.asarray(v_ref)
+        v_fus = np.asarray(flat_fus[key])
+        scale = max(np.abs(v_ref).max(), 1e-6)
+        # dqkv staged through bf16: ~3 decimal digits on the attn-path
+        # grads; weight grads accumulate in f32 either way
+        np.testing.assert_allclose(
+            v_fus, v_ref, rtol=8e-3, atol=8e-3 * scale, err_msg=key
+        )
+
+
+def test_esm2_layer_block_dqkv_auto_selection():
+    """Plain "layer-block" picks the dqkv staging dtype by shape: f32 at
+    toy sizes (tighter parity), bf16 once the f32 buffer would overflow
+    the measured full-size VMEM budget; suffixes force either way."""
+    from biom3_tpu.models.esm2 import ESM2Layer
+
+    mk = lambda impl: ESM2Layer(CFG, attn_impl=impl)
+    assert mk("layer-block")._dqkv_dtype(256, 64) == jnp.float32
+    assert mk("layer-block")._dqkv_dtype(1280, 1024) == jnp.bfloat16
+    assert mk("layer-block-bf16dq")._dqkv_dtype(256, 64) == jnp.bfloat16
+    assert mk("layer-block-f32dq")._dqkv_dtype(1280, 1024) == jnp.float32

@@ -88,10 +88,20 @@ def main():
     print(f"device: {jax.devices()[0]}  B={B} type={args.dataset_type} "
           f"remat={remat}")
     t0 = time.perf_counter()
-    params = model.init(
+    # host-side init via eval_shape: on-device init of the 762M-param
+    # towers costs ~19 min through the tunnel's per-dispatch latency
+    # (measured 1160 s, 2026-08-19); the bench times train steps, not init
+    shapes = jax.eval_shape(
+        lambda k, xt, xp: model.init(k, xt, xp,
+                                     method=PenCL.init_all_params),
         jax.random.key(0), batch["text_tokens"][:1],
-        batch["protein_tokens"][:1], method=PenCL.init_all_params,
+        batch["protein_tokens"][:1],
     )
+    leaves, treedef = jax.tree.flatten(shapes)
+    params = jax.tree.unflatten(treedef, [
+        jnp.asarray((rng.standard_normal(l.shape) * 0.02).astype(l.dtype))
+        for l in leaves
+    ])
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"init: {n_params/1e6:.0f}M params in {time.perf_counter()-t0:.0f}s")
 
