@@ -198,6 +198,16 @@ def make_stack_apply(
                          f"{plan['reason']}")
     if resident is None:
         resident = plan["resident"]
+    if not resident and ff_buffers == 1:
+        # streamed path: double-buffer the FF weight stream when the plan
+        # affords it — on-chip A/B (tools/exp_kernels.py --which streamed,
+        # 2026-08-19, B=32): single-buffered streaming costs +15% vs the
+        # resident kernel (26.43 vs 23.07 ms/call); with ff_buffers=2 the
+        # DMA overlap hides streaming entirely (22.98 ms/call)
+        plan2 = plan_stack_kernel(cfg, rows=rows, ff_buffers=2,
+                                  ff_block_l=ff_block_l, gather_k=gather_k)
+        if plan2["supported"] and not plan2["resident"]:
+            plan, ff_buffers = plan2, 2
     depth = cfg.depth
 
     def apply_fn(variables, x, t, z_c=None, pos=None, **_ignored):
