@@ -270,3 +270,35 @@ def test_certify_task_state_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="was trained with"):
         build_and_train(4, 2, 32, chunk=2, state_path=path)
+
+
+def test_certify_tools_importable_and_smoke(tmp_path, monkeypatch):
+    """Every certify CLI must at least import and parse args: certify_int8
+    shipped with a stale import (`MODES` moved to certify_task) that only
+    surfaced mid-chip-session (2026-08-19).  Import each tool module and
+    run certify_int8's full pipeline at trivial shapes in interpret mode."""
+    import pathlib
+    import subprocess
+    import sys
+
+    tools = pathlib.Path(__file__).parents[1] / "tools"
+    env_path = f"{tools.parents[0]}"
+    out = subprocess.run(
+        [sys.executable, str(tools / "certify_int8.py"), "--interpret",
+         "--steps", "2", "--batch", "2", "--sample-batch", "2",
+         "--seq-len", "32",
+         "--state-path", str(tmp_path / "smoke.pkl")],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ,
+             "PYTHONPATH": env_path + ":"
+             + __import__("os").environ.get("PYTHONPATH", ""),
+             "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(rows) == 3, out.stdout  # bf16, int8-ff, int8-ff+proj
+    import json
+
+    last = json.loads(rows[-1])
+    assert last["mode"] == "int8-ff+proj"
+    assert last["logit_min_cosine"] > 0.99

@@ -28,25 +28,24 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from certify_blocked import MODES, coherence_stats, make_batch  # noqa: E402
+from certify_task import (  # noqa: E402
+    MODES,
+    build_and_train,
+    coherence_stats,
+    make_batch,
+)
 
-from biom3_tpu.config import ProteoScribeConfig  # noqa: E402
 from biom3_tpu.diffusion.sampler import (  # noqa: E402
     make_sampler,
     sample_permutations,
 )
 from biom3_tpu.models.fused_forward import make_stack_apply  # noqa: E402
-from biom3_tpu.models.proteoscribe import ProteoScribe  # noqa: E402
-from biom3_tpu.training.optim import make_optimizer  # noqa: E402
-from biom3_tpu.training.stage3_task import make_stage3_train_step  # noqa: E402
-from biom3_tpu.training.state import TrainState  # noqa: E402
 
 
 def main():
@@ -55,53 +54,19 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--sample-batch", type=int, default=64)
     ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--state-path", default=None,
+                    help="pickle shared with certify_blocked/inpaint: load "
+                         "the trained params if present, save otherwise")
     ap.add_argument("--interpret", action="store_true",
-                    help="CPU smoke mode (tiny steps, interpret kernels)")
+                    help="CPU smoke mode (pair with small --steps/--batch/"
+                         "--seq-len; interpret kernels, f32)")
     args = ap.parse_args()
 
-    cfg = ProteoScribeConfig(
-        num_classes=29, dim=128, depth=4, n_blocks=1, heads=8, local_heads=4,
-        local_window=64, max_seq_len=args.seq_len, num_timesteps=args.seq_len,
-        cond_dim=32,
+    # shared toy-task trainer (certify_task): one training run per chip
+    # session across all three certification tools
+    cfg, model, state = build_and_train(
+        args.steps, args.batch, args.seq_len, state_path=args.state_path
     )
-    model = ProteoScribe(cfg)
-    params = model.init(
-        jax.random.key(0), jnp.zeros((1, cfg.max_seq_len), jnp.int32),
-        jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
-    )
-    tx = make_optimizer("AdamW", 1e-3, weight_decay=1e-6)
-    state = TrainState.create(params, tx)
-    step = jax.jit(make_stage3_train_step(model.apply, tx))
-
-    rng = np.random.default_rng(0)
-    chunk = min(100, args.steps)
-    n_chunks = max(1, args.steps // chunk)
-    t0 = time.time()
-
-    @jax.jit
-    def train_chunk(state, tokens_c, zc_c, key):
-        def body(carry, xs):
-            st, _ = carry
-            tok, zc, k = xs
-            st, aux = step(st, {"tokens": tok, "z_c": zc}, k)
-            return (st, aux["loss"]), ()
-        (state, loss), _ = jax.lax.scan(
-            body, (state, jnp.float32(0)),
-            (tokens_c, zc_c, jax.random.split(key, tokens_c.shape[0])),
-        )
-        return state, loss
-
-    for c in range(n_chunks):
-        toks = np.empty((chunk, args.batch, cfg.max_seq_len), np.int32)
-        zcs = np.empty((chunk, args.batch, cfg.cond_dim), np.float32)
-        for i in range(chunk):
-            t_, z_, _ = make_batch(rng, args.batch, cfg.max_seq_len,
-                                   cfg.cond_dim)
-            toks[i], zcs[i] = np.asarray(t_), np.asarray(z_)
-        state, loss = train_chunk(state, jnp.asarray(toks), jnp.asarray(zcs),
-                                  jax.random.key(1000 + c))
-        print(f"chunk {c + 1}/{n_chunks}: loss {float(loss):.4f}", flush=True)
-    print(f"trained {n_chunks * chunk} steps in {time.time()-t0:.0f}s")
 
     B = args.sample_batch
     _, z_c, cls = make_batch(np.random.default_rng(7), B, cfg.max_seq_len,
@@ -139,11 +104,12 @@ def main():
             chunk_steps=None, apply_takes_positions=True,
         )
         seqs = np.asarray(sampler(state.params, z_c, path, jax.random.key(5)))
-        cons, class_ok = coherence_stats(seqs, cls)
+        cons, class_ok, diversity = coherence_stats(seqs, cls)
         row = {
             "mode": name,
             "coherence_mean": round(float(cons.mean()), 4),
             "class_acc": round(float(class_ok.mean()), 3),
+            "mode_diversity": round(diversity, 3),
         }
         if ref_logits is None:
             ref_logits, ref_seqs = logits, seqs
