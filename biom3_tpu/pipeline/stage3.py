@@ -42,8 +42,8 @@ class ProteoScribeEngine:
         use_fused: bool | None = None,
         use_stack: bool | None = None,
         gelu: str | None = None,
-        ff_quant: str = "none",
-        proj_quant: str = "none",
+        ff_quant: str | None = None,
+        proj_quant: str | None = None,
         top_k: int | None = None,
         top_p: float | None = None,
         decode_order: str = "path",
@@ -120,6 +120,21 @@ class ProteoScribeEngine:
         if gelu is None:
             gelu = "tanh" if self.use_stack else "erf"
         self.gelu = gelu
+        # int8 MXU serving default (r3): on-chip A/B 2026-08-19
+        # (tools/exp_kernels.py --which int8, B=32, 64-step scans):
+        # bf16 23.09 ms/call → int8 FF+proj on the d-major stream 18.42
+        # (1.25×), logit cosine > 0.999 (interpret twins) — default when
+        # the whole-stack kernel serves; parity/f32/legacy paths never
+        # quantize.  certify_int8 gates task quality on trained weights.
+        if ff_quant is None:
+            ff_quant = "int8" if self.use_stack else "none"
+        if proj_quant is None:
+            proj_quant = "int8" if self.use_stack else "none"
+        # the dl (d-major) weight stream wins with int8 (18.42 vs 19.43
+        # ms/call ld) and ties within noise in bf16; rows stays 1 (the
+        # dl+rows>=2 combination is fenced — repro_compiler_crashes.py)
+        stack_stream = "dl" if "int8" in (ff_quant, proj_quant) else "ld"
+        self._stack_stream = stack_stream
         apply_takes_positions = False
         if (ff_quant != "none" or proj_quant != "none") and not self.use_stack:
             raise ValueError(
@@ -130,11 +145,10 @@ class ProteoScribeEngine:
         if self.use_stack:
             from biom3_tpu.models.fused_forward import make_stack_apply
 
-            # ff/proj_quant: int8 MXU serving modes (ops/pallas/quant) —
-            # opt-in until the on-chip A/B certifies them as defaults
             apply_fn, head_fn = make_stack_apply(
                 self.config, gelu=gelu, ff_quant=ff_quant,
                 proj_quant=proj_quant, gather_k=gather_k,
+                stream=stack_stream,
             ), None
             apply_takes_positions = True
         elif self.use_fused:
@@ -195,10 +209,13 @@ class ProteoScribeEngine:
 
         from biom3_tpu.models.fused_forward import make_sharded_stack_apply
 
+        ff_quant, proj_quant = self._quant
         apply_fn = make_sharded_stack_apply(
             self.config, mesh, gelu=self.gelu, interpret=interpret,
             dtype=jnp.float32 if interpret else jnp.bfloat16,
             gather_k=self._gather_k,
+            ff_quant=ff_quant, proj_quant=proj_quant,
+            stream=self._stack_stream,
         )
         if self._sampler_mode == "maskgit":
             cfg = self._sampler_cfg
@@ -270,10 +287,13 @@ class ProteoScribeEngine:
             self.config, gather_k=L
         )["supported"]:
             return self.inpaint_batch
+        ff_quant, proj_quant = self._quant
         apply_fn = make_sharded_stack_apply(
             self.config, mesh, gelu=self.gelu, interpret=interpret,
             dtype=jnp.float32 if interpret else jnp.bfloat16,
             gather_k=L,
+            ff_quant=ff_quant, proj_quant=proj_quant,
+            stream=self._stack_stream,
         )
         temperature = self._sampler_cfg["temperature"]
         if self._sampler_mode == "maskgit":
@@ -349,6 +369,7 @@ class ProteoScribeEngine:
                 apply_fn = make_stack_apply(
                     self.config, gelu=self.gelu, ff_quant=ff_quant,
                     proj_quant=proj_quant, gather_k=L,
+                    stream=self._stack_stream,
                 )
                 takes_positions = True
         chunk = self._chunk_steps_arg
