@@ -35,10 +35,10 @@ def parse_arguments():
     p.add_argument("--positions_per_step", type=int, default=1,
                    help=">1 enables blocked fast decoding (k-fold fewer "
                         "forwards; certified in PARITY.md)")
-    p.add_argument("--ff-quant", choices=["none", "int8"], default="none",
+    p.add_argument("--ff-quant", choices=["auto", "none", "int8"], default="auto",
                    help="Stage-3 FF matmuls on the int8 MXU path "
                         "(drift-gated serving mode)")
-    p.add_argument("--proj-quant", choices=["none", "int8"], default="none",
+    p.add_argument("--proj-quant", choices=["auto", "none", "int8"], default="auto",
                    help="Stage-3 q/k/v/out projections on the int8 MXU path")
     p.add_argument("--decode_order", choices=["path", "confidence"],
                    default="path",
@@ -85,7 +85,10 @@ def main() -> None:
         load_json_config(args.stage3_json), args.stage3_model,
         temperature=args.temperature,
         positions_per_step=args.positions_per_step,
-        ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+        # "auto" = engine default (int8 on the TPU stack path, r3)
+        ff_quant=None if args.ff_quant == "auto" else args.ff_quant,
+        proj_quant=(None if args.proj_quant == "auto"
+                    else args.proj_quant),
         decode_order=args.decode_order,
         sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )

@@ -35,12 +35,12 @@ def parse_arguments():
                         default="auto",
                         help="auto = bf16 serving path (whole-stack Pallas "
                              "kernel) on TPU, f32 parity path on CPU")
-    parser.add_argument("--ff-quant", choices=["none", "int8"],
-                        default="none",
+    parser.add_argument("--ff-quant", choices=["auto", "none", "int8"],
+                        default="auto",
                         help="int8 = FF matmuls on the int8 MXU path "
                              "(drift-gated serving mode; bf16 path only)")
-    parser.add_argument("--proj-quant", choices=["none", "int8"],
-                        default="none",
+    parser.add_argument("--proj-quant", choices=["auto", "none", "int8"],
+                        default="auto",
                         help="int8 = q/k/v/out projections on the int8 MXU "
                              "path (bf16 path only)")
     parser.add_argument("--top-k", type=int, default=None,
@@ -82,8 +82,10 @@ def main() -> None:
         temperature=args.temperature,
         legacy_batch_update=args.legacy_batch_update,
         positions_per_step=args.positions_per_step,
-        ff_quant=args.ff_quant,
-        proj_quant=args.proj_quant,
+        # "auto" = engine default (int8 on the TPU stack path, r3)
+        ff_quant=None if args.ff_quant == "auto" else args.ff_quant,
+        proj_quant=(None if args.proj_quant == "auto"
+                    else args.proj_quant),
         top_k=args.top_k,
         top_p=args.top_p,
         decode_order=args.decode_order,

@@ -41,8 +41,8 @@ def main() -> None:
     ap.add_argument("--sampler", choices=["ardm", "maskgit"], default="ardm")
     ap.add_argument("--maskgit-steps", type=int, default=16)
     ap.add_argument("--temperature", type=float, default=1.0)
-    ap.add_argument("--ff-quant", choices=["none", "int8"], default="none")
-    ap.add_argument("--proj-quant", choices=["none", "int8"], default="none")
+    ap.add_argument("--ff-quant", choices=["auto", "none", "int8"], default="auto")
+    ap.add_argument("--proj-quant", choices=["auto", "none", "int8"], default="auto")
     ap.add_argument("--endpoint", choices=["generate", "inpaint"],
                     default="generate")
     ap.add_argument("--inpaint-len", type=int, default=300,
@@ -119,7 +119,10 @@ def main() -> None:
         temperature=args.temperature,
         positions_per_step=args.positions_per_step,
         decode_order=args.decode_order,
-        ff_quant=args.ff_quant, proj_quant=args.proj_quant,
+        # "auto" = engine default (int8 on the TPU stack path, r3)
+        ff_quant=None if args.ff_quant == "auto" else args.ff_quant,
+        proj_quant=(None if args.proj_quant == "auto"
+                    else args.proj_quant),
         sampler_mode=args.sampler, maskgit_steps=args.maskgit_steps,
     )
     pipeline = ServingPipeline(
