@@ -35,6 +35,14 @@ timeout 3600 python tools/bench_serving.py --rows 16 --clients 8 \
 timeout 3000 python tools/exp_pencl_quant.py --batch 32 \
     > /tmp/chip_r3/pencl_quant_b32.log 2>&1
 
+# 5. inpaint+maskgit serving re-bench: the r2-queue run's warmup request
+#    500'd at the 600 s server deadline mid-compile (921 s executable) and
+#    polluted the measured phase; bench_serving now retries warmup with a
+#    2400 s window.
+timeout 4800 python tools/bench_serving.py --rows 16 --clients 8 \
+    --requests 2 --endpoint inpaint --sampler maskgit --maskgit-steps 16 \
+    > /tmp/chip_r3/serving_inpaint_maskgit.log 2>&1
+
 echo "chip session r3 follow-ups complete: $(date -Is)" \
     >> /tmp/chip_r3/driver.log
 
@@ -42,3 +50,5 @@ mkdir -p /root/repo/outputs/chip_session_logs
 for f in /tmp/chip_r3/*.log; do
   cp "$f" "/root/repo/outputs/chip_session_logs/r3_$(basename "$f")"
 done
+python tools/summarize_chip_session.py --dir /tmp/chip_r3 \
+    > /root/repo/outputs/chip_session_logs/SUMMARY_r3_followups.txt 2>&1
