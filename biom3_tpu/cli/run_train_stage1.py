@@ -47,13 +47,18 @@ def parse_arguments():
                         "a single 16 GB chip (tools/bench_train_stage1.py); "
                         "numerically identical (test_stage1_remat_matches_"
                         "plain)")
-    p.add_argument("--layer-mode", default="xla",
-                   choices=["xla", "layer_block", "layer_block_bf16dq"],
+    p.add_argument("--layer-mode", default="auto",
+                   choices=["auto", "xla", "layer_block", "layer_block_bf16dq"],
                    help="layer_block = fused ESM2 layer custom-VJP kernels "
                         "(ops/pallas/esm2_block_tpu) — the TPU training "
                         "fast path; backward recomputes from layer inputs, "
                         "so --remat is ignored with it; the bf16dq variant "
-                        "halves the backward's dqkv scratch (VMEM fallback)")
+                        "halves the backward's dqkv scratch (the plain mode "
+                        "auto-picks it when the f32 buffer exceeds VMEM). "
+                        "auto (default) = layer_block on TPU in bf16 when "
+                        "the ESM2 shape qualifies (on-chip A/B 2026-08-19: "
+                        "226.5 vs 335.4 ms/step at full size, B=4), else "
+                        "xla")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--export_bin", type=str, default=None,
                    help="after training, also write the params as a "
@@ -83,12 +88,29 @@ def main() -> None:
           + (f", pfam: {len(pfam_dataset)}" if pfam_dataset else ""))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    layer_mode = args.layer_mode
+    if layer_mode == "auto":
+        # Data-driven default (on-chip A/B 2026-08-19, full-size B=4:
+        # layer_block 226.5 ms/step / ~45% MFU vs xla+remat 335.4 / ~30%):
+        # the fused kernels when they apply — TPU backend, bf16 compute,
+        # and the esm2_block_tpu shape contract (E % 128 == 0, E % heads
+        # == 0; ESM2 itself is dropout-free, so the kernels compose with
+        # the recipe's projection-head/BERT dropout).
+        esm = model_cfg.esm
+        qualifies = (
+            jax.devices()[0].platform not in ("cpu",)
+            and dtype == jnp.bfloat16
+            and esm.embed_dim % 128 == 0
+            and esm.embed_dim % esm.attention_heads == 0
+        )
+        layer_mode = "layer_block" if qualifies else "xla"
+        print(f"layer-mode auto -> {layer_mode}")
     attn_impl = {
         "layer_block": "layer-block",
         "layer_block_bf16dq": "layer-block-bf16dq",
-    }.get(args.layer_mode, "xla")
+    }.get(layer_mode, "xla")
     model = PenCL(model_cfg, dtype=dtype,
-                  remat=args.remat and args.layer_mode == "xla",
+                  remat=args.remat and layer_mode == "xla",
                   attn_impl=attn_impl)
     params = model.init(
         jax.random.key(cfg.int("seed", 42)),
