@@ -255,7 +255,10 @@ def test_certify_task_state_roundtrip(tmp_path):
     import numpy as np
     from certify_task import build_and_train
 
-    path = str(tmp_path / "toy.pkl")
+    # parent dir intentionally nonexistent: the save must mkdir it (the
+    # 2026-08-19 chip run trained 2000 steps then died writing to the
+    # reboot-wiped /tmp/chip_r2/)
+    path = str(tmp_path / "fresh_dir" / "toy.pkl")
     cfg, model, trained = build_and_train(
         2, 2, 32, chunk=2, state_path=path
     )

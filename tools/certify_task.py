@@ -138,8 +138,11 @@ def build_and_train(steps: int, batch: int, seq_len: int, *,
     print(f"trained {n_chunks * chunk} steps in {time.time()-t0:.0f}s",
           flush=True)
     if state_path:
+        import os
         import pickle
 
+        os.makedirs(os.path.dirname(os.path.abspath(state_path)),
+                    exist_ok=True)
         with open(state_path, "wb") as f:
             pickle.dump({
                 "key": (steps, batch, seq_len, seed),
