@@ -342,19 +342,22 @@ class ProteoScribe(nn.Module):
 
             if (not self.remat and jax.default_backend() not in ("cpu",)
                     and not _os.environ.get("BIOM3_ALLOW_COMPILER_KILLERS")):
-                # KNOWN BACKEND CRASH: the backward graph of a plain
-                # (un-remat'd) layer scan makes the remote TPU compiler
-                # fail with HTTP 500 (BACKLOG.md "Known limitations" #3).
-                # Forward-only callers should use the stack kernels; for
-                # training use scan_layers+remat (CLI --layer-mode
-                # scan_remat) or unrolled.  Minimal repro + retest recipe:
-                # tools/repro_compiler_crashes.py --which scan_bwd.
-                raise ValueError(
-                    "scan_layers=True without remat crashes the TPU "
-                    "compiler on the training backward graph; set "
-                    "remat=True (CLI: --layer-mode scan_remat) or use an "
-                    "unrolled mode.  Re-test per backend upgrade with "
-                    "tools/repro_compiler_crashes.py --which scan_bwd"
+                # The backward graph of a plain (un-remat'd) layer scan
+                # crashed the remote TPU compiler (HTTP 500) on
+                # pre-2026-08-19 backends; the 2026-08-19 backend compiles
+                # it (tools/repro_compiler_crashes.py --which scan_bwd:
+                # PASS), so the hard fence is now a warning.  Re-test per
+                # backend change.
+                import warnings as _warnings
+
+                _warnings.warn(
+                    "scan_layers=True without remat crashed pre-2026-08-19 "
+                    "TPU backends on the training backward graph (fixed on "
+                    "the current one).  If the compile 500s, set remat=True "
+                    "(CLI: --layer-mode scan_remat) or use an unrolled "
+                    "mode, and re-test with tools/repro_compiler_crashes.py "
+                    "--which scan_bwd",
+                    stacklevel=2,
                 )
             body = _ScanBody
             if self.remat:

@@ -572,15 +572,18 @@ def fused_stack_logits(
 
     if (rows >= 2 and stream == "dl" and not interpret
             and not _os.environ.get("BIOM3_ALLOW_COMPILER_KILLERS")):
-        # KNOWN BACKEND CRASH: rows>=2 + the d-major residual stream makes
-        # the remote TPU compiler fail with HTTP 500 (observed 2026-08-17,
-        # BACKLOG.md "Known limitations" #1).  Minimal repro + retest
-        # recipe: tools/repro_compiler_crashes.py --which dl_rows2.
-        raise ValueError(
-            "stream='dl' with rows>=2 crashes the TPU compiler "
-            "(remote-compile HTTP 500); use stream='ld' for rows>=2 or "
-            "rows=1 for 'dl'.  Re-test per backend upgrade with "
-            "tools/repro_compiler_crashes.py --which dl_rows2"
+        # This combination crashed the remote TPU compiler (HTTP 500) on
+        # pre-2026-08-19 backends; the 2026-08-19 backend compiles it
+        # (tools/repro_compiler_crashes.py --which dl_rows2: PASS), so the
+        # hard fence is now a warning.  Re-test per backend change.
+        import warnings as _warnings
+
+        _warnings.warn(
+            "stream='dl' with rows>=2 crashed pre-2026-08-19 TPU backends "
+            "(remote-compile HTTP 500; fixed on the current one).  If the "
+            "compile 500s, use stream='ld' or rows=1 and re-test with "
+            "tools/repro_compiler_crashes.py --which dl_rows2",
+            stacklevel=2,
         )
     if local_heads and L % window:
         raise ValueError(f"L={L} not divisible by window={window} "

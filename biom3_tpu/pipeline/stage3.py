@@ -131,8 +131,9 @@ class ProteoScribeEngine:
         if proj_quant is None:
             proj_quant = "int8" if self.use_stack else "none"
         # the dl (d-major) weight stream wins with int8 (18.42 vs 19.43
-        # ms/call ld) and ties within noise in bf16; rows stays 1 (the
-        # dl+rows>=2 combination is fenced — repro_compiler_crashes.py)
+        # ms/call ld) and ties within noise in bf16; rows stays 1 (rows=2
+        # +dl compiles since the 2026-08-19 backend — A/B via exp_kernels
+        # --which rows2)
         stack_stream = "dl" if "int8" in (ff_quant, proj_quant) else "ld"
         self._stack_stream = stack_stream
         apply_takes_positions = False

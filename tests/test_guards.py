@@ -1,9 +1,11 @@
-"""The compiler-killer guards fire loudly before any TPU compile.
+"""The compiler-killer guards warn loudly before any TPU compile.
 
-Two config combinations crash the remote TPU compiler (HTTP 500,
-BACKLOG.md "Known limitations" #1/#3); guards reject them at trace time
-with a pointer to tools/repro_compiler_crashes.py.  CPU execution paths
-(tests, interpret-mode twins) must stay unaffected.
+Two config combinations crashed the remote TPU compiler (HTTP 500,
+BACKLOG.md "Known limitations" #1/#3) on pre-2026-08-19 backends; the
+2026-08-19 backend compiles both (tools/repro_compiler_crashes.py: PASS
+for scan_bwd and dl_rows2), so the former hard fences are now one-shot
+warnings pointing at the repro/retest recipe.  CPU execution paths
+(tests, interpret-mode twins) must stay warning-free.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ TINY = dict(
 )
 
 
-def test_dl_rows2_rejected():
+def test_dl_rows2_warns():
     from biom3_tpu.models.fused_forward import make_stack_apply
     from biom3_tpu.models.proteoscribe import ProteoScribe
 
@@ -37,20 +39,30 @@ def test_dl_rows2_rejected():
     )
     fn = make_stack_apply(cfg, rows=2, stream="dl", resident=True,
                           dtype=jnp.float32)
-    with pytest.raises(ValueError, match="repro_compiler_crashes"):
-        fn(params, jnp.ones((2, cfg.max_seq_len), jnp.int32),
-           jnp.zeros((2,), jnp.int32), jnp.zeros((2, cfg.cond_dim)),
-           jnp.zeros((2, 1), jnp.int32))
-    # rows=1 + "dl" stays allowed (measured tested variant)
-    out = make_stack_apply(cfg, rows=1, stream="dl", resident=True,
-                           dtype=jnp.float32, interpret=True)(
-        params, jnp.ones((1, cfg.max_seq_len), jnp.int32),
-        jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
-        jnp.zeros((1, 1), jnp.int32))
+    with pytest.warns(UserWarning, match="repro_compiler_crashes"):
+        try:
+            fn(params, jnp.ones((2, cfg.max_seq_len), jnp.int32),
+               jnp.zeros((2,), jnp.int32), jnp.zeros((2, cfg.cond_dim)),
+               jnp.zeros((2, 1), jnp.int32))
+        except Exception:
+            # non-interpret Mosaic lowering can't execute on the CPU
+            # backend — only the warning is under test here (the combo
+            # itself is exercised on-chip by exp_kernels --which rows2)
+            pass
+    # rows=1 + "dl" stays warning-free (measured default variant)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = make_stack_apply(cfg, rows=1, stream="dl", resident=True,
+                               dtype=jnp.float32, interpret=True)(
+            params, jnp.ones((1, cfg.max_seq_len), jnp.int32),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
+            jnp.zeros((1, 1), jnp.int32))
     assert out.shape == (1, 1, cfg.num_classes)
 
 
-def test_plain_scan_rejected_on_tpu_only():
+def test_plain_scan_warns_on_tpu_only():
     from biom3_tpu.models.proteoscribe import ProteoScribe
 
     cfg = ProteoScribeConfig(**TINY)
@@ -58,18 +70,23 @@ def test_plain_scan_rejected_on_tpu_only():
     t = jnp.zeros((1,), jnp.int32)
     z = jnp.zeros((1, cfg.cond_dim), jnp.float32)
 
-    # CPU: plain scan allowed (this suite runs it)
+    # CPU: plain scan allowed and silent (this suite runs it)
     model = ProteoScribe(cfg, scan_layers=True, remat=False)
     params = model.init(jax.random.key(0), x, t, z)
     assert model.apply(params, x, t, z).shape == (1, cfg.max_seq_len, 29)
 
-    # "TPU": guard fires at trace time
+    # "TPU": the historical-crash warning fires but execution proceeds
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
-        with pytest.raises(ValueError, match="repro_compiler_crashes"):
-            model.apply(params, x, t, z)
+        with pytest.warns(UserWarning, match="repro_compiler_crashes"):
+            out = model.apply(params, x, t, z)
+    assert out.shape == (1, cfg.max_seq_len, 29)
 
-    # scan+remat stays allowed everywhere (--layer-mode scan_remat)
+    # scan+remat stays warning-free everywhere (--layer-mode scan_remat)
+    import warnings
+
     with mock.patch.object(jax, "default_backend", return_value="tpu"):
         model_r = ProteoScribe(cfg, scan_layers=True, remat=True)
-        out = model_r.apply(params, x, t, z)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = model_r.apply(params, x, t, z)
     assert out.shape == (1, cfg.max_seq_len, 29)

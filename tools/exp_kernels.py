@@ -360,6 +360,20 @@ def main():
                           (1, 2, "tanh", {"resident": False}),
                           (1, 1, "tanh", {"resident": False,
                                           "ff_quant": "int8"})])
+    if args.which == "rows2":
+        # the dl+rows>=2 combination compiles since the 2026-08-19 backend
+        # (tools/repro_compiler_crashes.py: PASS) — A/B it against the
+        # serving default (rows=1, dl, int8 ff+proj) now that it's testable
+        run_stack(variables, args.steps, args.runs,
+                  combos=[(1, 1, "tanh", {"resident": True, "stream": "dl",
+                                          "ff_quant": "int8",
+                                          "proj_quant": "int8"}),
+                          (2, 1, "tanh", {"resident": True, "stream": "dl",
+                                          "ff_quant": "int8",
+                                          "proj_quant": "int8"}),
+                          (4, 1, "tanh", {"resident": True, "stream": "dl",
+                                          "ff_quant": "int8",
+                                          "proj_quant": "int8"})])
     if args.which == "int8":
         # int8-FF serving candidate vs the bf16 resident kernel (the bench
         # path) — FF is 2/3 of layer FLOPs; v5e int8 MXU is ~2x bf16
