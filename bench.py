@@ -99,11 +99,14 @@ def bench_proteoscribe(peak):
     # int8, 2026-08-19: 18.42 vs 23.09 ms/call bf16, 1.25×); CPU falls
     # back to the Flax/XLA graph
     if on_tpu:
+        # + exact-math VPU shaving (exp2-folded local softmax, one-read
+        # LayerNorms): 18.05 vs 18.48 ms/call (exp_kernels --which vpu)
         apply_fn = make_stack_apply(cfg, gelu="tanh", resident=True,
                                     ff_quant="int8", proj_quant="int8",
-                                    stream="dl")
+                                    stream="dl", softmax_opt=True,
+                                    ln_onepass=True)
         takes_pos = True
-        attn_impl = "stack-pallas-resident(tanh-gelu,int8-ff+proj,dl)"
+        attn_impl = "stack-pallas-resident(tanh-gelu,int8-ff+proj,dl,vpu-opt)"
     else:
         apply_fn, takes_pos, attn_impl = model.apply, False, "xla"
 
@@ -421,7 +424,8 @@ def bench_e2e(peak):
         # same serving default as bench_proteoscribe: int8 FF+proj, dl
         s_apply = make_stack_apply(s_cfg, gelu="tanh", resident=True,
                                    ff_quant="int8", proj_quant="int8",
-                                   stream="dl")
+                                   stream="dl", softmax_opt=True,
+                                   ln_onepass=True)
         s_takes_pos = True
     else:
         s_apply, s_takes_pos = ps.apply, False

@@ -48,6 +48,7 @@ def _bert_stack_kernel(
     qkv_ref,                                     # (3E, L) cdtype
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu, eps, ff_quant,
+    softmax_opt, ln_onepass,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -86,10 +87,19 @@ def _bert_stack_kernel(
             dots = jax.lax.dot_general(
                 qh, kh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            ) * scale                                            # (Lq, Lk)
-            m = jnp.max(dots, axis=-1, keepdims=True)
-            e = jnp.exp(dots - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            )                                                    # (Lq, Lk)
+            if softmax_opt:
+                # scale·log2e pre-folded into wq/bq host-side: dots are
+                # log2-domain — no scale pass, exp2, reciprocal-mul
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp2(dots - m)
+                p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                     ).astype(cdtype)
+            else:
+                dots = dots * scale
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp(dots - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
             attn_ref[pl.ds(off, Dh), :] = jax.lax.dot_general(
                 vh, p, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -104,7 +114,7 @@ def _bert_stack_kernel(
         )                                                        # (L, E)
         xres_ref[:] = _layernorm(
             xres_ref[:] + out + bo_ref[0, 0].astype(jnp.float32),
-            ls1_ref[0, 0], lb1_ref[0, 0], eps=eps,
+            ls1_ref[0, 0], lb1_ref[0, 0], eps=eps, one_pass=ln_onepass,
         )
 
         def ff_body(i, _):
@@ -141,7 +151,8 @@ def _bert_stack_kernel(
                     preferred_element_type=jnp.float32, precision=precision,
                 ) + b2_ref[0, 0].astype(jnp.float32)
             h_ref[r, pl.ds(off, ff_block_l)] = _layernorm(
-                xc + out, ls2_ref[0, 0], lb2_ref[0, 0], eps=eps
+                xc + out, ls2_ref[0, 0], lb2_ref[0, 0], eps=eps,
+                one_pass=ln_onepass,
             ).astype(cdtype)
             return _
 
@@ -158,6 +169,7 @@ def _bert_stack_kernel(
     static_argnames=(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb", "eps",
         "w_buffers", "ff_buffers", "interpret", "ff_quant",
+        "softmax_opt", "ln_onepass",
     ),
 )
 def fused_bert_cls(
@@ -182,8 +194,14 @@ def fused_bert_cls(
     ff_buffers: int = 2,
     interpret: bool = False,
     ff_quant: str = "none",
+    softmax_opt: bool = False,
+    ln_onepass: bool = False,
 ) -> jax.Array:
-    """Full BERT tower forward → (B, E) f32 CLS of the last hidden state."""
+    """Full BERT tower forward → (B, E) f32 CLS of the last hidden state.
+
+    ``softmax_opt``/``ln_onepass``: exact-math VPU-pass shaving — exp2-domain
+    softmax with scale·log2e pre-folded into wq/bq, and one-read
+    E[x²]−mean² LayerNorms (see ops/pallas/quant + stack_kernel_tpu)."""
     B, L, E = x0.shape
     depth = ln1_scale.shape[0]
     F = w1.shape[2]
@@ -205,6 +223,13 @@ def fused_bert_cls(
         s1 = jnp.ones((depth, F), jnp.float32)
         s2 = jnp.ones((depth, E), jnp.float32)
 
+    if softmax_opt:
+        # fold head_dim^-0.5·log2e into the q projection + bias host-side
+        # (loop-invariant) so the kernel softmax is exp2(dots−m)
+        fold = (E // heads) ** -0.5 * 1.4426950408889634
+        wq = wq * fold
+        bq = bq * fold
+
     single = pl.Buffered(buffer_count=1)
     wmode = pl.Buffered(buffer_count=w_buffers)
     ffmode = pl.Buffered(buffer_count=ff_buffers)
@@ -219,6 +244,7 @@ def fused_bert_cls(
         _bert_stack_kernel,
         depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
         precision=precision, gelu=gelu, eps=eps, ff_quant=ff_quant,
+        softmax_opt=softmax_opt, ln_onepass=ln_onepass,
     )
     return pl.pallas_call(
         kernel,

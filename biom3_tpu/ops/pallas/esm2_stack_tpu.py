@@ -79,6 +79,7 @@ def _esm2_stack_kernel(
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu,
     pad_idx, mask_idx, token_dropout, head_unroll, ff_quant, proj_quant,
+    softmax_opt, ln_onepass,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -120,7 +121,8 @@ def _esm2_stack_kernel(
 
         xres_ref[:] = h_ref[r].astype(jnp.float32)               # (L, E)
         xnt = _layernorm(
-            xres_ref[:], ls1_ref[0, 0], lb1_ref[0, 0], eps=1e-5
+            xres_ref[:], ls1_ref[0, 0], lb1_ref[0, 0], eps=1e-5,
+            one_pass=ln_onepass,
         ).astype(cdtype).T                                       # (E, L)
 
         if proj_quant == "int8":
@@ -174,11 +176,22 @@ def _esm2_stack_kernel(
             dots = jax.lax.dot_general(
                 qh, kh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
-            ) * scale                                            # (Lq, Lk) f32
-            dots = dots + padneg                                 # mask PAD keys
-            m = jnp.max(dots, axis=-1, keepdims=True)
-            e = jnp.exp(dots - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            )                                                    # (Lq, Lk) f32
+            if softmax_opt:
+                # scale·log2e pre-folded into wq/bq (rotary is linear in q,
+                # so the fold rides through rot()): dots are log2-domain —
+                # no scale pass, hardware exp2, reciprocal-mul.  padneg's
+                # -1e9 is -inf in either domain.
+                dots = dots + padneg
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp2(dots - m)
+                p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                     ).astype(cdtype)
+            else:
+                dots = dots * scale + padneg                     # mask PAD keys
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp(dots - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
             attn_ref[pl.ds(off, Dh), :] = jax.lax.dot_general(
                 vh, p, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
@@ -214,7 +227,8 @@ def _esm2_stack_kernel(
         def ff_body(i, _):
             off = pl.multiple_of(i * ff_block_l, ff_block_l)
             xc = xres_ref[pl.ds(off, ff_block_l), :]
-            xn = _layernorm(xc, ls2_ref[0, 0], lb2_ref[0, 0], eps=1e-5)
+            xn = _layernorm(xc, ls2_ref[0, 0], lb2_ref[0, 0], eps=1e-5,
+                            one_pass=ln_onepass)
             if ff_quant == "int8":
                 # int8 MXU path (~2x bf16 on v5e): per-row dynamic
                 # activation quant x per-out-channel static weight quant,
@@ -264,6 +278,7 @@ def _esm2_stack_kernel(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb",
         "pad_idx", "mask_idx", "token_dropout", "w_buffers", "ff_buffers",
         "head_unroll", "interpret", "ff_quant", "proj_quant",
+        "softmax_opt", "ln_onepass",
     ),
 )
 def fused_esm2_cls(
@@ -298,6 +313,8 @@ def fused_esm2_cls(
     interpret: bool = False,
     ff_quant: str = "none",
     proj_quant: str = "none",
+    softmax_opt: bool = False,
+    ln_onepass: bool = False,
 ) -> jax.Array:
     """Full ESM2 tower forward → (B, E) f32 post-final-norm CLS vectors.
 
@@ -339,6 +356,18 @@ def fused_esm2_cls(
     else:
         sq = sk = sv = so = jnp.ones((depth, E), jnp.float32)
 
+    if softmax_opt:
+        # fold head_dim^-0.5·log2e into the q projection (weights or int8
+        # dequant scales — exact there) AND its bias, so the kernel's
+        # softmax runs exp2 with no scale pass.  Rotary is linear in q, so
+        # the fold commutes through rot().  Loop-invariant host-side work.
+        fold = (E // heads) ** -0.5 * 1.4426950408889634
+        bq = bq * fold
+        if proj_quant == "int8":
+            sq = sq * fold
+        else:
+            wq = wq * fold
+
     # rotary tables, transposed (feature-major to match (E, L) activations)
     inv_freq = 1.0 / (10000 ** (np.arange(0, Dh, 2, dtype=np.float32) / Dh))
     t = np.arange(L, dtype=np.float32)
@@ -374,6 +403,7 @@ def fused_esm2_cls(
         precision=precision, gelu=gelu, pad_idx=pad_idx, mask_idx=mask_idx,
         token_dropout=token_dropout, head_unroll=head_unroll,
         ff_quant=ff_quant, proj_quant=proj_quant,
+        softmax_opt=softmax_opt, ln_onepass=ln_onepass,
     )
 
     return pl.pallas_call(

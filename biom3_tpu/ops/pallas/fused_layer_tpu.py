@@ -79,11 +79,20 @@ def _gelu(x, impl: str):
     return _gelu_exact(x) if impl == "erf" else _gelu_tanh(x)
 
 
-def _layernorm(x, scale, bias, eps=1e-6):
-    """flax.linen.LayerNorm semantics (f32 accumulation)."""
+def _layernorm(x, scale, bias, eps=1e-6, one_pass=False):
+    """flax.linen.LayerNorm semantics (f32 accumulation).
+
+    ``one_pass``: E[x²]−mean² variance — mean and mean-of-squares come from
+    ONE read of x, dropping the (x−mean)² re-read pass.  f32 cancellation
+    error ~ε·mean² is negligible for the near-zero-mean LN'd residual
+    streams of the serving path; the f32 parity path keeps two-pass."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    if one_pass:
+        ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(ms - mean * mean, 0.0)
+    else:
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 

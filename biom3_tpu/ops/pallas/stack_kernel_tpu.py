@@ -46,13 +46,20 @@ from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
 
 
 def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
-                 scale, precision, cdtype, proj_quant):
+                 scale, precision, cdtype, proj_quant, softmax_opt=False):
     """Shared d-major attention core of both stream layouts: LN'd (d, L)
     activations → (d, L) concatenated [local-window | linear-attention]
     head outputs (lucidrains semantics: ±1-window strips with joint
     softmax; feature-softmax(q)·seq-softmax(k)ᵀv for the global heads).
     ``proj_quant='int8'``: q/k/v on the int8 MXU path; dots/softmaxes
-    stay bf16/f32."""
+    stay bf16/f32.
+    ``softmax_opt``: the caller pre-folded ``scale·log2(e)`` into the
+    LOCAL-head q out-channels (weights or int8 dequant scales), so the
+    local softmax is ``exp2(dots − m)`` with a reciprocal-mul normalize —
+    two fewer full VPU passes over the (nl, W, 3W) dot strips.  Math is
+    exp((q·k)·scale − m·ln2·…) ≡ the unfolded softmax exactly (the fold
+    commutes through max-subtraction); global heads are untouched (their
+    softmax reads raw q, so their channels are never pre-scaled)."""
     if proj_quant == "int8":
         qxnt, axn = quant_cols(xnt)                         # (d, L), (1, L)
 
@@ -83,10 +90,18 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
         dots = jax.lax.dot_general(
             qw, kn, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale
-        m = jnp.max(dots, axis=-1, keepdims=True)
-        e = jnp.exp(dots - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+        )
+        if softmax_opt:
+            # q pre-folded by scale·log2e: dots are already in the log2
+            # domain — no scale pass, hardware exp2, reciprocal-mul
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp2(dots - m)
+            p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(cdtype)
+        else:
+            dots = dots * scale
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp(dots - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
         avt = jax.lax.dot_general(
             vn, p, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
@@ -112,7 +127,8 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
 
 
 def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
-               local_heads, heads, window, precision, cdtype, proj_quant):
+               local_heads, heads, window, precision, cdtype, proj_quant,
+               softmax_opt=False):
     """xb: (L, d) residual+bias → attention output + residual (f32 math as
     fused_layer_tpu._attn_kernel; operates on one row).
     ``proj_quant='int8'``: q/k/v/out projections on the int8 MXU path
@@ -129,7 +145,7 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
     attnt = _attn_core_t(
         xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
         L=L, scale=scale, precision=precision, cdtype=cdtype,
-        proj_quant=proj_quant,
+        proj_quant=proj_quant, softmax_opt=softmax_opt,
     )
     if proj_quant == "int8":
         qattn, aat = quant_cols(attnt)
@@ -145,8 +161,28 @@ def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
     return xb.astype(jnp.float32) + outt.T + bo.astype(jnp.float32)
 
 
+def _ln_cols(xf, ls, lb, one_pass):
+    """LayerNorm over the feature (sublane) axis of a (d, L) f32 block.
+
+    ``one_pass``: E[x²]−mean² variance — mean and mean-of-squares come out
+    of ONE read of x (two accumulators), dropping the (x−mean)² re-read
+    pass of the textbook form.  f32 cancellation error is ~ε·mean², which
+    for LN'd residual streams (near-zero mean) is far below the serving
+    path's bf16 activation rounding; the f32 parity path keeps two-pass."""
+    if one_pass:
+        mean = jnp.mean(xf, axis=0, keepdims=True)
+        ms = jnp.mean(xf * xf, axis=0, keepdims=True)
+        var = jnp.maximum(ms - mean * mean, 0.0)
+    else:
+        mean = jnp.mean(xf, axis=0, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=0, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
+            * ls[:, None] + lb[:, None])
+
+
 def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
-                  local_heads, heads, window, precision, cdtype, proj_quant):
+                  local_heads, heads, window, precision, cdtype, proj_quant,
+                  softmax_opt=False, ln_onepass=False):
     """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
     per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
     ``outt.T``) vanish; every matmul already consumes/produces the
@@ -159,15 +195,11 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
     scale = Dh ** -0.5
 
     # LayerNorm over the feature axis = sublane axis in (d, L)
-    xf = xb.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=0, keepdims=True)
-    var = jnp.mean((xf - mean) ** 2, axis=0, keepdims=True)
-    xnt = ((xf - mean) * jax.lax.rsqrt(var + 1e-6)
-           * ls[:, None] + lb[:, None]).astype(cdtype)
+    xnt = _ln_cols(xb.astype(jnp.float32), ls, lb, ln_onepass).astype(cdtype)
     attnt = _attn_core_t(
         xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
         L=L, scale=scale, precision=precision, cdtype=cdtype,
-        proj_quant=proj_quant,
+        proj_quant=proj_quant, softmax_opt=softmax_opt,
     )
     if proj_quant == "int8":
         qattn, aat = quant_cols(attnt)
@@ -184,7 +216,7 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
 
 
 def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
-                cdtype, gelu, ff_quant):
+                cdtype, gelu, ff_quant, ln_onepass=False):
     """Transposed-stream FF: x (d, L) → x + FFᵀ(LNᵀ(x)); weights arrive
     pre-transposed ((ff, d) and (d, ff)) so both matmuls are d-major.
     ``ff_quant='int8'``: dynamic per-token (column) activation quant ×
@@ -194,10 +226,7 @@ def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
     chunks = []
     for i in range(0, L, block_l):
         xc = x[:, i:i + block_l]
-        mean = jnp.mean(xc, axis=0, keepdims=True)
-        var = jnp.mean((xc - mean) ** 2, axis=0, keepdims=True)
-        xn = ((xc - mean) * jax.lax.rsqrt(var + 1e-6)
-              * ls[:, None] + lb[:, None])
+        xn = _ln_cols(xc, ls, lb, ln_onepass)
         if ff_quant == "int8":
             qx, ax = quant_cols(xn)                      # (d, bl), (1, bl)
             h = jax.lax.dot_general(
@@ -277,7 +306,7 @@ def _stack_kernel(
     # scratch:
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant, proj_quant,
+    gelu, ff_quant, proj_quant, softmax_opt, ln_onepass,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -314,6 +343,7 @@ def _stack_kernel(
             sq_ref[0, 0], sk_ref[0, 0], sv_ref[0, 0], so_ref[0, 0],
             local_heads=local_heads, heads=heads, window=window,
             precision=precision, cdtype=cdtype, proj_quant=proj_quant,
+            softmax_opt=softmax_opt,
         )
         xb = _ff_body(
             xb, ls2_ref[0], lb2_ref[0],
@@ -356,7 +386,7 @@ def _resident_kernel(
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant, proj_quant,
+    gelu, ff_quant, proj_quant, softmax_opt, ln_onepass,
 ):
     """All-weights-resident variant: ONE grid axis (batch groups); the layer
     loop runs inside the kernel (`fori_loop` + dynamic leading-dim indexing
@@ -392,6 +422,7 @@ def _resident_kernel(
                 sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
                 local_heads=local_heads, heads=heads, window=window,
                 precision=precision, cdtype=cdtype, proj_quant=proj_quant,
+                softmax_opt=softmax_opt,
             )
             xb = _ff_body(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
@@ -433,7 +464,7 @@ def _resident_kernel_dl(
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant, proj_quant,
+    gelu, ff_quant, proj_quant, softmax_opt, ln_onepass,
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
@@ -469,13 +500,14 @@ def _resident_kernel_dl(
                 sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
                 local_heads=local_heads, heads=heads, window=window,
                 precision=precision, cdtype=cdtype, proj_quant=proj_quant,
+                softmax_opt=softmax_opt, ln_onepass=ln_onepass,
             )
             xb = _ff_body_dl(
                 xb, ls2_ref[l, 0], lb2_ref[l, 0],
                 w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
                 s1_ref[l, 0], s2_ref[l, 0],
                 block_l=ff_block_l, precision=precision, cdtype=cdtype,
-                gelu=gelu, ff_quant=ff_quant,
+                gelu=gelu, ff_quant=ff_quant, ln_onepass=ln_onepass,
             )
             h_ref[r] = xb.astype(cdtype)
         return _
@@ -508,7 +540,7 @@ def _resident_kernel_dl(
     static_argnames=(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
-        "interpret", "ff_quant", "proj_quant",
+        "interpret", "ff_quant", "proj_quant", "softmax_opt", "ln_onepass",
     ),
 )
 def fused_stack_logits(
@@ -545,6 +577,8 @@ def fused_stack_logits(
     interpret: bool = False,
     ff_quant: str = "none",
     proj_quant: str = "none",
+    softmax_opt: bool = False,
+    ln_onepass: bool = False,
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -559,6 +593,12 @@ def fused_stack_logits(
     ``stream``: residual-stream layout — "ld" ((L, d), transposes the
     activations around each projection block) or "dl" ((d, L) d-major the
     whole way; resident-only; removes the two per-layer transposes).
+    ``softmax_opt``: fold ``head_dim^-0.5·log2(e)`` into the local-head q
+    out-channels here (weights, or int8 dequant scales — exact) so the
+    local-window softmax runs as ``exp2(dots−m)`` with a reciprocal-mul
+    normalize: two fewer VPU passes over the (nl, W, 3W) strips per layer.
+    ``ln_onepass``: one-read E[x²]−mean² LayerNorms (dl stream only; the
+    ld bodies keep the two-pass form).
     """
     B, L = ids.shape
     depth = ln1_scale.shape[0]
@@ -611,6 +651,23 @@ def fused_stack_logits(
     else:
         sq = sk = sv = so = jnp.ones((depth, d), jnp.float32)
 
+    if softmax_opt:
+        # pre-fold scale·log2e into the LOCAL-head q out-channels so the
+        # kernel's local softmax is exp2-domain with no scale pass; global
+        # heads softmax raw q, so their channels stay untouched.  On the
+        # int8 path the fold rides the f32 dequant scales (bit-exact w.r.t.
+        # the quantized weights); on the bf16 path it re-rounds wq once
+        # (≤1 ulp, same order as the bf16 weights themselves).  Loop-
+        # invariant under sampling scans — XLA hoists it with the
+        # transposes below.
+        nlc = local_heads * (d // heads)
+        fold = (d // heads) ** -0.5 * 1.4426950408889634     # scale·log2e
+        mask = (jnp.arange(d) < nlc)[None, :]                # (1, d_out)
+        if proj_quant == "int8":
+            sq = jnp.where(mask, sq * fold, sq)
+        else:
+            wq = jnp.where(mask, wq * fold, wq)  # broadcasts over (depth, d_in)
+
     single = pl.Buffered(buffer_count=1)
     ffmode = pl.Buffered(buffer_count=ff_buffers)
 
@@ -650,6 +707,7 @@ def fused_stack_logits(
             local_heads=local_heads, heads=heads, window=window,
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
             ff_quant=ff_quant, proj_quant=proj_quant,
+            softmax_opt=softmax_opt, ln_onepass=ln_onepass,
         )
     else:
         def lyr(r, c, mode=None):    # (1, r, c) block at layer l
@@ -680,6 +738,7 @@ def fused_stack_logits(
             heads=heads, window=window, ff_block_l=ff_block_l,
             precision=precision, gelu=gelu, ff_quant=ff_quant,
             proj_quant=proj_quant,
+            softmax_opt=softmax_opt, ln_onepass=ln_onepass,
         )
     if stream == "dl":
         # d-major residual stream: tok/pos tables + FF weights transposed

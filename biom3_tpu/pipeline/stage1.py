@@ -49,6 +49,8 @@ class PenCLEngine:
         ff_quant: str | None = None,
         proj_quant: str | None = None,
         bert_ff_quant: str | None = None,
+        softmax_opt: bool | None = None,
+        ln_onepass: bool | None = None,
     ):
         self.stage_config = stage_config
         self.config = PenCLConfig.from_stage_config(stage_config)
@@ -83,6 +85,19 @@ class PenCLEngine:
             bert_ff_quant = "int8" if perf_mode else "none"
         self.proj_quant = proj_quant
         self.bert_ff_quant = bert_ff_quant
+        # exact-math VPU-pass shaving in the tower stack kernels
+        # (exp2-folded softmax via wq/bq, one-read LayerNorms) — parity
+        # tests in test_{esm2,bert}_stack.py.  Default OFF: the on-chip
+        # pair A/B is mildly NEGATIVE here (exp_pencl_quant --vpu, B=32,
+        # 2026-08-19: 125.1 vs 127.1 pairs/s) — the dense towers are
+        # MXU-bound, so shaving VPU passes only perturbs the schedule
+        # (unlike the Stage-3 stack's small-strip local attention, where
+        # it wins — see pipeline/stage3.py).
+        if softmax_opt is None:
+            softmax_opt = False
+        if ln_onepass is None:
+            ln_onepass = False
+        self._vpu_opts = (bool(softmax_opt), bool(ln_onepass))
         self.tower_impl = tower_impl
         self.model = PenCL(
             self.config, dtype=dtype, attn_impl=attn_impl,
@@ -181,12 +196,14 @@ class PenCLEngine:
                 heads=self.config.bert.num_heads, gelu="tanh",
                 rows=1 if x_t.shape[0] % 2 else 2,
                 ff_quant=self.bert_ff_quant,
+                softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
             )
             z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))
             cls = fused_esm2_cls(
                 jnp.asarray(x_p), **self._stack_arrays["esm"],
                 heads=self.config.esm.attention_heads, gelu="tanh",
                 ff_quant=self.ff_quant, proj_quant=self.proj_quant,
+                softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
             )
             z_p = self._proj_head(p["protein_projection"], cls.astype(dtype))
             return z_t, z_p

@@ -44,6 +44,8 @@ class ProteoScribeEngine:
         gelu: str | None = None,
         ff_quant: str | None = None,
         proj_quant: str | None = None,
+        softmax_opt: bool | None = None,
+        ln_onepass: bool | None = None,
         top_k: int | None = None,
         top_p: float | None = None,
         decode_order: str = "path",
@@ -136,6 +138,16 @@ class ProteoScribeEngine:
         # --which rows2)
         stack_stream = "dl" if "int8" in (ff_quant, proj_quant) else "ld"
         self._stack_stream = stack_stream
+        # exact-math VPU-pass shaving (exp2-folded local softmax + one-read
+        # LayerNorms) — on-chip A/B 2026-08-19 (exp_kernels --which vpu,
+        # B=32): 18.05 vs 18.48 ms/call (−2.3%); parity-gated at f32
+        # tolerances in tests/test_stack_kernel.py, so it rides every
+        # stack-serving mode.  Only the stack kernels implement it.
+        if softmax_opt is None:
+            softmax_opt = self.use_stack
+        if ln_onepass is None:
+            ln_onepass = self.use_stack
+        self._vpu_opts = (bool(softmax_opt), bool(ln_onepass))
         apply_takes_positions = False
         if (ff_quant != "none" or proj_quant != "none") and not self.use_stack:
             raise ValueError(
@@ -150,6 +162,7 @@ class ProteoScribeEngine:
                 self.config, gelu=gelu, ff_quant=ff_quant,
                 proj_quant=proj_quant, gather_k=gather_k,
                 stream=stack_stream,
+                softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
             ), None
             apply_takes_positions = True
         elif self.use_fused:
@@ -217,6 +230,7 @@ class ProteoScribeEngine:
             gather_k=self._gather_k,
             ff_quant=ff_quant, proj_quant=proj_quant,
             stream=self._stack_stream,
+            softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
         )
         if self._sampler_mode == "maskgit":
             cfg = self._sampler_cfg
@@ -295,6 +309,7 @@ class ProteoScribeEngine:
             gather_k=L,
             ff_quant=ff_quant, proj_quant=proj_quant,
             stream=self._stack_stream,
+            softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
         )
         temperature = self._sampler_cfg["temperature"]
         if self._sampler_mode == "maskgit":
@@ -371,6 +386,8 @@ class ProteoScribeEngine:
                     self.config, gelu=self.gelu, ff_quant=ff_quant,
                     proj_quant=proj_quant, gather_k=L,
                     stream=self._stack_stream,
+                    softmax_opt=self._vpu_opts[0],
+                    ln_onepass=self._vpu_opts[1],
                 )
                 takes_positions = True
         chunk = self._chunk_steps_arg

@@ -75,3 +75,19 @@ def test_fused_bert_cls_int8_ff_drift(tower, rng):
         np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
     )
     assert cos.min() > 0.999, cos
+
+
+def test_fused_bert_cls_vpu_opts_match_flax(tower, rng):
+    """softmax_opt (scale·log2e folded into wq/bq, exp2 + reciprocal-mul)
+    and ln_onepass (E[x²]−mean² LayerNorm) are exact-math rewrites: the
+    f32 kernel with both on must match the Flax graph at f32 tolerances."""
+    model, params = tower
+    ids = rng.integers(0, 120, (2, 64)).astype(np.int32)
+    ref = np.asarray(model.apply(params, jnp.asarray(ids))["hidden"])[:, 0, :]
+    arrays = bert_stack_arrays(params["params"], CFG.num_layers, jnp.float32)
+    x0 = bert_embed(params["params"], jnp.asarray(ids), dtype=jnp.float32)
+    out = np.asarray(fused_bert_cls(
+        x0, **arrays, heads=CFG.num_heads, rows=2, ff_block_l=32,
+        gelu="erf", interpret=True, softmax_opt=True, ln_onepass=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=2e-3)

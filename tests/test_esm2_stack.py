@@ -202,3 +202,46 @@ def test_quant_scales_are_f32_for_bf16_inputs():
             - np.asarray(z, np.float32)
         ).max()
         assert err <= float(np.abs(np.asarray(z, np.float32)).max()) / 127
+
+
+def test_fused_esm2_cls_vpu_opts_match_flax(tower, rng):
+    """softmax_opt (scale·log2e folded into wq/bq, exp2 + reciprocal-mul —
+    the fold rides through rotary, which is linear in q) and ln_onepass
+    (E[x²]−mean² LayerNorm) are exact-math rewrites: the f32 kernel with
+    both on must still match the Flax graph at f32 tolerances."""
+    model, params = tower
+    toks = _tokens(rng)
+    ref = np.asarray(
+        model.apply(params, jnp.asarray(toks))["hidden"]
+    )[:, 0, :]
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.float32
+    )
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads,
+        ff_block_l=64, gelu="erf", interpret=True,
+        softmax_opt=True, ln_onepass=True,
+    ))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=2e-3)
+
+
+def test_fused_esm2_cls_vpu_opts_int8_drift(tower, rng):
+    """softmax_opt on the int8 projection path folds into the f32 sq
+    dequant scales + bq — drift must stay within the serving gate."""
+    model, params = tower
+    toks = _tokens(rng, B=4)
+    ref = np.asarray(model.apply(params, jnp.asarray(toks))["hidden"])[:, 0, :]
+    arrays = esm2_stack_arrays(
+        params["params"], CFG.num_layers, dtype=jnp.bfloat16,
+        ff_quant="int8", proj_quant="int8",
+    )
+    out = np.asarray(fused_esm2_cls(
+        jnp.asarray(toks), **arrays, heads=CFG.attention_heads,
+        ff_block_l=64, gelu="tanh", interpret=True,
+        ff_quant="int8", proj_quant="int8",
+        softmax_opt=True, ln_onepass=True,
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos

@@ -91,6 +91,50 @@ def test_stack_kernel_dl_stream_matches_flax(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_stack_kernel_vpu_opts_match_flax(rng):
+    """softmax_opt (scale·log2e folded into local-head q channels, exp2 +
+    reciprocal-mul softmax) and ln_onepass (E[x²]−mean² LayerNorm) are
+    exact-math rewrites — the dl-stream kernel with both on must still
+    match the Flax graph at f32 tolerances."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
+        softmax_opt=True, ln_onepass=True,
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_stack_kernel_vpu_opts_int8_drift(rng):
+    """softmax_opt on the int8 projection path folds into the f32 dequant
+    scales — drift vs the f32 Flax graph must stay within the int8 gate."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = np.asarray(jnp.take_along_axis(ref, pos[..., None], axis=1))
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
+        ff_quant="int8", proj_quant="int8", softmax_opt=True, ln_onepass=True,
+    )
+    got = np.asarray(apply_fn(variables, x, t, z, pos))
+    a = got.reshape(-1, got.shape[-1])
+    b = want.reshape(-1, want.shape[-1])
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+    assert float(cos.min()) >= 0.999, float(cos.min())
+
+
 def test_stack_kernel_dl_requires_resident():
     import pytest
 

@@ -374,6 +374,25 @@ def main():
                           (4, 1, "tanh", {"resident": True, "stream": "dl",
                                           "ff_quant": "int8",
                                           "proj_quant": "int8"})])
+    if args.which == "vpu":
+        # VPU-pass shaving on the serving default (dl-resident int8
+        # ff+proj): exp2-folded local softmax (softmax_opt), one-read
+        # LayerNorms (ln_onepass), FF L-tile width.  All exact-math
+        # rewrites — parity gated in tests/test_stack_kernel.py.
+        base = {"resident": True, "stream": "dl",
+                "ff_quant": "int8", "proj_quant": "int8"}
+        run_stack(variables, args.steps, args.runs,
+                  combos=[
+                      (1, 1, "tanh", dict(base)),
+                      (1, 1, "tanh", dict(base, softmax_opt=True)),
+                      (1, 1, "tanh", dict(base, ln_onepass=True)),
+                      (1, 1, "tanh", dict(base, softmax_opt=True,
+                                          ln_onepass=True)),
+                      (1, 1, "tanh", dict(base, softmax_opt=True,
+                                          ln_onepass=True, ff_block_l=512)),
+                      (1, 1, "tanh", dict(base, softmax_opt=True,
+                                          ln_onepass=True, ff_block_l=1024)),
+                  ])
     if args.which == "int8":
         # int8-FF serving candidate vs the bf16 resident kernel (the bench
         # path) — FF is 2/3 of layer FLOPs; v5e int8 MXU is ~2x bf16

@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-ref", action="store_true",
                     help="skip the XLA reference graph (faster, no cosines)")
+    ap.add_argument("--vpu", action="store_true",
+                    help="A/B the exact-math VPU opts (exp2-folded softmax "
+                         "+ one-read LayerNorms) on the full-int8 combo")
     args = ap.parse_args()
 
     cfg = PenCLConfig()
@@ -75,13 +78,18 @@ def main():
         ref_zp = np.asarray(ref_out["seq_joint_latent"], np.float32)
 
     combos = [
-        # (esm_ff, esm_proj, bert_ff)
-        ("none", "none", "none"),
-        ("int8", "none", "none"),     # current bench default
-        ("int8", "int8", "none"),
-        ("int8", "none", "int8"),
-        ("int8", "int8", "int8"),
+        # (esm_ff, esm_proj, bert_ff, vpu: softmax_opt+ln_onepass)
+        ("none", "none", "none", False),
+        ("int8", "none", "none", False),     # pre-r3 bench default
+        ("int8", "int8", "none", False),
+        ("int8", "none", "int8", False),
+        ("int8", "int8", "int8", False),
     ]
+    if args.vpu:
+        combos = [
+            ("int8", "int8", "int8", False),  # r3 serving default
+            ("int8", "int8", "int8", True),
+        ]
     arrays_cache = {}
 
     def get_arrays(esm_ff, esm_proj, bert_ff):
@@ -99,15 +107,16 @@ def main():
             }
         return arrays_cache[key]
 
-    for esm_ff, esm_proj, bert_ff in combos:
+    for esm_ff, esm_proj, bert_ff, vpu in combos:
         arrays = get_arrays(esm_ff, esm_proj, bert_ff)
 
         def pair_forward(params, arrays, x_t, x_p,
-                         esm_ff=esm_ff, esm_proj=esm_proj, bert_ff=bert_ff):
+                         esm_ff=esm_ff, esm_proj=esm_proj, bert_ff=bert_ff,
+                         vpu=vpu):
             x0 = bert_embed(params["params"]["text_encoder"], x_t)
             t_cls = fused_bert_cls(
                 x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
-                ff_quant=bert_ff,
+                ff_quant=bert_ff, softmax_opt=vpu, ln_onepass=vpu,
             )
             z_t = proj.apply(
                 {"params": params["params"]["text_projection"]},
@@ -116,6 +125,7 @@ def main():
             cls = fused_esm2_cls(
                 x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
                 gelu="tanh", ff_quant=esm_ff, proj_quant=esm_proj,
+                softmax_opt=vpu, ln_onepass=vpu,
             )
             z_p = proj.apply(
                 {"params": params["params"]["protein_projection"]},
@@ -133,7 +143,8 @@ def main():
             _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
             return sums
 
-        tag = f"esm_ff={esm_ff} esm_proj={esm_proj} bert_ff={bert_ff}"
+        tag = (f"esm_ff={esm_ff} esm_proj={esm_proj} bert_ff={bert_ff}"
+               + (" vpu" if vpu else ""))
         try:
             t0 = time.perf_counter()
             np.asarray(many(params, arrays, x_t, x_p))
