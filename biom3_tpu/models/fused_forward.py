@@ -165,6 +165,7 @@ def make_stack_apply(
     proj_quant: str = "none",
     softmax_opt: bool = False,
     ln_onepass: bool = False,
+    ablate: str = "",
     gather_k: int = 8,
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
@@ -278,7 +279,7 @@ def make_stack_apply(
             window=cfg.local_window, rows=rows, ff_buffers=ff_buffers,
             gelu=gelu, resident=resident, stream=stream,
             ff_block_l=ff_block_l, ff_quant=ff_quant, proj_quant=proj_quant,
-            softmax_opt=softmax_opt, ln_onepass=ln_onepass,
+            softmax_opt=softmax_opt, ln_onepass=ln_onepass, ablate=ablate,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

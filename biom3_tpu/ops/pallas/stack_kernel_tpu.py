@@ -45,8 +45,21 @@ from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
 from biom3_tpu.ops.pallas.quant import quant_cols, quant_rows
 
 
+def _qcols(x, staticq=False):
+    """``quant_cols`` with an optional static-scale ablation: ``staticq``
+    skips the per-column amax reduction and uses a fixed scale (WRONG math
+    — saturates/undersaturates arbitrarily; timing-only, for on-chip
+    decomposition of the dynamic-quant VPU cost via ``ablate='staticq'``)."""
+    if staticq:
+        q = jnp.clip(jnp.round(x * (127.0 / 8.0)), -127.0, 127.0
+                     ).astype(jnp.int8)
+        return q, jnp.full((1, x.shape[1]), 8.0 / 127.0, jnp.float32)
+    return quant_cols(x)
+
+
 def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
-                 scale, precision, cdtype, proj_quant, softmax_opt=False):
+                 scale, precision, cdtype, proj_quant, softmax_opt=False,
+                 staticq=False):
     """Shared d-major attention core of both stream layouts: LN'd (d, L)
     activations → (d, L) concatenated [local-window | linear-attention]
     head outputs (lucidrains semantics: ±1-window strips with joint
@@ -61,7 +74,7 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
     commutes through max-subtraction); global heads are untouched (their
     softmax reads raw q, so their channels are never pre-scaled)."""
     if proj_quant == "int8":
-        qxnt, axn = quant_cols(xnt)                         # (d, L), (1, L)
+        qxnt, axn = _qcols(xnt, staticq)                    # (d, L), (1, L)
 
         def projt(wt, s):
             return (jax.lax.dot_general(
@@ -182,7 +195,7 @@ def _ln_cols(xf, ls, lb, one_pass):
 
 def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
                   local_heads, heads, window, precision, cdtype, proj_quant,
-                  softmax_opt=False, ln_onepass=False):
+                  softmax_opt=False, ln_onepass=False, staticq=False):
     """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
     per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
     ``outt.T``) vanish; every matmul already consumes/produces the
@@ -199,10 +212,10 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
     attnt = _attn_core_t(
         xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
         L=L, scale=scale, precision=precision, cdtype=cdtype,
-        proj_quant=proj_quant, softmax_opt=softmax_opt,
+        proj_quant=proj_quant, softmax_opt=softmax_opt, staticq=staticq,
     )
     if proj_quant == "int8":
-        qattn, aat = quant_cols(attnt)
+        qattn, aat = _qcols(attnt, staticq)
         outt = jax.lax.dot_general(              # (d, L)
             wot, qattn, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -216,7 +229,7 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
 
 
 def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
-                cdtype, gelu, ff_quant, ln_onepass=False):
+                cdtype, gelu, ff_quant, ln_onepass=False, staticq=False):
     """Transposed-stream FF: x (d, L) → x + FFᵀ(LNᵀ(x)); weights arrive
     pre-transposed ((ff, d) and (d, ff)) so both matmuls are d-major.
     ``ff_quant='int8'``: dynamic per-token (column) activation quant ×
@@ -228,7 +241,7 @@ def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
         xc = x[:, i:i + block_l]
         xn = _ln_cols(xc, ls, lb, ln_onepass)
         if ff_quant == "int8":
-            qx, ax = quant_cols(xn)                      # (d, bl), (1, bl)
+            qx, ax = _qcols(xn, staticq)                 # (d, bl), (1, bl)
             h = jax.lax.dot_general(
                 w1t, qx, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -236,7 +249,7 @@ def _ff_body_dl(x, ls, lb, w1t, b1, w2t, b2, s1, s2, *, block_l, precision,
                 jnp.float32
             )[:, None]
             h = _gelu(h, gelu)
-            qh, ah = quant_cols(h)
+            qh, ah = _qcols(h, staticq)
             out = jax.lax.dot_general(
                 w2t, qh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -464,12 +477,18 @@ def _resident_kernel_dl(
     o_ref,
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
-    gelu, ff_quant, proj_quant, softmax_opt, ln_onepass,
+    gelu, ff_quant, proj_quant, softmax_opt, ln_onepass, ablate="",
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
     transposes.  tok/pos tables and FF weights arrive pre-transposed
-    (host-side, loop-invariant)."""
+    (host-side, loop-invariant).
+
+    ``ablate``: timing-only decomposition knob (WRONG math — never in a
+    serving path): "no_attn"/"no_ff" skip that sublayer entirely,
+    "staticq" replaces the dynamic per-token activation-quant amax
+    reductions with a fixed scale (see ``_qcols``)."""
+    staticq = "staticq" in ablate
     cdtype = h_ref.dtype
     d, L = h_ref.shape[1], h_ref.shape[2]
     C = hw_ref.shape[1]
@@ -494,21 +513,26 @@ def _resident_kernel_dl(
                 h_ref[r].astype(jnp.float32)
                 + bias_ref[r, l, 0].astype(jnp.float32)[:, None]
             )
-            xb = _attn_body_dl(
-                xb, ls1_ref[l, 0], lb1_ref[l, 0],
-                wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l], bo_ref[l, 0],
-                sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
-                local_heads=local_heads, heads=heads, window=window,
-                precision=precision, cdtype=cdtype, proj_quant=proj_quant,
-                softmax_opt=softmax_opt, ln_onepass=ln_onepass,
-            )
-            xb = _ff_body_dl(
-                xb, ls2_ref[l, 0], lb2_ref[l, 0],
-                w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
-                s1_ref[l, 0], s2_ref[l, 0],
-                block_l=ff_block_l, precision=precision, cdtype=cdtype,
-                gelu=gelu, ff_quant=ff_quant, ln_onepass=ln_onepass,
-            )
+            if "no_attn" not in ablate:
+                xb = _attn_body_dl(
+                    xb, ls1_ref[l, 0], lb1_ref[l, 0],
+                    wqt_ref[l], wkt_ref[l], wvt_ref[l], wot_ref[l],
+                    bo_ref[l, 0],
+                    sq_ref[l, 0], sk_ref[l, 0], sv_ref[l, 0], so_ref[l, 0],
+                    local_heads=local_heads, heads=heads, window=window,
+                    precision=precision, cdtype=cdtype,
+                    proj_quant=proj_quant, softmax_opt=softmax_opt,
+                    ln_onepass=ln_onepass, staticq=staticq,
+                )
+            if "no_ff" not in ablate:
+                xb = _ff_body_dl(
+                    xb, ls2_ref[l, 0], lb2_ref[l, 0],
+                    w1_ref[l], b1_ref[l, 0], w2_ref[l], b2_ref[l, 0],
+                    s1_ref[l, 0], s2_ref[l, 0],
+                    block_l=ff_block_l, precision=precision, cdtype=cdtype,
+                    gelu=gelu, ff_quant=ff_quant, ln_onepass=ln_onepass,
+                    staticq=staticq,
+                )
             h_ref[r] = xb.astype(cdtype)
         return _
 
@@ -541,6 +565,7 @@ def _resident_kernel_dl(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
         "interpret", "ff_quant", "proj_quant", "softmax_opt", "ln_onepass",
+        "ablate",
     ),
 )
 def fused_stack_logits(
@@ -579,6 +604,7 @@ def fused_stack_logits(
     proj_quant: str = "none",
     softmax_opt: bool = False,
     ln_onepass: bool = False,
+    ablate: str = "",
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -599,7 +625,13 @@ def fused_stack_logits(
     normalize: two fewer VPU passes over the (nl, W, 3W) strips per layer.
     ``ln_onepass``: one-read E[x²]−mean² LayerNorms (dl stream only; the
     ld bodies keep the two-pass form).
+    ``ablate``: timing-only decomposition knob for on-chip profiling
+    (resident+dl only; WRONG math): "no_attn"/"no_ff" skip that sublayer,
+    "staticq" drops the dynamic activation-quant amax reductions.
     """
+    if ablate and not (resident and stream == "dl"):
+        raise ValueError("ablate is a timing-only knob of the resident dl "
+                         f"kernel; got resident={resident} stream={stream!r}")
     B, L = ids.shape
     depth = ln1_scale.shape[0]
     d = tok_table.shape[1]
@@ -708,6 +740,7 @@ def fused_stack_logits(
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
             ff_quant=ff_quant, proj_quant=proj_quant,
             softmax_opt=softmax_opt, ln_onepass=ln_onepass,
+            **({"ablate": ablate} if stream == "dl" else {}),
         )
     else:
         def lyr(r, c, mode=None):    # (1, r, c) block at layer l

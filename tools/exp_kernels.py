@@ -393,6 +393,26 @@ def main():
                       (1, 1, "tanh", dict(base, softmax_opt=True,
                                           ln_onepass=True, ff_block_l=1024)),
                   ])
+    if args.which == "ablate":
+        # timing-only decomposition of the serving default (WRONG math in
+        # the ablated variants — never a serving mode): where do the 18 ms
+        # go?  no_attn/no_ff split the sublayers; staticq prices the
+        # dynamic activation-quant amax reductions of the int8 path.
+        base = {"resident": True, "stream": "dl",
+                "ff_quant": "int8", "proj_quant": "int8",
+                "softmax_opt": True, "ln_onepass": True}
+        run_stack(variables, args.steps, args.runs,
+                  combos=[
+                      (1, 1, "tanh", dict(base)),
+                      (1, 1, "tanh", dict(base, ablate="no_attn")),
+                      (1, 1, "tanh", dict(base, ablate="no_ff")),
+                      (1, 1, "tanh", dict(base, ablate="staticq")),
+                      (1, 1, "tanh", dict(base, ablate="no_attn,staticq")),
+                      # bf16 twins bound the attention cost without quant
+                      (1, 1, "tanh", {"resident": True, "stream": "dl"}),
+                      (1, 1, "tanh", {"resident": True, "stream": "dl",
+                                      "ablate": "no_attn"}),
+                  ])
     if args.which == "int8":
         # int8-FF serving candidate vs the bf16 resident kernel (the bench
         # path) — FF is 2/3 of layer FLOPs; v5e int8 MXU is ~2x bf16
