@@ -166,6 +166,7 @@ def make_stack_apply(
     softmax_opt: bool = False,
     ln_onepass: bool = False,
     ablate: str = "",
+    local_impl: str = "strips",
     gather_k: int = 8,
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
@@ -280,6 +281,7 @@ def make_stack_apply(
             gelu=gelu, resident=resident, stream=stream,
             ff_block_l=ff_block_l, ff_quant=ff_quant, proj_quant=proj_quant,
             softmax_opt=softmax_opt, ln_onepass=ln_onepass, ablate=ablate,
+            local_impl=local_impl,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

@@ -59,7 +59,7 @@ def _qcols(x, staticq=False):
 
 def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
                  scale, precision, cdtype, proj_quant, softmax_opt=False,
-                 staticq=False):
+                 staticq=False, ablate="", local_impl="strips"):
     """Shared d-major attention core of both stream layouts: LN'd (d, L)
     activations → (d, L) concatenated [local-window | linear-attention]
     head outputs (lucidrains semantics: ±1-window strips with joint
@@ -88,40 +88,136 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
                 preferred_element_type=jnp.float32, precision=precision,
             ).astype(cdtype)
 
-    qt, kt, vt = projt(wqt, sq), projt(wkt, sk), projt(wvt, sv)
+    if "noqkv" in ablate:
+        # timing-only: drop the three input projections (reuse the LN'd
+        # activations), isolating the dots/softmax cost
+        qt = kt = vt = xnt
+    else:
+        qt, kt, vt = projt(wqt, sq), projt(wkt, sk), projt(wvt, sv)
+
+    if "nolocal" in ablate:
+        local_t = qt[:nl * Dh, :]                     # timing-only passthrough
+        lin_t = (qt[nl * Dh:, :] if "noglobal" in ablate else
+                 _attn_global_t(qt, kt, vt, nl=nl, ng=ng, Dh=Dh, L=L,
+                                scale=scale, precision=precision,
+                                cdtype=cdtype))
+        return jnp.concatenate([local_t, lin_t], axis=0)
 
     qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
     ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
     vtl = vt[:nl * Dh, :].reshape(nl, Dh, L)
-    w_strips = []
-    for w in range(nw):
-        lo = max(0, (w - 1) * W)
-        hi = min(L, (w + 2) * W)
-        qw = qtl[:, :, w * W:(w + 1) * W]
-        kn = ktl[:, :, lo:hi]
-        vn = vtl[:, :, lo:hi]
-        dots = jax.lax.dot_general(
-            qw, kn, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        if softmax_opt:
-            # q pre-folded by scale·log2e: dots are already in the log2
-            # domain — no scale pass, hardware exp2, reciprocal-mul
-            m = jnp.max(dots, axis=-1, keepdims=True)
-            e = jnp.exp2(dots - m)
-            p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))).astype(cdtype)
-        else:
-            dots = dots * scale
-            m = jnp.max(dots, axis=-1, keepdims=True)
-            e = jnp.exp(dots - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
-        avt = jax.lax.dot_general(
-            vn, p, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(cdtype)
-        w_strips.append(avt.reshape(nl * Dh, W))
-    local_t = jnp.concatenate(w_strips, axis=1)
+    if local_impl.startswith("banded"):
+        # ONE batched matmul over all (head, window) strips instead of a
+        # Python loop of nw small matmuls: stack the per-window q slices
+        # to (nl, nw, Dh, W) and the overlapping ±1-window k/v bands to
+        # (nl, nw, Dh, 3W) (edge windows zero-padded + additively masked,
+        # identical math to the short edge strips: exp(-1e9−m) underflows
+        # to exactly 0 in both exp and exp2 domains).  Fewer, larger MXU
+        # dispatches; one softmax over the whole (nl, nw, W, 3W) block.
+        # Mosaic's tpu.matmul supports ONE batch dim — collapse (window,
+        # head) to a single nw·nl batch axis, w-major (index = w·nl + h),
+        # which both stacks build with plain leading-dim concatenation
+        qb = jnp.concatenate(
+            [qtl[:, :, w * W:(w + 1) * W] for w in range(nw)], axis=0
+        )                                                # (nw·nl, Dh, W)
 
+        def band(xtl):
+            strips = []
+            for w in range(nw):
+                lo, hi = (w - 1) * W, (w + 2) * W
+                if w == 0:
+                    s = jnp.concatenate(
+                        [jnp.zeros((nl, Dh, W), xtl.dtype),
+                         xtl[:, :, :2 * W]], axis=2)
+                elif w == nw - 1:
+                    s = jnp.concatenate(
+                        [xtl[:, :, lo:],
+                         jnp.zeros((nl, Dh, W), xtl.dtype)], axis=2)
+                else:
+                    s = xtl[:, :, lo:hi]
+                strips.append(s)
+            return jnp.concatenate(strips, axis=0)       # (nw·nl, Dh, 3W)
+
+        kband, vband = band(ktl), band(vtl)
+        # the remote Mosaic compiler crashes on batch>32 matmul→softmax→
+        # matmul chains (repro'd 2026-08-19: batch-64 qk+softmax+pv dies,
+        # batch-32 compiles — tools/repro_compiler_crashes.py) — chunk the
+        # nw·nl batch axis (local_impl="banded<N>" overrides the default 32)
+        bmax = int(local_impl[6:]) if len(local_impl) > 6 else 32
+        avs = []
+        for c0 in range(0, nw * nl, bmax):
+            c1 = min(c0 + bmax, nw * nl)
+            dots = jax.lax.dot_general(
+                qb[c0:c1], kband[c0:c1], (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                                            # (bc, W, 3W)
+            kpos = jax.lax.broadcasted_iota(
+                jnp.int32, (c1 - c0, W, 3 * W), 2)
+            wid = (jax.lax.broadcasted_iota(
+                jnp.int32, (c1 - c0, W, 3 * W), 0) + c0) // nl
+            neg = jnp.where(
+                ((wid == 0) & (kpos < W))
+                | ((wid == nw - 1) & (kpos >= 2 * W)),
+                -1e9, 0.0).astype(jnp.float32)
+            dots = dots + neg
+            if not softmax_opt:
+                dots = dots * scale
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp2(dots - m) if softmax_opt else jnp.exp(dots - m)
+            p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                 ).astype(cdtype)
+            avs.append(jax.lax.dot_general(
+                vband[c0:c1], p, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype))                            # (bc, Dh, W)
+        avt = jnp.concatenate(avs, axis=0)               # (nw·nl, Dh, W)
+        local_t = jnp.concatenate(
+            [avt[w * nl:(w + 1) * nl].reshape(nl * Dh, W)
+             for w in range(nw)], axis=1)
+    else:
+        w_strips = []
+        for w in range(nw):
+            lo = max(0, (w - 1) * W)
+            hi = min(L, (w + 2) * W)
+            qw = qtl[:, :, w * W:(w + 1) * W]
+            kn = ktl[:, :, lo:hi]
+            vn = vtl[:, :, lo:hi]
+            dots = jax.lax.dot_general(
+                qw, kn, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if softmax_opt:
+                # q pre-folded by scale·log2e: dots are already in the log2
+                # domain — no scale pass, hardware exp2, reciprocal-mul
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp2(dots - m)
+                p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                     ).astype(cdtype)
+            else:
+                dots = dots * scale
+                m = jnp.max(dots, axis=-1, keepdims=True)
+                e = jnp.exp(dots - m)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
+            avt = jax.lax.dot_general(
+                vn, p, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)
+            w_strips.append(avt.reshape(nl * Dh, W))
+        local_t = jnp.concatenate(w_strips, axis=1)
+
+    if "noglobal" in ablate:
+        lin_t = qt[nl * Dh:, :]                       # timing-only passthrough
+        return jnp.concatenate([local_t, lin_t], axis=0)
+    return jnp.concatenate(
+        [local_t, _attn_global_t(qt, kt, vt, nl=nl, ng=ng, Dh=Dh, L=L,
+                                 scale=scale, precision=precision,
+                                 cdtype=cdtype)], axis=0)
+
+
+def _attn_global_t(qt, kt, vt, *, nl, ng, Dh, L, scale, precision, cdtype):
+    """Linear-attention (global) heads of the d-major core:
+    feature-softmax(q)·seq-softmax(k)ᵀv (lucidrains semantics), returning
+    the (ng·Dh, L) head outputs."""
     qtg = qt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
     ktg = kt[nl * Dh:, :].reshape(ng, Dh, L).astype(jnp.float32)
     vtg = vt[nl * Dh:, :].reshape(ng, Dh, L)
@@ -135,8 +231,7 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
         ctx, qf, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     ).astype(cdtype)
-
-    return jnp.concatenate([local_t, lin_t.reshape(ng * Dh, L)], axis=0)
+    return lin_t.reshape(ng * Dh, L)
 
 
 def _attn_body(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
@@ -195,7 +290,8 @@ def _ln_cols(xf, ls, lb, one_pass):
 
 def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
                   local_heads, heads, window, precision, cdtype, proj_quant,
-                  softmax_opt=False, ln_onepass=False, staticq=False):
+                  softmax_opt=False, ln_onepass=False, staticq=False,
+                  ablate="", local_impl="strips"):
     """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
     per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
     ``outt.T``) vanish; every matmul already consumes/produces the
@@ -213,6 +309,7 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
         xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
         L=L, scale=scale, precision=precision, cdtype=cdtype,
         proj_quant=proj_quant, softmax_opt=softmax_opt, staticq=staticq,
+        ablate=ablate, local_impl=local_impl,
     )
     if proj_quant == "int8":
         qattn, aat = _qcols(attnt, staticq)
@@ -478,6 +575,7 @@ def _resident_kernel_dl(
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
     gelu, ff_quant, proj_quant, softmax_opt, ln_onepass, ablate="",
+    local_impl="strips",
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
@@ -522,7 +620,8 @@ def _resident_kernel_dl(
                     local_heads=local_heads, heads=heads, window=window,
                     precision=precision, cdtype=cdtype,
                     proj_quant=proj_quant, softmax_opt=softmax_opt,
-                    ln_onepass=ln_onepass, staticq=staticq,
+                    ln_onepass=ln_onepass, staticq=staticq, ablate=ablate,
+                    local_impl=local_impl,
                 )
             if "no_ff" not in ablate:
                 xb = _ff_body_dl(
@@ -565,7 +664,7 @@ def _resident_kernel_dl(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
         "interpret", "ff_quant", "proj_quant", "softmax_opt", "ln_onepass",
-        "ablate",
+        "ablate", "local_impl",
     ),
 )
 def fused_stack_logits(
@@ -605,6 +704,7 @@ def fused_stack_logits(
     softmax_opt: bool = False,
     ln_onepass: bool = False,
     ablate: str = "",
+    local_impl: str = "strips",
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -632,6 +732,15 @@ def fused_stack_logits(
     if ablate and not (resident and stream == "dl"):
         raise ValueError("ablate is a timing-only knob of the resident dl "
                          f"kernel; got resident={resident} stream={stream!r}")
+    if local_impl != "strips" and not (
+        local_impl.startswith("banded")
+        and (local_impl == "banded" or local_impl[6:].isdigit())
+    ):
+        raise ValueError(f"local_impl must be 'strips' or 'banded[<N>]', "
+                         f"got {local_impl!r}")
+    if local_impl != "strips" and not (resident and stream == "dl"):
+        raise ValueError("local_impl='banded' is implemented for the "
+                         "resident dl kernel")
     B, L = ids.shape
     depth = ln1_scale.shape[0]
     d = tok_table.shape[1]
@@ -740,7 +849,8 @@ def fused_stack_logits(
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
             ff_quant=ff_quant, proj_quant=proj_quant,
             softmax_opt=softmax_opt, ln_onepass=ln_onepass,
-            **({"ablate": ablate} if stream == "dl" else {}),
+            **({"ablate": ablate, "local_impl": local_impl}
+               if stream == "dl" else {}),
         )
     else:
         def lyr(r, c, mode=None):    # (1, r, c) block at layer l

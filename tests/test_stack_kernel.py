@@ -112,6 +112,27 @@ def test_stack_kernel_vpu_opts_match_flax(rng):
                                rtol=5e-4, atol=5e-4)
 
 
+def test_stack_kernel_banded_local_matches_flax(rng):
+    """local_impl='banded' (one batched matmul over all (head, window)
+    strips, edge windows zero-padded + -1e9-masked) is exact vs the
+    strips loop: masked keys underflow to exactly 0 after max-subtraction,
+    so the f32 kernel must match the Flax graph at the strips tolerances."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
+        softmax_opt=True, ln_onepass=True, local_impl="banded",
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_stack_kernel_vpu_opts_int8_drift(rng):
     """softmax_opt on the int8 projection path folds into the f32 dequant
     scales — drift vs the f32 Flax graph must stay within the int8 gate."""

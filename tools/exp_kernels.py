@@ -393,6 +393,21 @@ def main():
                       (1, 1, "tanh", dict(base, softmax_opt=True,
                                           ln_onepass=True, ff_block_l=1024)),
                   ])
+    if args.which == "local":
+        # strips-loop vs banded (one batched matmul over all (head, window)
+        # strips) local attention on the serving default — the ablate sweep
+        # put the local section at ~5.2 ms of the 18.0 ms call (~20% MXU
+        # efficiency), so batching its dispatches is the biggest lever.
+        base = {"resident": True, "stream": "dl",
+                "ff_quant": "int8", "proj_quant": "int8",
+                "softmax_opt": True, "ln_onepass": True}
+        run_stack(variables, args.steps, args.runs,
+                  combos=[
+                      (1, 1, "tanh", dict(base)),
+                      (1, 1, "tanh", dict(base, local_impl="banded")),
+                      (1, 1, "tanh", dict(base, local_impl="banded16")),
+                      (1, 1, "tanh", dict(base, local_impl="banded8")),
+                  ])
     if args.which == "ablate":
         # timing-only decomposition of the serving default (WRONG math in
         # the ablated variants — never a serving mode): where do the 18 ms
@@ -408,6 +423,12 @@ def main():
                       (1, 1, "tanh", dict(base, ablate="no_ff")),
                       (1, 1, "tanh", dict(base, ablate="staticq")),
                       (1, 1, "tanh", dict(base, ablate="no_attn,staticq")),
+                      # attention-internal split: projections vs local
+                      # strips vs global heads
+                      (1, 1, "tanh", dict(base, ablate="noqkv")),
+                      (1, 1, "tanh", dict(base, ablate="nolocal")),
+                      (1, 1, "tanh", dict(base, ablate="noglobal")),
+                      (1, 1, "tanh", dict(base, ablate="nolocal,noglobal")),
                       # bf16 twins bound the attention cost without quant
                       (1, 1, "tanh", {"resident": True, "stream": "dl"}),
                       (1, 1, "tanh", {"resident": True, "stream": "dl",

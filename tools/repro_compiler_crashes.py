@@ -1,4 +1,4 @@
-"""Minimal repros for the two known TPU-backend compiler crashes.
+"""Minimal repros for the known TPU-backend compiler crashes.
 
 Both combinations are fenced by loud guards (VERDICT r2 #6); this script
 re-tests them after a backend upgrade by running each minimal case in a
@@ -12,6 +12,14 @@ disabled via BIOM3_ALLOW_COMPILER_KILLERS=1.
   2. ``dl_rows2``  — the whole-stack serving kernel with the d-major
      residual stream and rows>=2 (``stream="dl", rows=2``): remote-compile
      HTTP 500 (observed 2026-08-17; guard in ops/pallas/stack_kernel_tpu).
+  3. ``batch64_softmax`` — a batch-64 matmul→softmax→matmul chain inside
+     one Pallas kernel: tpu_compile_helper exit 1 (observed 2026-08-19;
+     batch-32 compiles — the banded local-attention path chunks at 32).
+  4. ``banded_local``  — the whole-stack serving kernel with
+     ``local_impl="banded"`` (batched local-window strips): SIGABRT in the
+     remote compiler at ANY chunk size ≤32 when embedded in the resident
+     dl kernel, although the same chain compiles standalone (case 3) —
+     observed 2026-08-19; "strips" stays the default.
 
 Usage (on the real chip):  python tools/repro_compiler_crashes.py [--which
 scan_bwd|dl_rows2|all] [--timeout 900].  Prints one line per case:
@@ -75,7 +83,57 @@ np.asarray(out)
 print("REPRO-OK")
 """
 
-CASES = {"scan_bwd": _SCAN_BWD, "dl_rows2": _DL_ROWS2}
+_BATCH64_SOFTMAX = """
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+nl, nw, Dh, W = 8, 8, 32, 128
+
+def kern(q_ref, k_ref, o_ref):
+    d = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    m = jnp.max(d, -1, keepdims=True)
+    e = jnp.exp2(d - m)
+    p = (e * (1.0 / jnp.sum(e, -1, keepdims=True))).astype(jnp.bfloat16)
+    av = jax.lax.dot_general(k_ref[:], p, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)
+    o_ref[:] = jnp.sum(av, axis=(0, 1))[None]
+
+f = pl.pallas_call(
+    kern, out_shape=jax.ShapeDtypeStruct((1, W), jnp.float32),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
+np.asarray(jax.jit(f)(jnp.ones((nw * nl, Dh, W), jnp.bfloat16),
+                      jnp.ones((nw * nl, Dh, 3 * W), jnp.bfloat16)))
+print("REPRO-OK")
+"""
+
+_BANDED_LOCAL = """
+import jax, jax.numpy as jnp, numpy as np
+from biom3_tpu.config import ProteoScribeConfig
+from biom3_tpu.models.fused_forward import make_stack_apply
+from biom3_tpu.models.proteoscribe import ProteoScribe
+
+cfg = ProteoScribeConfig()
+model = ProteoScribe(cfg, dtype=jnp.bfloat16)
+params = model.init(
+    jax.random.key(0), jnp.ones((1, cfg.max_seq_len), jnp.int32),
+    jnp.zeros((1,), jnp.int32), jnp.zeros((1, cfg.cond_dim)),
+)
+fn = make_stack_apply(cfg, gelu="tanh", resident=True, stream="dl",
+                      ff_quant="int8", proj_quant="int8",
+                      softmax_opt=True, ln_onepass=True,
+                      local_impl="banded")
+out = fn(params, jnp.ones((2, cfg.max_seq_len), jnp.int32),
+         jnp.zeros((2,), jnp.int32), jnp.zeros((2, cfg.cond_dim)),
+         jnp.zeros((2, 1), jnp.int32))
+np.asarray(out)
+print("REPRO-OK")
+"""
+
+CASES = {"scan_bwd": _SCAN_BWD, "dl_rows2": _DL_ROWS2,
+         "batch64_softmax": _BATCH64_SOFTMAX, "banded_local": _BANDED_LOCAL}
 
 
 def run_case(name: str, timeout: float) -> str:
