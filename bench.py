@@ -230,17 +230,18 @@ def bench_pencl(peak):
         )
 
         arrays = {
-            # full int8 combo (ESM2 FF + q/k/v/out, BERT FF): pair-level
-            # on-chip A/B tools/exp_pencl_quant.py (2026-08-19, B=16):
-            # 125.4 pairs/s vs 108.8 ff-only vs 94.5 bf16, min cosine
-            # 0.999980 — covered by the drift gate below
+            # full int8 combo (ESM2 FF + q/k/v/out, BERT FF + q/k/v/out):
+            # pair-level on-chip A/Bs tools/exp_pencl_quant.py (2026-08-19):
+            # 94.5 bf16 → 125.4 (esm ff+proj + bert ff, B=16) → 127.9
+            # (+ bert proj, B=32), min cosine 0.999980 — covered by the
+            # drift gate below
             "esm": esm2_stack_arrays(
                 params["params"]["protein_encoder"], cfg.esm.num_layers,
                 jnp.bfloat16, ff_quant="int8", proj_quant="int8",
             ),
             "bert": bert_stack_arrays(
                 params["params"]["text_encoder"], cfg.bert.num_layers,
-                jnp.bfloat16, ff_quant="int8",
+                jnp.bfloat16, ff_quant="int8", proj_quant="int8",
             ),
         }
         proj = ProjectionHead(cfg.proj_dim, cfg.dropout, jnp.bfloat16)
@@ -249,7 +250,7 @@ def bench_pencl(peak):
             x0 = bert_embed(params["params"]["text_encoder"], x_t)
             t_cls = fused_bert_cls(
                 x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
-                ff_quant="int8",
+                ff_quant="int8", proj_quant="int8",
             )
             z_t = proj.apply(
                 {"params": params["params"]["text_projection"]},

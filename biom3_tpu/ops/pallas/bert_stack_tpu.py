@@ -28,7 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biom3_tpu.ops.pallas.fused_layer_tpu import _gelu, _layernorm
-from biom3_tpu.ops.pallas.quant import quant_rows, quantize_weight_int8
+from biom3_tpu.ops.pallas.quant import (
+    quant_cols,
+    quant_rows,
+    quantize_weight_int8,
+)
 
 
 def _bert_stack_kernel(
@@ -42,13 +46,15 @@ def _bert_stack_kernel(
     w2_ref, b2_ref,                              # (1, F, E), (1, 1, E)
     s1_ref, s2_ref,                              # (1, 1, F), (1, 1, E) int8
     #   per-out-channel dequant scales (ones when ff_quant == "none")
+    sq_ref, sk_ref, sv_ref, so_ref,              # (1, 1, E) proj dequant
+    #   scales (ones when proj_quant == "none")
     o_ref,                                       # (rows, 1, E) f32 CLS
     h_ref,                                       # (rows, L, E) cdtype
     attn_ref,                                    # (E, L) cdtype
     qkv_ref,                                     # (3E, L) cdtype
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu, eps, ff_quant,
-    softmax_opt, ln_onepass,
+    proj_quant, softmax_opt, ln_onepass,
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -66,18 +72,27 @@ def _bert_stack_kernel(
         # post-LN: projections read the raw residual, not a normed copy
         xt = xres_ref[:].astype(cdtype).T                        # (E, L)
 
-        def projt(dst, wt_ref, b_ref):
-            out = jax.lax.dot_general(
-                wt_ref[0].astype(cdtype), xt, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
+        if proj_quant == "int8":
+            qxt, axt = quant_cols(xt)                            # (E,L),(1,L)
+
+        def projt(dst, wt_ref, b_ref, s_ref):
+            if proj_quant == "int8":
+                out = jax.lax.dot_general(
+                    wt_ref[0], qxt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * s_ref[0, 0][:, None] * axt
+            else:
+                out = jax.lax.dot_general(
+                    wt_ref[0].astype(cdtype), xt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
             qkv_ref[dst * E:(dst + 1) * E, :] = (
                 out + b_ref[0, 0].astype(jnp.float32)[:, None]
             ).astype(cdtype)
 
-        projt(0, wqt_ref, bq_ref)
-        projt(1, wkt_ref, bk_ref)
-        projt(2, wvt_ref, bv_ref)
+        projt(0, wqt_ref, bq_ref, sq_ref)
+        projt(1, wkt_ref, bk_ref, sk_ref)
+        projt(2, wvt_ref, bv_ref, sv_ref)
 
         def head_body(hd, _):
             off = pl.multiple_of(hd * Dh, Dh)
@@ -108,10 +123,18 @@ def _bert_stack_kernel(
 
         jax.lax.fori_loop(0, heads, head_body, None)
 
-        out = jax.lax.dot_general(
-            attn_ref[:], wo_ref[0].astype(cdtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )                                                        # (L, E)
+        if proj_quant == "int8":
+            qattn, aat = quant_cols(attn_ref[:])                 # (E,L),(1,L)
+            out = jax.lax.dot_general(
+                qattn, wo_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * aat.T * so_ref[0, 0]         # (L, E)
+        else:
+            out = jax.lax.dot_general(
+                attn_ref[:], wo_ref[0].astype(cdtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                                                    # (L, E)
         xres_ref[:] = _layernorm(
             xres_ref[:] + out + bo_ref[0, 0].astype(jnp.float32),
             ls1_ref[0, 0], lb1_ref[0, 0], eps=eps, one_pass=ln_onepass,
@@ -168,7 +191,7 @@ def _bert_stack_kernel(
     jax.jit,
     static_argnames=(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb", "eps",
-        "w_buffers", "ff_buffers", "interpret", "ff_quant",
+        "w_buffers", "ff_buffers", "interpret", "ff_quant", "proj_quant",
         "softmax_opt", "ln_onepass",
     ),
 )
@@ -183,6 +206,10 @@ def fused_bert_cls(
     w2: jax.Array, b2: jax.Array,                # (depth, F, E), (depth, E)
     s1: jax.Array | None = None,                 # (depth, F) int8 FF dequant
     s2: jax.Array | None = None,                 # (depth, E) scales
+    sq: jax.Array | None = None,                 # (depth, E) int8 proj
+    sk: jax.Array | None = None,                 # dequant scales
+    sv: jax.Array | None = None,
+    so: jax.Array | None = None,
     *,
     heads: int,
     rows: int = 2,
@@ -194,14 +221,22 @@ def fused_bert_cls(
     ff_buffers: int = 2,
     interpret: bool = False,
     ff_quant: str = "none",
+    proj_quant: str = "none",
     softmax_opt: bool = False,
     ln_onepass: bool = False,
 ) -> jax.Array:
     """Full BERT tower forward → (B, E) f32 CLS of the last hidden state.
 
+    ``proj_quant='int8'``: q/k/v/out projections on the int8 MXU path
+    (per-column dynamic activation quant of the post-LN residual ×
+    per-out-channel int8 weights — the ESM2 recipe; dots/softmax stay
+    bf16/f32).  Post-LN means the quantized activation is the RAW
+    residual, so the drift gate matters more here than on the pre-LN
+    towers.
     ``softmax_opt``/``ln_onepass``: exact-math VPU-pass shaving — exp2-domain
-    softmax with scale·log2e pre-folded into wq/bq, and one-read
-    E[x²]−mean² LayerNorms (see ops/pallas/quant + stack_kernel_tpu)."""
+    softmax with scale·log2e pre-folded into wq/bq (or the sq dequant
+    scales on the int8 path), and one-read E[x²]−mean² LayerNorms (see
+    ops/pallas/quant + stack_kernel_tpu)."""
     B, L, E = x0.shape
     depth = ln1_scale.shape[0]
     F = w1.shape[2]
@@ -222,13 +257,25 @@ def fused_bert_cls(
         # unused by the kernel when quant is off, but the ref list is fixed
         s1 = jnp.ones((depth, F), jnp.float32)
         s2 = jnp.ones((depth, E), jnp.float32)
+    if proj_quant == "int8":
+        if any(w.dtype != jnp.int8 for w in (wq, wk, wv, wo)):
+            raise ValueError("proj_quant='int8' needs int8 wq/wk/wv/wo "
+                             "(bert_stack_arrays(..., proj_quant='int8'))")
+        if any(s is None for s in (sq, sk, sv, so)):
+            raise ValueError("proj_quant='int8' needs sq/sk/sv/so scales")
+    else:
+        sq = sk = sv = so = jnp.ones((depth, E), jnp.float32)
 
     if softmax_opt:
         # fold head_dim^-0.5·log2e into the q projection + bias host-side
-        # (loop-invariant) so the kernel softmax is exp2(dots−m)
+        # (loop-invariant; exact on the int8 dequant scales) so the kernel
+        # softmax is exp2(dots−m)
         fold = (E // heads) ** -0.5 * 1.4426950408889634
-        wq = wq * fold
         bq = bq * fold
+        if proj_quant == "int8":
+            sq = sq * fold
+        else:
+            wq = wq * fold
 
     single = pl.Buffered(buffer_count=1)
     wmode = pl.Buffered(buffer_count=w_buffers)
@@ -244,6 +291,7 @@ def fused_bert_cls(
         _bert_stack_kernel,
         depth=depth, rows=rows, heads=heads, ff_block_l=ff_block_l,
         precision=precision, gelu=gelu, eps=eps, ff_quant=ff_quant,
+        proj_quant=proj_quant,
         softmax_opt=softmax_opt, ln_onepass=ln_onepass,
     )
     return pl.pallas_call(
@@ -260,6 +308,8 @@ def fused_bert_cls(
             lyr(E, F, ffmode), lyr(1, F, single),                # w1 b1
             lyr(F, E, ffmode), lyr(1, E, single),                # w2 b2
             lyr(1, F, single), lyr(1, E, single),                # s1 s2
+            lyr(1, E, single), lyr(1, E, single),                # sq sk
+            lyr(1, E, single), lyr(1, E, single),                # sv so
         ],
         out_specs=pl.BlockSpec(
             (rows, 1, E), lambda g, l: (g, 0, 0), memory_space=pltpu.VMEM,
@@ -284,17 +334,19 @@ def fused_bert_cls(
         ln2_scale[:, None, :], ln2_bias[:, None, :],
         w1, b1[:, None, :], w2, b2[:, None, :],
         s1[:, None, :], s2[:, None, :],
+        sq[:, None, :], sk[:, None, :], sv[:, None, :], so[:, None, :],
     )[:, 0, :]
 
 
 def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16,
-                      ff_quant: str = "none"):
+                      ff_quant: str = "none", proj_quant: str = "none"):
     """Flax BERT param tree → stacked arrays for ``fused_bert_cls``.
 
     Embedding tables are NOT included — embed with ``bert_embed`` (XLA
     gather + LN) and pass the activations in.  ``ff_quant='int8'`` replaces
-    w1/w2 with per-out-channel int8 + s1/s2 dequant scales; pass the same
-    flag to ``fused_bert_cls``."""
+    w1/w2 with per-out-channel int8 + s1/s2 dequant scales;
+    ``proj_quant='int8'`` does the same for wq/wk/wv/wo (+ sq/sk/sv/so).
+    Pass the same flags to ``fused_bert_cls``."""
     p = bert_params.get("params", bert_params)
 
     def stack(getter, sdtype=None):
@@ -313,17 +365,32 @@ def bert_stack_arrays(bert_params: dict, num_layers: int, dtype=jnp.bfloat16,
         ff = dict(w1=stack(lambda q: q["intermediate"]["kernel"]),
                   w2=stack(lambda q: q["output"]["kernel"]))
 
+    if proj_quant == "int8":
+        proj = {}
+        for name, key in (("q", "query"), ("k", "key"), ("v", "value")):
+            w_, s_ = quantize_weight_int8(
+                stack(lambda q, key=key: q["attention"][key]["kernel"],
+                      jnp.float32))
+            proj[f"w{name}"], proj[f"s{name}"] = w_, s_
+        wo_, so_ = quantize_weight_int8(
+            stack(lambda q: q["attention_output"]["kernel"], jnp.float32))
+        proj["wo"], proj["so"] = wo_, so_
+    else:
+        proj = dict(
+            wq=stack(lambda q: q["attention"]["query"]["kernel"]),
+            wk=stack(lambda q: q["attention"]["key"]["kernel"]),
+            wv=stack(lambda q: q["attention"]["value"]["kernel"]),
+            wo=stack(lambda q: q["attention_output"]["kernel"]),
+        )
+
     return dict(
         **ff,
+        **proj,
         ln1_scale=stack(lambda q: q["attention_norm"]["scale"]),
         ln1_bias=stack(lambda q: q["attention_norm"]["bias"]),
-        wq=stack(lambda q: q["attention"]["query"]["kernel"]),
-        wk=stack(lambda q: q["attention"]["key"]["kernel"]),
-        wv=stack(lambda q: q["attention"]["value"]["kernel"]),
         bq=stack(lambda q: q["attention"]["query"]["bias"]),
         bk=stack(lambda q: q["attention"]["key"]["bias"]),
         bv=stack(lambda q: q["attention"]["value"]["bias"]),
-        wo=stack(lambda q: q["attention_output"]["kernel"]),
         bo=stack(lambda q: q["attention_output"]["bias"]),
         ln2_scale=stack(lambda q: q["output_norm"]["scale"]),
         ln2_bias=stack(lambda q: q["output_norm"]["bias"]),

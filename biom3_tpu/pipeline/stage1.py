@@ -49,6 +49,7 @@ class PenCLEngine:
         ff_quant: str | None = None,
         proj_quant: str | None = None,
         bert_ff_quant: str | None = None,
+        bert_proj_quant: str | None = None,
         softmax_opt: bool | None = None,
         ln_onepass: bool | None = None,
     ):
@@ -83,8 +84,16 @@ class PenCLEngine:
             proj_quant = "int8" if perf_mode else "none"
         if bert_ff_quant is None:
             bert_ff_quant = "int8" if perf_mode else "none"
+        # BERT q/k/v/out int8 (post-LN tower — the quantized activation is
+        # the raw residual): on-chip pair A/B (exp_pencl_quant --bert-proj,
+        # B=32, 2026-08-19): 127.9 vs 126.3 pairs/s, min embedding cosine
+        # unchanged (0.999980) — perf-mode default; drift-gated in
+        # test_bert_stack.py's interpret twin
+        if bert_proj_quant is None:
+            bert_proj_quant = "int8" if perf_mode else "none"
         self.proj_quant = proj_quant
         self.bert_ff_quant = bert_ff_quant
+        self.bert_proj_quant = bert_proj_quant
         # exact-math VPU-pass shaving in the tower stack kernels
         # (exp2-folded softmax via wq/bq, one-read LayerNorms) — parity
         # tests in test_{esm2,bert}_stack.py.  Default OFF: the on-chip
@@ -139,6 +148,7 @@ class PenCLEngine:
                     self.params["params"]["text_encoder"],
                     self.config.bert.num_layers, dtype=dtype,
                     ff_quant=self.bert_ff_quant,
+                    proj_quant=self.bert_proj_quant,
                 ),
             }
             proj = ProjectionHead(self.config.proj_dim, self.config.dropout,
@@ -196,6 +206,7 @@ class PenCLEngine:
                 heads=self.config.bert.num_heads, gelu="tanh",
                 rows=1 if x_t.shape[0] % 2 else 2,
                 ff_quant=self.bert_ff_quant,
+                proj_quant=self.bert_proj_quant,
                 softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
             )
             z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))

@@ -132,7 +132,8 @@ class Stage1SweepRunner:
             x0 = bert_embed(p["text_encoder"], x_t, dtype=dtype)
             t_cls = fused_bert_cls(
                 x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
-                rows=1, ff_quant=engine.bert_ff_quant, interpret=interpret,
+                rows=1, ff_quant=engine.bert_ff_quant,
+                proj_quant=engine.bert_proj_quant, interpret=interpret,
             )
             z_t = proj.apply({"params": p["text_projection"]},
                              t_cls.astype(dtype))

@@ -91,3 +91,26 @@ def test_fused_bert_cls_vpu_opts_match_flax(tower, rng):
         gelu="erf", interpret=True, softmax_opt=True, ln_onepass=True,
     ))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=2e-3)
+
+
+def test_fused_bert_cls_int8_proj_drift(tower, rng):
+    """proj_quant='int8' (q/k/v/out on the int8 MXU path — note BERT is
+    post-LN, so the quantized activation is the RAW residual): CLS cosine
+    vs the f32 Flax graph must clear the serving gate."""
+    model, params = tower
+    ids = rng.integers(0, 120, (4, 64)).astype(np.int32)
+    ref = np.asarray(model.apply(params, jnp.asarray(ids))["hidden"])[:, 0, :]
+    arrays = bert_stack_arrays(
+        params["params"], CFG.num_layers, jnp.bfloat16,
+        ff_quant="int8", proj_quant="int8",
+    )
+    x0 = bert_embed(params["params"], jnp.asarray(ids))
+    out = np.asarray(fused_bert_cls(
+        x0, **arrays, heads=CFG.num_heads, rows=2, ff_block_l=32,
+        gelu="tanh", interpret=True, ff_quant="int8", proj_quant="int8",
+        softmax_opt=True, ln_onepass=True,
+    ))
+    cos = np.sum(out * ref, -1) / (
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1)
+    )
+    assert cos.min() > 0.999, cos

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--vpu", action="store_true",
                     help="A/B the exact-math VPU opts (exp2-folded softmax "
                          "+ one-read LayerNorms) on the full-int8 combo")
+    ap.add_argument("--bert-proj", action="store_true",
+                    help="A/B BERT q/k/v/out int8 on top of the full-int8 "
+                         "serving default")
     args = ap.parse_args()
 
     cfg = PenCLConfig()
@@ -78,22 +81,28 @@ def main():
         ref_zp = np.asarray(ref_out["seq_joint_latent"], np.float32)
 
     combos = [
-        # (esm_ff, esm_proj, bert_ff, vpu: softmax_opt+ln_onepass)
-        ("none", "none", "none", False),
-        ("int8", "none", "none", False),     # pre-r3 bench default
-        ("int8", "int8", "none", False),
-        ("int8", "none", "int8", False),
-        ("int8", "int8", "int8", False),
+        # (esm_ff, esm_proj, bert_ff, vpu: softmax_opt+ln_onepass,
+        #  bert_proj)
+        ("none", "none", "none", False, "none"),
+        ("int8", "none", "none", False, "none"),  # pre-r3 bench default
+        ("int8", "int8", "none", False, "none"),
+        ("int8", "none", "int8", False, "none"),
+        ("int8", "int8", "int8", False, "none"),
     ]
     if args.vpu:
         combos = [
-            ("int8", "int8", "int8", False),  # r3 serving default
-            ("int8", "int8", "int8", True),
+            ("int8", "int8", "int8", False, "none"),  # r3 serving default
+            ("int8", "int8", "int8", True, "none"),
+        ]
+    if args.bert_proj:
+        combos = [
+            ("int8", "int8", "int8", False, "none"),  # r3 serving default
+            ("int8", "int8", "int8", False, "int8"),
         ]
     arrays_cache = {}
 
-    def get_arrays(esm_ff, esm_proj, bert_ff):
-        key = (esm_ff, esm_proj, bert_ff)
+    def get_arrays(esm_ff, esm_proj, bert_ff, bert_proj):
+        key = (esm_ff, esm_proj, bert_ff, bert_proj)
         if key not in arrays_cache:
             arrays_cache[key] = {
                 "esm": esm2_stack_arrays(
@@ -102,21 +111,22 @@ def main():
                 ),
                 "bert": bert_stack_arrays(
                     params["params"]["text_encoder"], cfg.bert.num_layers,
-                    jnp.bfloat16, ff_quant=bert_ff,
+                    jnp.bfloat16, ff_quant=bert_ff, proj_quant=bert_proj,
                 ),
             }
         return arrays_cache[key]
 
-    for esm_ff, esm_proj, bert_ff, vpu in combos:
-        arrays = get_arrays(esm_ff, esm_proj, bert_ff)
+    for esm_ff, esm_proj, bert_ff, vpu, bert_proj in combos:
+        arrays = get_arrays(esm_ff, esm_proj, bert_ff, bert_proj)
 
         def pair_forward(params, arrays, x_t, x_p,
                          esm_ff=esm_ff, esm_proj=esm_proj, bert_ff=bert_ff,
-                         vpu=vpu):
+                         vpu=vpu, bert_proj=bert_proj):
             x0 = bert_embed(params["params"]["text_encoder"], x_t)
             t_cls = fused_bert_cls(
                 x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
-                ff_quant=bert_ff, softmax_opt=vpu, ln_onepass=vpu,
+                ff_quant=bert_ff, proj_quant=bert_proj,
+                softmax_opt=vpu, ln_onepass=vpu,
             )
             z_t = proj.apply(
                 {"params": params["params"]["text_projection"]},
@@ -144,7 +154,8 @@ def main():
             return sums
 
         tag = (f"esm_ff={esm_ff} esm_proj={esm_proj} bert_ff={bert_ff}"
-               + (" vpu" if vpu else ""))
+               + (" vpu" if vpu else "")
+               + (f" bert_proj={bert_proj}" if bert_proj != "none" else ""))
         try:
             t0 = time.perf_counter()
             np.asarray(many(params, arrays, x_t, x_p))
