@@ -79,7 +79,7 @@ def _esm2_stack_kernel(
     xres_ref,                                    # (L, E) f32
     *, depth, rows, heads, ff_block_l, precision, gelu,
     pad_idx, mask_idx, token_dropout, head_unroll, ff_quant, proj_quant,
-    softmax_opt, ln_onepass,
+    softmax_opt, ln_onepass, ablate="",
 ):
     l = pl.program_id(1)
     cdtype = h_ref.dtype
@@ -164,6 +164,8 @@ def _esm2_stack_kernel(
             def rot(zt):
                 # GPT-NeoX rotary, transposed: z·cos + (Pᵀ z)·sin — bit-
                 # exact rotate_half as a ±1 permutation matmul (MXU)
+                if "no_rot" in ablate:               # timing-only knob
+                    return zt
                 zp = jax.lax.dot_general(
                     pt, zt, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision,
@@ -173,11 +175,16 @@ def _esm2_stack_kernel(
             qh = rot(qkv_ref[pl.ds(off, Dh), :])
             kh = rot(qkv_ref[pl.ds(E + off, Dh), :])
             vh = qkv_ref[pl.ds(2 * E + off, Dh), :]
+            if "no_dots" in ablate:                  # timing-only knob:
+                attn_ref[pl.ds(off, Dh), :] = vh     # skip dots+softmax+pv
+                return _
             dots = jax.lax.dot_general(
                 qh, kh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )                                                    # (Lq, Lk) f32
-            if softmax_opt:
+            if "no_softmax" in ablate:               # timing-only knob
+                p = (dots * scale).astype(cdtype)
+            elif softmax_opt:
                 # scale·log2e pre-folded into wq/bq (rotary is linear in q,
                 # so the fold rides through rot()): dots are log2-domain —
                 # no scale pass, hardware exp2, reciprocal-mul.  padneg's
@@ -263,7 +270,10 @@ def _esm2_stack_kernel(
             h_ref[r, pl.ds(off, ff_block_l)] = (xc + out).astype(cdtype)
             return _
 
-        jax.lax.fori_loop(0, L // ff_block_l, ff_body, None)
+        if "no_ff" in ablate:                        # timing-only knob
+            h_ref[r] = xres_ref[:].astype(cdtype)
+        else:
+            jax.lax.fori_loop(0, L // ff_block_l, ff_body, None)
 
         # ---- l == depth-1: final LN on the CLS row only ----
         @pl.when(l == depth - 1)
@@ -278,7 +288,7 @@ def _esm2_stack_kernel(
         "heads", "rows", "ff_block_l", "gelu", "vmem_limit_mb",
         "pad_idx", "mask_idx", "token_dropout", "w_buffers", "ff_buffers",
         "head_unroll", "interpret", "ff_quant", "proj_quant",
-        "softmax_opt", "ln_onepass",
+        "softmax_opt", "ln_onepass", "ablate",
     ),
 )
 def fused_esm2_cls(
@@ -315,8 +325,13 @@ def fused_esm2_cls(
     proj_quant: str = "none",
     softmax_opt: bool = False,
     ln_onepass: bool = False,
+    ablate: str = "",
 ) -> jax.Array:
     """Full ESM2 tower forward → (B, E) f32 post-final-norm CLS vectors.
+
+    ``ablate``: timing-only decomposition knob (WRONG math — never a
+    serving mode): "no_rot"/"no_dots"/"no_softmax"/"no_ff" skip that
+    stage; see tools/exp_esm2_stack.py --which ablate.
 
     ``rows`` = batch rows per program (residual scratch rows·L·E·2 B).
     ``w_buffers``/``ff_buffers`` = pipeline buffer counts for the attention
@@ -403,7 +418,7 @@ def fused_esm2_cls(
         precision=precision, gelu=gelu, pad_idx=pad_idx, mask_idx=mask_idx,
         token_dropout=token_dropout, head_unroll=head_unroll,
         ff_quant=ff_quant, proj_quant=proj_quant,
-        softmax_opt=softmax_opt, ln_onepass=ln_onepass,
+        softmax_opt=softmax_opt, ln_onepass=ln_onepass, ablate=ablate,
     )
 
     return pl.pallas_call(

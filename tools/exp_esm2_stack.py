@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--proj-quant", type=str, nargs="*", default=["none"],
                     choices=["none", "int8"])
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--ablate", type=str, nargs="*", default=[],
+                    help="timing-only kernel ablations to run on the int8 "
+                         "serving combo: no_rot no_dots no_softmax no_ff")
     args = ap.parse_args()
 
     from biom3_tpu.utils.flops import esm2_forward_flops
@@ -151,6 +154,27 @@ def main():
                 np.linalg.norm(got, axis=-1) * np.linalg.norm(ref_cls, axis=-1)
             )
             print(f"  CLS cosine vs xla path: min {cos.min():.6f}")
+
+    if args.ablate:
+        # timing-only decomposition on the int8 serving combo (WRONG math
+        # in the ablated variants — where does the tower's time go?)
+        arrays = esm2_stack_arrays(params["params"], cfg.num_layers,
+                                   jnp.bfloat16, ff_quant="int8",
+                                   proj_quant="int8")
+        for ab in ["", *args.ablate]:
+            def fwd(arrs, xx, ab=ab):
+                return fused_esm2_cls(
+                    xx, **arrs, heads=cfg.attention_heads, gelu="tanh",
+                    ff_quant="int8", proj_quant="int8", ablate=ab,
+                )
+            try:
+                best, comp = chain_time(fwd, arrays, x, args.iters)
+            except Exception as e:  # noqa: BLE001
+                print(f"ablate={ab or 'base'}: FAILED {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}")
+                continue
+            print(f"ablate={ab or 'base'}: {best:.3f}s  "
+                  f"{B * args.iters / best:.1f} seq/s  (compile {comp:.0f}s)")
 
 
 if __name__ == "__main__":

@@ -90,9 +90,12 @@ def main():
         ("int8", "int8", "int8", False, "none"),
     ]
     if args.vpu:
+        # vpu field: False | True (both towers) | "esm" | "bert"
         combos = [
             ("int8", "int8", "int8", False, "none"),  # r3 serving default
             ("int8", "int8", "int8", True, "none"),
+            ("int8", "int8", "int8", "esm", "none"),
+            ("int8", "int8", "int8", "bert", "none"),
         ]
     if args.bert_proj:
         combos = [
@@ -119,14 +122,18 @@ def main():
     for esm_ff, esm_proj, bert_ff, vpu, bert_proj in combos:
         arrays = get_arrays(esm_ff, esm_proj, bert_ff, bert_proj)
 
+        vpu_esm = vpu in (True, "esm")
+        vpu_bert = vpu in (True, "bert")
+
         def pair_forward(params, arrays, x_t, x_p,
                          esm_ff=esm_ff, esm_proj=esm_proj, bert_ff=bert_ff,
-                         vpu=vpu, bert_proj=bert_proj):
+                         vpu_esm=vpu_esm, vpu_bert=vpu_bert,
+                         bert_proj=bert_proj):
             x0 = bert_embed(params["params"]["text_encoder"], x_t)
             t_cls = fused_bert_cls(
                 x0, **arrays["bert"], heads=cfg.bert.num_heads, gelu="tanh",
                 ff_quant=bert_ff, proj_quant=bert_proj,
-                softmax_opt=vpu, ln_onepass=vpu,
+                softmax_opt=vpu_bert, ln_onepass=vpu_bert,
             )
             z_t = proj.apply(
                 {"params": params["params"]["text_projection"]},
@@ -135,7 +142,7 @@ def main():
             cls = fused_esm2_cls(
                 x_p, **arrays["esm"], heads=cfg.esm.attention_heads,
                 gelu="tanh", ff_quant=esm_ff, proj_quant=esm_proj,
-                softmax_opt=vpu, ln_onepass=vpu,
+                softmax_opt=vpu_esm, ln_onepass=vpu_esm,
             )
             z_p = proj.apply(
                 {"params": params["params"]["protein_projection"]},
@@ -154,7 +161,7 @@ def main():
             return sums
 
         tag = (f"esm_ff={esm_ff} esm_proj={esm_proj} bert_ff={bert_ff}"
-               + (" vpu" if vpu else "")
+               + (f" vpu={vpu}" if vpu else "")
                + (f" bert_proj={bert_proj}" if bert_proj != "none" else ""))
         try:
             t0 = time.perf_counter()
