@@ -167,6 +167,7 @@ def make_stack_apply(
     ln_onepass: bool = False,
     ablate: str = "",
     local_impl: str = "strips",
+    attn_quant: str = "none",
     gather_k: int = 8,
 ):
     """Whole-stack serving forward (``ops/pallas/stack_kernel_tpu``): ONE
@@ -281,7 +282,7 @@ def make_stack_apply(
             gelu=gelu, resident=resident, stream=stream,
             ff_block_l=ff_block_l, ff_quant=ff_quant, proj_quant=proj_quant,
             softmax_opt=softmax_opt, ln_onepass=ln_onepass, ablate=ablate,
-            local_impl=local_impl,
+            local_impl=local_impl, attn_quant=attn_quant,
             vmem_limit_mb=(vmem_limit_mb if vmem_limit_mb is not None
                            else plan["vmem_limit_mb"]),
             interpret=interpret,

@@ -59,7 +59,8 @@ def _qcols(x, staticq=False):
 
 def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
                  scale, precision, cdtype, proj_quant, softmax_opt=False,
-                 staticq=False, ablate="", local_impl="strips"):
+                 staticq=False, ablate="", local_impl="strips",
+                 attn_quant="none"):
     """Shared d-major attention core of both stream layouts: LN'd (d, L)
     activations → (d, L) concatenated [local-window | linear-attention]
     head outputs (lucidrains semantics: ±1-window strips with joint
@@ -106,7 +107,129 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
     qtl = qt[:nl * Dh, :].reshape(nl, Dh, L)
     ktl = kt[:nl * Dh, :].reshape(nl, Dh, L)
     vtl = vt[:nl * Dh, :].reshape(nl, Dh, L)
-    if local_impl.startswith("banded"):
+
+    aq8 = None
+    if attn_quant == "int8":
+        # Local-window dots + pv on the int8 MXU (v5e int8 peak ≈ 2× bf16;
+        # the K=Dh=32 qk contraction caps bf16 at ~25% utilization, so the
+        # MXU time here halves while the dequants ride existing VPU
+        # passes).  Scale placement makes every dequant exact-factorable:
+        # q/k per (head, token) over Dh — their scales leave the Dh-sum as
+        # a rank-1 outer product multiplied into the softmax input; v per
+        # (head, channel) over L and p per (head, query) — both factor out
+        # of the band-sum.  Global heads stay bf16 (their matmuls are
+        # tiny; softmax VPU dominates there).  With softmax_opt the
+        # scale·log2e fold arrives pre-applied in q and rides the
+        # requantization unchanged.
+        def _q_ht(x):                    # (nl, Dh, L) → int8 + (nl, 1, L)
+            xf = x.astype(jnp.float32)
+            amax = jnp.maximum(jnp.max(jnp.abs(xf), 1, keepdims=True), 1e-6)
+            qv = jnp.clip(jnp.round(xf * (127.0 / amax)),
+                          -127.0, 127.0).astype(jnp.int8)
+            return qv, amax * (1.0 / 127.0)
+
+        vf = vtl.astype(jnp.float32)
+        vamax = jnp.maximum(jnp.max(jnp.abs(vf), 2, keepdims=True), 1e-6)
+        aq8 = (*_q_ht(qtl), *_q_ht(ktl),
+               jnp.clip(jnp.round(vf * (127.0 / vamax)), -127.0,
+                        127.0).astype(jnp.int8), vamax * (1.0 / 127.0))
+
+    def _strip(w):
+        """One window's (nl·Dh, W) local-head output via the short
+        ±1-window strip (edge windows read a 2W band — no padding, no
+        masks; lucidrains semantics, local_attention.py:104-149)."""
+        lo = max(0, (w - 1) * W)
+        hi = min(L, (w + 2) * W)
+        if aq8 is not None:
+            qq, sqt, kq, skt, vq, svt = aq8
+            dots = (jax.lax.dot_general(
+                qq[:, :, w * W:(w + 1) * W], kq[:, :, lo:hi],
+                (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+                * sqt[:, 0, w * W:(w + 1) * W][:, :, None]
+                * skt[:, 0, lo:hi][:, None, :])
+        else:
+            qw = qtl[:, :, w * W:(w + 1) * W]
+            kn = ktl[:, :, lo:hi]
+            dots = jax.lax.dot_general(
+                qw, kn, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        if softmax_opt:
+            # q pre-folded by scale·log2e: dots are already in the log2
+            # domain — no scale pass, hardware exp2, reciprocal-mul
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp2(dots - m)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        else:
+            dots = dots * scale
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp(dots - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if aq8 is not None:
+            # p ∈ [0, 1]: per (head, query) amax quant, scale folds out of
+            # the band-sum; v was quantized per (head, channel) above
+            pamax = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-6)
+            pq = jnp.round(p * (127.0 / pamax)).astype(jnp.int8)
+            avt = (jax.lax.dot_general(
+                vq[:, :, lo:hi], pq, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+                * svt * (pamax[:, :, 0][:, None, :] * (1.0 / 127.0))
+            ).astype(cdtype)
+        else:
+            avt = jax.lax.dot_general(
+                vtl[:, :, lo:hi], p.astype(cdtype),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype)
+        return avt.reshape(nl * Dh, W)
+
+    if local_impl.startswith("bandmid") and nw >= 3:
+        # Middle ground between "strips" (nw·2 small matmuls per layer,
+        # works everywhere) and "banded" (one batched matmul, crashes the
+        # remote Mosaic compiler — BACKLOG r3s5): batch only the MIDDLE
+        # windows (w=1..nw-2), whose 3W bands are pure contiguous slices —
+        # no zero-padding, no -1e9 iota masks, none of the forms the
+        # banded repro implicates.  Edge windows keep the 2W strips.
+        nmid = nw - 2
+        qb = jnp.concatenate(
+            [qtl[:, :, w * W:(w + 1) * W] for w in range(1, nw - 1)],
+            axis=0)                                      # (nmid·nl, Dh, W)
+        kb = jnp.concatenate(
+            [ktl[:, :, (w - 1) * W:(w + 2) * W] for w in range(1, nw - 1)],
+            axis=0)                                      # (nmid·nl, Dh, 3W)
+        vb = jnp.concatenate(
+            [vtl[:, :, (w - 1) * W:(w + 2) * W] for w in range(1, nw - 1)],
+            axis=0)
+        # chunk the batch axis (Mosaic batch>32 matmul→softmax→matmul
+        # chains SIGABRT — repro batch64_softmax); "bandmid<N>" overrides
+        bmax = int(local_impl[7:]) if len(local_impl) > 7 else 16
+        avs = []
+        for c0 in range(0, nmid * nl, bmax):
+            c1 = min(c0 + bmax, nmid * nl)
+            dots = jax.lax.dot_general(
+                qb[c0:c1], kb[c0:c1], (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )                                            # (bc, W, 3W)
+            if not softmax_opt:
+                dots = dots * scale
+            m = jnp.max(dots, axis=-1, keepdims=True)
+            e = jnp.exp2(dots - m) if softmax_opt else jnp.exp(dots - m)
+            p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                 ).astype(cdtype)
+            avs.append(jax.lax.dot_general(
+                vb[c0:c1], p, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(cdtype))                            # (bc, Dh, W)
+        avt = jnp.concatenate(avs, axis=0)               # (nmid·nl, Dh, W)
+        local_t = jnp.concatenate(
+            [_strip(0)]
+            + [avt[i * nl:(i + 1) * nl].reshape(nl * Dh, W)
+               for i in range(nmid)]
+            + [_strip(nw - 1)], axis=1)
+    elif local_impl.startswith("banded"):
         # ONE batched matmul over all (head, window) strips instead of a
         # Python loop of nw small matmuls: stack the per-window q slices
         # to (nl, nw, Dh, W) and the overlapping ±1-window k/v bands to
@@ -175,35 +298,7 @@ def _attn_core_t(xnt, wqt, wkt, wvt, sq, sk, sv, *, nl, ng, Dh, W, nw, L,
             [avt[w * nl:(w + 1) * nl].reshape(nl * Dh, W)
              for w in range(nw)], axis=1)
     else:
-        w_strips = []
-        for w in range(nw):
-            lo = max(0, (w - 1) * W)
-            hi = min(L, (w + 2) * W)
-            qw = qtl[:, :, w * W:(w + 1) * W]
-            kn = ktl[:, :, lo:hi]
-            vn = vtl[:, :, lo:hi]
-            dots = jax.lax.dot_general(
-                qw, kn, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            if softmax_opt:
-                # q pre-folded by scale·log2e: dots are already in the log2
-                # domain — no scale pass, hardware exp2, reciprocal-mul
-                m = jnp.max(dots, axis=-1, keepdims=True)
-                e = jnp.exp2(dots - m)
-                p = (e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-                     ).astype(cdtype)
-            else:
-                dots = dots * scale
-                m = jnp.max(dots, axis=-1, keepdims=True)
-                e = jnp.exp(dots - m)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdtype)
-            avt = jax.lax.dot_general(
-                vn, p, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=precision,
-            ).astype(cdtype)
-            w_strips.append(avt.reshape(nl * Dh, W))
-        local_t = jnp.concatenate(w_strips, axis=1)
+        local_t = jnp.concatenate([_strip(w) for w in range(nw)], axis=1)
 
     if "noglobal" in ablate:
         lin_t = qt[nl * Dh:, :]                       # timing-only passthrough
@@ -291,7 +386,7 @@ def _ln_cols(xf, ls, lb, one_pass):
 def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
                   local_heads, heads, window, precision, cdtype, proj_quant,
                   softmax_opt=False, ln_onepass=False, staticq=False,
-                  ablate="", local_impl="strips"):
+                  ablate="", local_impl="strips", attn_quant="none"):
     """Transposed-stream variant: xb is (d, L) and stays (d, L) — the two
     per-layer activation transposes of ``_attn_body`` (``xnt = ….T`` and
     ``outt.T``) vanish; every matmul already consumes/produces the
@@ -309,7 +404,7 @@ def _attn_body_dl(xb, ls, lb, wqt, wkt, wvt, wot, bo, sq, sk, sv, so, *,
         xnt, wqt, wkt, wvt, sq, sk, sv, nl=nl, ng=ng, Dh=Dh, W=W, nw=nw,
         L=L, scale=scale, precision=precision, cdtype=cdtype,
         proj_quant=proj_quant, softmax_opt=softmax_opt, staticq=staticq,
-        ablate=ablate, local_impl=local_impl,
+        ablate=ablate, local_impl=local_impl, attn_quant=attn_quant,
     )
     if proj_quant == "int8":
         qattn, aat = _qcols(attnt, staticq)
@@ -575,7 +670,7 @@ def _resident_kernel_dl(
     h_ref,
     *, depth, rows, local_heads, heads, window, ff_block_l, precision,
     gelu, ff_quant, proj_quant, softmax_opt, ln_onepass, ablate="",
-    local_impl="strips",
+    local_impl="strips", attn_quant="none",
 ):
     """Transposed-stream resident variant: the residual scratch is (rows,
     d, L) and every stage works d-major — no per-layer activation
@@ -621,7 +716,7 @@ def _resident_kernel_dl(
                     precision=precision, cdtype=cdtype,
                     proj_quant=proj_quant, softmax_opt=softmax_opt,
                     ln_onepass=ln_onepass, staticq=staticq, ablate=ablate,
-                    local_impl=local_impl,
+                    local_impl=local_impl, attn_quant=attn_quant,
                 )
             if "no_ff" not in ablate:
                 xb = _ff_body_dl(
@@ -664,7 +759,7 @@ def _resident_kernel_dl(
         "local_heads", "heads", "window", "rows", "ff_block_l",
         "ff_buffers", "gelu", "vmem_limit_mb", "resident", "stream",
         "interpret", "ff_quant", "proj_quant", "softmax_opt", "ln_onepass",
-        "ablate", "local_impl",
+        "ablate", "local_impl", "attn_quant",
     ),
 )
 def fused_stack_logits(
@@ -705,6 +800,7 @@ def fused_stack_logits(
     ln_onepass: bool = False,
     ablate: str = "",
     local_impl: str = "strips",
+    attn_quant: str = "none",
 ) -> jax.Array:
     """Full serving forward → (B, k, C) f32 logits at the decode positions.
 
@@ -733,11 +829,22 @@ def fused_stack_logits(
         raise ValueError("ablate is a timing-only knob of the resident dl "
                          f"kernel; got resident={resident} stream={stream!r}")
     if local_impl != "strips" and not (
-        local_impl.startswith("banded")
-        and (local_impl == "banded" or local_impl[6:].isdigit())
+        (local_impl.startswith("banded")
+         and (local_impl == "banded" or local_impl[6:].isdigit()))
+        or (local_impl.startswith("bandmid")
+            and (local_impl == "bandmid" or local_impl[7:].isdigit()))
     ):
-        raise ValueError(f"local_impl must be 'strips' or 'banded[<N>]', "
-                         f"got {local_impl!r}")
+        raise ValueError(f"local_impl must be 'strips', 'banded[<N>]' or "
+                         f"'bandmid[<N>]', got {local_impl!r}")
+    if attn_quant not in ("none", "int8"):
+        raise ValueError(f"attn_quant must be 'none' or 'int8', "
+                         f"got {attn_quant!r}")
+    if attn_quant == "int8" and not (
+        resident and stream == "dl" and local_impl == "strips"
+    ):
+        raise ValueError("attn_quant='int8' (int8 local-window dots/pv) is "
+                         "implemented for the resident dl kernel with "
+                         "local_impl='strips'")
     if local_impl != "strips" and not (resident and stream == "dl"):
         raise ValueError("local_impl='banded' is implemented for the "
                          "resident dl kernel")
@@ -849,7 +956,8 @@ def fused_stack_logits(
             ff_block_l=ff_block_l, precision=precision, gelu=gelu,
             ff_quant=ff_quant, proj_quant=proj_quant,
             softmax_opt=softmax_opt, ln_onepass=ln_onepass,
-            **({"ablate": ablate, "local_impl": local_impl}
+            **({"ablate": ablate, "local_impl": local_impl,
+                "attn_quant": attn_quant}
                if stream == "dl" else {}),
         )
     else:

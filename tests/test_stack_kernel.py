@@ -133,6 +133,28 @@ def test_stack_kernel_banded_local_matches_flax(rng):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("impl", ["bandmid", "bandmid2"])
+def test_stack_kernel_bandmid_local_matches_flax(rng, impl):
+    """local_impl='bandmid' (middle windows batched over pure-slice 3W
+    bands — no zero-pad / no mask, the forms implicated in the banded
+    Mosaic crash — edge windows as 2W strips) is exact vs the strips
+    loop; 'bandmid2' forces the chunked batch path."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = jnp.take_along_axis(ref, pos[..., None], axis=1)
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
+        softmax_opt=True, ln_onepass=True, local_impl=impl,
+    )
+    got = apply_fn(variables, x, t, z, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_stack_kernel_vpu_opts_int8_drift(rng):
     """softmax_opt on the int8 projection path folds into the f32 dequant
     scales — drift vs the f32 Flax graph must stay within the int8 gate."""
@@ -146,6 +168,32 @@ def test_stack_kernel_vpu_opts_int8_drift(rng):
     apply_fn = make_stack_apply(
         SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
         ff_quant="int8", proj_quant="int8", softmax_opt=True, ln_onepass=True,
+    )
+    got = np.asarray(apply_fn(variables, x, t, z, pos))
+    a = got.reshape(-1, got.shape[-1])
+    b = want.reshape(-1, want.shape[-1])
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+    assert float(cos.min()) >= 0.999, float(cos.min())
+
+
+def test_stack_kernel_attn_quant_int8_drift(rng):
+    """attn_quant='int8' (local-window dots + pv on the int8 MXU: q/k per
+    (head, token), p per (head, query), v per (head, channel) — every
+    dequant scale factors exactly out of its contraction) — drift vs the
+    f32 Flax graph must stay within the int8 serving gate."""
+    model, variables, x, t, z = _setup(rng)
+    B, k = x.shape[0], 4
+    pos = jnp.asarray(
+        np.stack([rng.permutation(SMALL.max_seq_len)[:k] for _ in range(B)])
+    ).astype(jnp.int32)
+    ref = model.apply(variables, x, t, z)
+    want = np.asarray(jnp.take_along_axis(ref, pos[..., None], axis=1))
+    apply_fn = make_stack_apply(
+        SMALL, dtype=jnp.float32, resident=True, stream="dl", interpret=True,
+        ff_quant="int8", proj_quant="int8", softmax_opt=True, ln_onepass=True,
+        attn_quant="int8",
     )
     got = np.asarray(apply_fn(variables, x, t, z, pos))
     a = got.reshape(-1, got.shape[-1])

@@ -408,6 +408,37 @@ def main():
                       (1, 1, "tanh", dict(base, local_impl="banded16")),
                       (1, 1, "tanh", dict(base, local_impl="banded8")),
                   ])
+    if args.which == "bandmid":
+        # bandmid: middle windows batched over pure-slice bands (no pad, no
+        # mask — the banded forms crash Mosaic even post-reboot), edges as
+        # strips.  Sweep the chunk size; 48 = all 6 middle windows × nl=8
+        # in one dispatch pair per layer.
+        base = {"resident": True, "stream": "dl",
+                "ff_quant": "int8", "proj_quant": "int8",
+                "softmax_opt": True, "ln_onepass": True}
+        run_stack(variables, args.steps, args.runs,
+                  combos=[
+                      (1, 1, "tanh", dict(base)),
+                      (1, 1, "tanh", dict(base, local_impl="bandmid16")),
+                      (1, 1, "tanh", dict(base, local_impl="bandmid24")),
+                      (1, 1, "tanh", dict(base, local_impl="bandmid48")),
+                  ])
+    if args.which == "attnq":
+        # int8 local-window dots + pv (attn_quant='int8') vs the serving
+        # default: the ablate sweep put the local section at ~5.2 ms of
+        # the 18.0 ms call with the K=Dh=32 qk contraction capping bf16 at
+        # ~25% MXU utilization — the int8 MXU's 2× peak halves the matmul
+        # time there; the dequants are rank-1 factorable (see
+        # stack_kernel_tpu._attn_core_t) and drift-gated in
+        # tests/test_stack_kernel.py::test_stack_kernel_attn_quant_int8_drift
+        base = {"resident": True, "stream": "dl",
+                "ff_quant": "int8", "proj_quant": "int8",
+                "softmax_opt": True, "ln_onepass": True}
+        run_stack(variables, args.steps, args.runs,
+                  combos=[
+                      (1, 1, "tanh", dict(base)),
+                      (1, 1, "tanh", dict(base, attn_quant="int8")),
+                  ])
     if args.which == "ablate":
         # timing-only decomposition of the serving default (WRONG math in
         # the ablated variants — never a serving mode): where do the 18 ms
