@@ -343,20 +343,23 @@ class ProteoScribe(nn.Module):
             if (not self.remat and jax.default_backend() not in ("cpu",)
                     and not _os.environ.get("BIOM3_ALLOW_COMPILER_KILLERS")):
                 # The backward graph of a plain (un-remat'd) layer scan
-                # crashed the remote TPU compiler (HTTP 500) on
-                # pre-2026-08-19 backends; the 2026-08-19 backend compiles
-                # it (tools/repro_compiler_crashes.py --which scan_bwd:
-                # PASS), so the hard fence is now a warning.  Re-test per
-                # backend change.
+                # crashes the remote TPU compiler (HTTP 500).  The minimal
+                # repro (tools/repro_compiler_crashes.py --which scan_bwd)
+                # PASSES on the 2026-08-19+ backend, but the FULL-SIZE
+                # training graph (B=32, reference config) still 500s —
+                # re-confirmed 2026-08-20 via tools/bench_train.py
+                # --variants scan_u1 scan_u2.  Keep this a loud warning;
+                # re-test per backend change.
                 import warnings as _warnings
 
                 _warnings.warn(
-                    "scan_layers=True without remat crashed pre-2026-08-19 "
-                    "TPU backends on the training backward graph (fixed on "
-                    "the current one).  If the compile 500s, set remat=True "
-                    "(CLI: --layer-mode scan_remat) or use an unrolled "
-                    "mode, and re-test with tools/repro_compiler_crashes.py "
-                    "--which scan_bwd",
+                    "scan_layers=True without remat still crashes the TPU "
+                    "compiler (HTTP 500) on the FULL-SIZE training backward "
+                    "graph (re-confirmed 2026-08-20; the minimal repro "
+                    "passes, the B=32 reference-config graph does not).  "
+                    "Set remat=True (CLI: --layer-mode scan_remat) or use "
+                    "an unrolled mode; re-test with tools/bench_train.py "
+                    "--variants scan_u1 after backend upgrades",
                     stacklevel=2,
                 )
             body = _ScanBody
