@@ -54,6 +54,11 @@ def parse_arguments():
                         "(multi-chip serving; rows_per_dispatch must be a "
                         "multiple of mesh_dp*mesh_fsdp)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--continuous", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="chunk-boundary continuous batching for generate "
+                        "(auto: on for exact path-order ARDM, off for "
+                        "maskgit/confidence fast modes)")
     p.add_argument("--warmup", action="store_true",
                    help="compile every serving executable (embed, generate, "
                         "inpaint) with dummy dispatches before accepting "
@@ -95,14 +100,16 @@ def main() -> None:
         seed=args.seed,
         mesh=mesh,
     )
-    if args.warmup:
-        print("warming up (compiling serving executables)...", flush=True)
-        times = pipeline.warmup()
-        print(f"warmup done: {times}", flush=True)
     server = BioM3Server(
         pipeline, host=args.host, port=args.port,
         max_wait_s=args.max_wait_ms / 1000.0,
+        continuous=(None if args.continuous == "auto"
+                    else args.continuous == "on"),
     )
+    if args.warmup:
+        print("warming up (compiling serving executables)...", flush=True)
+        times = server.warmup()
+        print(f"warmup done: {times}", flush=True)
     print(f"serving on http://{server.host}:{server.port}", flush=True)
 
     import signal

@@ -281,6 +281,124 @@ def make_sampler(
     return sample
 
 
+def make_chunk_stepper(
+    apply_fn: Callable,
+    num_steps: int,
+    *,
+    chunk_steps: int,
+    positions_per_step: int = 1,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    head_fn: Callable | None = None,
+    apply_takes_positions: bool = False,
+) -> Callable:
+    """Per-row-offset chunk stepper: the device half of continuous batching.
+
+    :func:`make_sampler` advances a whole batch in lockstep from t=0 — rows
+    can only join a dispatch at trajectory start, which is why round-3
+    serving measured 0.52 row occupancy under concurrent load (half the
+    chip denoising padding).  This stepper advances each row from its OWN
+    step offset, so rows at different trajectory phases share one
+    dispatch and the serving scheduler
+    (``biom3_tpu.serving.continuous``) can admit/retire rows at every
+    chunk boundary.  Reference hot loop being replaced:
+    ``Stage3_source/sampling_analysis.py:204-265`` (one model call per
+    step per batch, host-synchronized).
+
+    Returns ``chunk_fn(params, z_c (B,C), inv (B,L), x (B,L) int32,
+    t0 (B,) int32, key_data (B,2) uint32, key_data_new (B,2) uint32)
+    → (x', key_data')`` advancing every row ``chunk_steps`` outer steps
+    (× ``positions_per_step`` positions each) from its offset ``t0``:
+
+      * ``inv[b, t]`` is the position row ``b`` decodes at step ``t``
+        (the argsort of a sampled path — or, equivalently, any uniform
+        random permutation used directly).
+      * Rows entering with ``t0 == 0`` are reset on device: ``x`` row
+        zeroed to the absorbing state and the RNG row seeded from
+        ``key_data_new`` — so the scheduler can keep BOTH carries
+        (``x`` and ``key_data``) device-resident across chunks and never
+        fetch them between boundaries (each host↔device round-trip costs
+        ~0.2 s through the serving tunnel; the carry fetch would burn a
+        sync per chunk).  ``key_data_new`` is only read where
+        ``t0 == 0`` — stale rows are ignored.
+      * Rows with ``t0 >= num_steps`` are inert: they compute (padding
+        lanes are free — the batch shape is fixed either way) but never
+        write, so finished/free slots cannot corrupt.
+      * **Per-row RNG streams** (``key_data`` is each row's raw
+        ``jax.random`` key data): a row's tokens depend only on its own
+        key, never on which rows happen to share the dispatch — seeded
+        requests reproduce bit-exactly under ANY batch composition, with
+        no solo-dispatch occupancy cost (categorical sampling via the
+        Gumbel-argmax identity on a vmapped per-row stream).
+        ``temperature=0`` takes the RNG-free argmax and passes
+        ``key_data`` through untouched; per-step math then matches
+        :func:`make_sampler`'s gather path bit-for-bit
+        (tests/test_continuous.py).
+    """
+    k = positions_per_step
+    if num_steps % k != 0:
+        raise ValueError(f"num_steps {num_steps} not divisible by k={k}")
+    outer = num_steps // k
+    if chunk_steps < 1 or outer % chunk_steps != 0:
+        raise ValueError(
+            f"outer steps {outer} not divisible by chunk {chunk_steps}"
+        )
+
+    @jax.jit
+    def chunk_fn(params, z_c, inv, x, t0, key_data, key_data_new):
+        B, L = x.shape
+        fresh = (t0 == 0)[:, None]
+        x = jnp.where(fresh, 0, x)
+        key_data = jnp.where(fresh, key_data_new, key_data)
+
+        def step(carry, i):
+            x, kd = carry
+            t = t0 + i * k                                      # (B,)
+            active = t < num_steps
+            tm = jnp.minimum(t, num_steps - 1)
+            idx = jnp.minimum(
+                tm[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :], L - 1
+            )
+            pos = jnp.take_along_axis(inv, idx, axis=1)         # (B, k)
+            if apply_takes_positions:
+                picked = apply_fn(params, x, tm, z_c, pos)      # (B, k, C)
+            else:
+                out = apply_fn(params, x, tm, z_c)
+                picked = jnp.take_along_axis(out, pos[..., None], axis=1)
+                if head_fn is not None:
+                    picked = head_fn(params, picked)            # (B, k, C)
+            lg = picked.astype(jnp.float32)
+            if top_k is not None or top_p is not None:
+                lg = apply_logit_filters(lg, top_k=top_k, top_p=top_p)
+            if temperature == 0.0:
+                smp = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            else:
+                keys = jax.random.wrap_key_data(kd)             # (B,) keys
+                split = jax.vmap(jax.random.split)(keys)        # (B, 2)
+                g = jax.vmap(
+                    lambda s: jax.random.gumbel(s, lg.shape[1:], jnp.float32)
+                )(split[:, 1])
+                smp = jnp.argmax(
+                    lg / temperature + g, axis=-1
+                ).astype(jnp.int32)
+                kd = jax.random.key_data(split[:, 0])
+            # one-hot broadcast write (scatter-in-scan is pathologically
+            # slow on the TPU compiler), masked off for inert rows
+            oh = pos[:, :, None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            new_vals = jnp.sum(oh * smp[:, :, None], axis=1).astype(x.dtype)
+            wrote = jnp.any(oh, axis=1) & active[:, None]
+            x = jnp.where(wrote, new_vals, x)
+            return (x, kd), None
+
+        (x, key_data), _ = jax.lax.scan(
+            step, (x, key_data), jnp.arange(chunk_steps, dtype=jnp.int32)
+        )
+        return x, key_data
+
+    return chunk_fn
+
+
 def sample_permutations(key: jax.Array, batch: int, length: int) -> jax.Array:
     """Batch of random sampling orders (ref run_ProteoScribe_sample.py:108)."""
     keys = jax.random.split(key, batch)

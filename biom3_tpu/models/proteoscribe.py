@@ -353,11 +353,13 @@ class ProteoScribe(nn.Module):
                 import warnings as _warnings
 
                 _warnings.warn(
-                    "scan_layers=True without remat still crashes the TPU "
-                    "compiler (HTTP 500) on the FULL-SIZE training backward "
-                    "graph (re-confirmed 2026-08-20; the minimal repro "
-                    "passes, the B=32 reference-config graph does not).  "
-                    "Set remat=True (CLI: --layer-mode scan_remat) or use "
+                    "scan_layers=True without remat: the TRAINING BACKWARD "
+                    "graph of this configuration crashes the remote TPU "
+                    "compiler (HTTP 500) at full size (B=32 reference "
+                    "config, re-confirmed 2026-08-20; the minimal "
+                    "tools/repro_compiler_crashes.py scan_bwd case passes). "
+                    "Forward-only inference is unaffected.  For training "
+                    "set remat=True (CLI: --layer-mode scan_remat) or use "
                     "an unrolled mode; re-test with tools/bench_train.py "
                     "--variants scan_u1 after backend upgrades",
                     stacklevel=2,

@@ -192,6 +192,12 @@ class ProteoScribeEngine:
         self._maskgit_steps = maskgit_steps
         self._chunk_steps_arg = chunk_steps
         self._quant = (ff_quant, proj_quant)
+        # the raw apply contract, for samplers built after init (the
+        # continuous-batching chunk stepper shares the serving kernel)
+        self._apply_fn = apply_fn
+        self._head_fn = head_fn
+        self._takes_positions = apply_takes_positions
+        self._legacy = legacy_batch_update
         self._inpainter = None
         self._mesh_params_cache: dict[int, object] = {}
         if sampler_mode == "maskgit":
@@ -261,6 +267,77 @@ class ProteoScribeEngine:
             return np.asarray(sampler(params, zc, pd, key))
 
         return sample_rows
+
+    def supports_continuous_stepping(self) -> bool:
+        """True when the engine's serving math can run under the
+        chunk-boundary continuous batcher: exact path-order ARDM without
+        the Q5 legacy replay.  MaskGIT/blocked-confidence modes finish in
+        ~16 forwards — trajectory-start packing already saturates them."""
+        return (
+            self._sampler_mode == "ardm"
+            and self._sampler_cfg["order"] == "path"
+            and not self._legacy
+        )
+
+    def make_continuous_stepper(self, mesh=None, *, interpret: bool = False):
+        """Build the per-row-offset chunk stepper for continuous serving
+        (``diffusion.sampler.make_chunk_stepper`` over this engine's
+        serving apply contract — same kernel, same quant modes).
+
+        Returns ``(chunk_fn, meta)`` where meta carries ``chunk_steps``,
+        ``positions_per_step``, ``num_steps``, the params to pass (mesh-
+        replicated under a mesh) and the batch-data sharding (or None).
+        """
+        if not self.supports_continuous_stepping():
+            raise ValueError(
+                "continuous stepping needs exact path-order ARDM "
+                f"(sampler_mode={self._sampler_mode!r}, "
+                f"order={self._sampler_cfg['order']!r}, "
+                f"legacy_batch_update={self._legacy})"
+            )
+        from biom3_tpu.diffusion.sampler import make_chunk_stepper
+
+        cfg = self._sampler_cfg
+        k = cfg["positions_per_step"]
+        outer = self.config.num_timesteps // k
+        chunk = cfg["chunk_steps"] or outer
+        data = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+
+            ff_quant, proj_quant = self._quant
+            apply_fn = make_sharded_stack_apply(
+                self.config, mesh, gelu=self.gelu, interpret=interpret,
+                dtype=jnp.float32 if interpret else jnp.bfloat16,
+                gather_k=self._gather_k,
+                ff_quant=ff_quant, proj_quant=proj_quant,
+                stream=self._stack_stream,
+                softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
+            )
+            head_fn, takes_positions = None, True
+            params = self._replicated_params(mesh)
+            data = NamedSharding(mesh, P(("dp", "fsdp"), None))
+        else:
+            apply_fn, head_fn = self._apply_fn, self._head_fn
+            takes_positions = self._takes_positions
+            params = self.params
+        chunk_fn = make_chunk_stepper(
+            apply_fn, self.config.num_timesteps,
+            chunk_steps=chunk, positions_per_step=k,
+            temperature=cfg["temperature"],
+            top_k=cfg["top_k"], top_p=cfg["top_p"],
+            head_fn=head_fn, apply_takes_positions=takes_positions,
+        )
+        meta = {
+            "chunk_steps": chunk,
+            "positions_per_step": k,
+            "num_steps": self.config.num_timesteps,
+            "params": params,
+            "data_sharding": data,
+        }
+        return chunk_fn, meta
 
     def _replicated_params(self, mesh):
         """Params replicated over ``mesh``, cached per mesh — the sharded

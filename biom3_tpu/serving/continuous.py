@@ -1,0 +1,323 @@
+"""Chunk-boundary continuous batching for exact-mode generation.
+
+Round-3 measurement (BACKLOG.md "serving load scaling"): trajectory-start
+packing served exact ARDM at 1.13 seqs/s with **0.52 row occupancy** under
+a 16-client load — half of every dispatch was padding, because a request
+arriving mid-trajectory had to wait out the whole 1024-step scan.  The
+sampler already dispatched in 128-step chunks and the model already takes
+per-row ``t``; this module exploits both:
+
+  * the device half (``diffusion.sampler.make_chunk_stepper``) advances
+    each row from its OWN step offset, so rows at different trajectory
+    phases share one fixed-shape dispatch;
+  * this scheduler admits queued (request, replica) rows into free slots
+    and retires finished ones at EVERY chunk boundary (8 admission points
+    per 1024-step trajectory at ``chunk_steps=128``), instead of only at
+    trajectory start.
+
+Under saturation every slot is live every chunk → occupancy ~1.0; the gap
+to offline throughput collapses to per-dispatch overhead.  Per-row RNG
+streams mean a seeded request reproduces bit-exactly in ANY batch mix —
+the packed path's solo-dispatch-per-seed occupancy cost is gone too.
+
+Reference counterpart: none — the reference's sampling surface is the
+offline per-step host loop ``Stage3_source/sampling_analysis.py:204-265``.
+
+Host/device split: ``x`` (the decoding state) stays device-resident
+between chunks and is fetched only on retirement; admissions upload only
+the small per-row arrays (z_c, inv, key data, offsets) as arguments of
+the single chunk dispatch — a freshly admitted row (``t0 == 0``) is
+zeroed on device by the stepper itself.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+
+import jax
+import numpy as np
+
+from biom3_tpu.serving.batcher import BatcherStats
+
+
+class ContinuousGenerateBatcher:
+    """Drop-in for ``MicroBatcher(pipeline.generate, ...)``: same
+    ``submit(request) → Future`` / ``stats`` / ``close()`` surface, but
+    scheduling (request, replica) rows onto persistent device slots at
+    chunk boundaries.
+
+    ``submit`` takes the same request dicts the HTTP handler builds
+    (``{"prompt", "num_replicas", "seed"}``) and resolves the future with
+    the same ``{"prompt", "sequences"}`` payload as
+    ``ServingPipeline.generate``.
+    """
+
+    def __init__(self, pipeline, *, name: str = "generate-continuous"):
+        self.pipeline = pipeline
+        eng = pipeline.s3
+        self._chunk_fn, meta = eng.make_continuous_stepper(
+            mesh=pipeline._mesh, interpret=pipeline._interpret
+        )
+        self._params = meta["params"]
+        self._sharding = meta["data_sharding"]
+        self._num_steps = meta["num_steps"]
+        self._step_incr = meta["chunk_steps"] * meta["positions_per_step"]
+        self.chunk_steps = meta["chunk_steps"]
+        self._vocab = eng.vocab
+        R = pipeline.rows_per_dispatch
+        L = eng.config.max_seq_len
+        C = eng.config.cond_dim
+        self.R, self.L = R, L
+        # raw key-data width of the process's PRNG impl (threefry: 2
+        # uint32 words), resolved without a device op
+        self._kw = int(
+            np.prod(
+                jax.eval_shape(
+                    lambda: jax.random.key_data(jax.random.key(0))
+                ).shape
+            )
+        )
+        self._zc = np.zeros((R, C), np.float32)
+        self._inv = np.zeros((R, L), np.int32)
+        self._t0 = np.full((R,), self._num_steps, np.int32)  # all inert
+        # per-slot initial key data, read by the stepper only where
+        # t0 == 0 (stale rows ignored) — the LIVE key state is the
+        # device-resident carry below, never fetched between boundaries
+        self._kd_new = np.zeros((R, self._kw), np.uint32)
+        self._x_dev = None   # device-resident decoding state
+        self._kd_dev = None  # device-resident per-row RNG state
+        self._slots: list[tuple[dict, int] | None] = [None] * R
+        # unseeded rows draw their decode order + RNG stream from one
+        # host generator (run-to-run varying, like the packed path);
+        # seeded rows use a Philox keyed on (seed, replica) — see
+        # _row_streams
+        self._host_rng = np.random.default_rng()
+        self._pending: deque[dict] = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self.stats = BatcherStats()
+        self._thread = threading.Thread(
+            target=self._loop, name=name, daemon=True
+        )
+        self._thread.start()
+
+    # -- client surface ------------------------------------------------
+
+    def submit(self, request: dict) -> Future:
+        n_rep = int(
+            request.get("num_replicas") or self.pipeline.default_replicas
+        )
+        fut: Future = Future()
+        group = {
+            "request": request,
+            "future": fut,
+            "n_rep": n_rep,
+            "next_rep": 0,
+            "remaining": n_rep,
+            "z_c": None,
+            "sequences": {},
+        }
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            with self.stats._lock:
+                self.stats.requests += 1
+            self._pending.append(group)
+            self._cv.notify_all()
+        return fut
+
+    def warmup(self) -> float:
+        """Compile the chunk executable with one all-inert dispatch (no
+        live rows, stats untouched); returns wall-clock seconds."""
+        t0 = time.time()
+        self._dispatch_chunk(record=False)
+        return round(time.time() - t0, 1)
+
+    def close(self, timeout: float = 10.0) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=timeout)
+        # fail whatever is still queued or mid-trajectory: callers must
+        # not block until their request timeout on a closed server
+        exc = RuntimeError("batcher is closed")
+        with self._cv:
+            groups = {id(g): g for g in self._pending}
+            for slot in self._slots:
+                if slot is not None:
+                    groups[id(slot[0])] = slot[0]
+            self._pending.clear()
+            self._slots = [None] * self.R
+            for g in groups.values():
+                if not g["future"].done():
+                    g["future"].set_exception(exc)
+
+    # -- scheduler -----------------------------------------------------
+
+    def _live_any(self) -> bool:
+        return any(s is not None for s in self._slots)
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while (not self._closed and not self._pending
+                       and not self._live_any()):
+                    self._cv.wait(timeout=0.1)
+                if self._closed:
+                    return
+            try:
+                self._admit()
+                if self._live_any():
+                    self._dispatch_chunk()
+                    self._retire()
+            except Exception as exc:  # noqa: BLE001 — forwarded to callers
+                self._fail_all(exc)
+
+    def _row_streams(self, seed, rep: int):
+        """Per-row decode order + raw RNG key words.
+
+        Seeded: a Philox stream keyed on (seed, replica) — deterministic
+        under any batch composition or admission timing.  Unseeded: the
+        shared host generator (varies run to run, throughput path).
+        """
+        if seed is None:
+            rng = self._host_rng
+        else:
+            # Philox key is 2x64-bit: word 0 = user seed, word 1 = replica
+            # index tagged so (seed, rep) pairs never collide with plain
+            # seeds
+            rng = np.random.Generator(np.random.Philox(
+                key=np.array(
+                    [seed, (rep << 32) | 0x42494F4D], np.uint64
+                )
+            ))
+        inv = rng.permutation(self.L).astype(np.int32)
+        kd = rng.integers(
+            0, 2**32, size=self._kw, dtype=np.uint64
+        ).astype(np.uint32)
+        return inv, kd
+
+    def _admit(self) -> None:
+        with self._cv:
+            free = [s for s in range(self.R) if self._slots[s] is None]
+            if not free or not self._pending:
+                return
+            need = [g for g in self._pending if g["z_c"] is None][: self.R]
+        if need:
+            # one padded embed call for every prompt still lacking z_c
+            # (takes the pipeline device lock internally; never held
+            # across the chunk dispatch)
+            _, z_c = self.pipeline.embed(
+                [g["request"]["prompt"] for g in need]
+            )
+            for g, z in zip(need, z_c):
+                g["z_c"] = np.asarray(z, np.float32)
+        with self._cv:
+            for s in free:
+                if not self._pending:
+                    break
+                g = self._pending[0]
+                if g["z_c"] is None:
+                    break  # > R groups arrived at once; embed next round
+                rep = g["next_rep"]
+                inv, kd = self._row_streams(g["request"].get("seed"), rep)
+                # slot bookkeeping BEFORE popping the group from pending:
+                # if anything above raised, the group is still reachable
+                # from one of the two structures _fail_all sweeps
+                self._slots[s] = (g, rep)
+                self._zc[s] = g["z_c"]
+                self._inv[s] = inv
+                self._kd_new[s] = kd
+                self._t0[s] = 0  # stepper zeroes the x row on device
+                g["next_rep"] += 1
+                if g["next_rep"] >= g["n_rep"]:
+                    self._pending.popleft()
+
+    def _dispatch_chunk(self, record: bool = True) -> None:
+        """One chunk dispatch — ASYNC unless rows retire this chunk.
+
+        The carries (x, key data) stay device-resident; host arrays ride
+        as dispatch arguments.  On chunks where no row finishes, the host
+        does not synchronize at all — dispatches pipeline into the device
+        queue (bounded: a retirement boundary, with its x fetch, is at
+        most one trajectory away).  ``stats`` batch latency is therefore
+        only meaningful on retiring chunks; occupancy counters are exact
+        either way.
+        """
+        live = int((self._t0 < self._num_steps).sum())
+        x_in = self._x_dev
+        if x_in is None:
+            x_in = np.zeros((self.R, self.L), np.int32)
+        kd_in = self._kd_dev
+        if kd_in is None:
+            kd_in = np.zeros((self.R, self._kw), np.uint32)
+        args = [self._zc, self._inv, x_in, self._t0, kd_in, self._kd_new]
+        if self._sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            row = NamedSharding(
+                self._sharding.mesh, PartitionSpec(self._sharding.spec[0])
+            )  # rank-1 arrays (t0) shard on the batch axis only
+            args = [
+                jax.device_put(
+                    a, self._sharding if np.ndim(a) > 1 else row
+                )
+                for a in args
+            ]
+        t_start = time.monotonic()
+        with self.pipeline._device_lock:
+            self._x_dev, self._kd_dev = self._chunk_fn(self._params, *args)
+        self._t0 = np.minimum(
+            self._t0 + self._step_incr, self._num_steps
+        ).astype(np.int32)
+        if record:
+            self.pipeline._record_dispatch(live)
+            self.stats.record(live, time.monotonic() - t_start, False)
+
+    def _retire(self) -> None:
+        finished = [
+            s for s in range(self.R)
+            if self._slots[s] is not None and self._t0[s] >= self._num_steps
+        ]
+        if not finished:
+            return
+        # the one synchronization point: fetch the decoding state for the
+        # rows that just completed their trajectories
+        x_host = np.asarray(self._x_dev)
+        for s in finished:
+            group, rep = self._slots[s]
+            self._slots[s] = None
+            seq = self._vocab.clean_sequence(
+                self._vocab.decode_ids(x_host[s])
+            )
+            with self._cv:
+                group["sequences"][rep] = seq
+                group["remaining"] -= 1
+                done = group["remaining"] == 0
+            if done:
+                group["future"].set_result({
+                    "prompt": group["request"]["prompt"],
+                    "sequences": [
+                        group["sequences"][i] for i in range(group["n_rep"])
+                    ],
+                })
+
+    def _fail_all(self, exc: BaseException) -> None:
+        with self._cv:
+            groups = {id(g): g for g in self._pending}
+            for slot in self._slots:
+                if slot is not None:
+                    groups[id(slot[0])] = slot[0]
+            self._pending.clear()
+            self._slots = [None] * self.R
+            self._t0[:] = self._num_steps
+            self._x_dev = None   # drop possibly-poisoned device carries
+            self._kd_dev = None
+        with self.stats._lock:
+            self.stats.errors += 1
+        for g in groups.values():
+            if not g["future"].done():
+                g["future"].set_exception(exc)

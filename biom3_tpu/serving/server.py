@@ -117,6 +117,16 @@ class ServingPipeline:
             self._batch_counter += 1
             return jax.random.fold_in(self._key, self._batch_counter)
 
+    def _record_dispatch(self, live_rows: int) -> None:
+        """Account one fixed-shape device dispatch carrying ``live_rows``
+        useful rows (both the packed and the continuous schedulers report
+        here, so ``/v1/metrics``'s ``device.row_occupancy`` always means
+        the same thing)."""
+        with self._dev_lock:
+            self._dispatches += 1
+            self._rows_live += live_rows
+            self._rows_padded += self.rows_per_dispatch - live_rows
+
     def embed(self, prompts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """prompts → (z_t, z_c), padded to a fixed batch internally."""
         n = len(prompts)
@@ -155,10 +165,7 @@ class ServingPipeline:
             idx = [i for i, _ in chunk]
             # pad by repeating the last row: same executable every dispatch
             pad_idx = idx + [idx[-1]] * (R - len(idx))
-            with self._dev_lock:
-                self._dispatches += 1
-                self._rows_live += len(chunk)
-                self._rows_padded += R - len(chunk)
+            self._record_dispatch(len(chunk))
             with self._device_lock:
                 ids = row_fn(pad_idx, key)
             for row, (i, k) in enumerate(chunk):
@@ -208,12 +215,19 @@ class ServingPipeline:
                 self._inpaint_rows = self.s3.inpaint_batch
         return self._inpaint_rows
 
-    def warmup(self, *, include_inpaint: bool = True) -> dict:
+    def warmup(self, *, include_inpaint: bool = True,
+               include_generate: bool = True) -> dict:
         """Compile every serving executable with one padded dummy dispatch
         per endpoint BEFORE accepting traffic — otherwise the first
         client's latency includes the sampler's compile (minutes through
         some runtimes).  Returns per-executable wall-clock (dominated by
-        compiles; steady-state dispatches are orders faster)."""
+        compiles; steady-state dispatches are orders faster).
+
+        ``include_generate=False`` skips the packed trajectory sampler —
+        a continuous-mode server never dispatches it (the chunk stepper
+        is its generate executable; ``BioM3Server.warmup`` compiles that
+        one instead), so compiling both would double startup time and
+        HBM executable footprint for nothing."""
         import time
 
         times = {}
@@ -223,10 +237,11 @@ class ServingPipeline:
         zpad = np.repeat(
             np.asarray(z_c[:1], np.float32), self.rows_per_dispatch, axis=0
         )
-        t0 = time.time()
-        with self._device_lock:
-            self._sample_rows(zpad, self._next_key())
-        times["generate_s"] = round(time.time() - t0, 1)
+        if include_generate:
+            t0 = time.time()
+            with self._device_lock:
+                self._sample_rows(zpad, self._next_key())
+            times["generate_s"] = round(time.time() - t0, 1)
         if include_inpaint:
             L = self.s3.config.max_seq_len
             masked = np.repeat(
@@ -296,17 +311,32 @@ class BioM3Server:
         port: int = 8000,
         max_wait_s: float = 0.05,
         request_timeout_s: float = 600.0,
+        continuous: bool | None = None,
     ):
         self.pipeline = pipeline
         self.request_timeout_s = request_timeout_s
         # generate dominates; embeds ride a separate (cheap) batcher so a
-        # long denoise batch never blocks embedding-only clients
-        self._gen_batcher = MicroBatcher(
-            pipeline.generate,
-            max_batch=pipeline.rows_per_dispatch,
-            max_wait_s=max_wait_s,
-            name="generate-batcher",
-        )
+        # long denoise batch never blocks embedding-only clients.
+        # ``continuous=None`` auto-selects: exact path-order ARDM gets the
+        # chunk-boundary continuous scheduler (rows join/retire at every
+        # 128-step chunk boundary — round 3 measured 0.52 row occupancy
+        # under load with trajectory-start packing); fast modes
+        # (maskgit / confidence order) finish in ~16 forwards, where the
+        # coalescing MicroBatcher already saturates.
+        if continuous is None:
+            continuous = pipeline.s3.supports_continuous_stepping()
+        self.continuous = bool(continuous)
+        if self.continuous:
+            from biom3_tpu.serving.continuous import ContinuousGenerateBatcher
+
+            self._gen_batcher = ContinuousGenerateBatcher(pipeline)
+        else:
+            self._gen_batcher = MicroBatcher(
+                pipeline.generate,
+                max_batch=pipeline.rows_per_dispatch,
+                max_wait_s=max_wait_s,
+                name="generate-batcher",
+            )
         self._embed_batcher = MicroBatcher(
             self._run_embed_batch,
             max_batch=pipeline.rows_per_dispatch,
@@ -334,6 +364,19 @@ class BioM3Server:
         ]
 
     # -- lifecycle -----------------------------------------------------
+
+    def warmup(self, *, include_inpaint: bool = True) -> dict:
+        """Compile the executables THIS server will actually dispatch (see
+        ``ServingPipeline.warmup``): in continuous mode the generate path
+        is the chunk stepper, and the packed trajectory sampler is never
+        compiled."""
+        times = self.pipeline.warmup(
+            include_inpaint=include_inpaint,
+            include_generate=not self.continuous,
+        )
+        if self.continuous:
+            times["generate_chunk_s"] = self._gen_batcher.warmup()
+        return times
 
     def start(self) -> None:
         self._serve_thread = threading.Thread(
@@ -386,6 +429,9 @@ class BioM3Server:
                     )
 
                     self._reply(200, {
+                        "generate_mode": (
+                            "continuous" if server.continuous else "packed"
+                        ),
                         "generate": server._gen_batcher.stats.as_dict(),
                         "inpaint": server._inpaint_batcher.stats.as_dict(),
                         "embed": server._embed_batcher.stats.as_dict(),

@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--inpaint-len", type=int, default=300,
                     help="residues in the synthetic inpaint request")
     ap.add_argument("--inpaint-masked-frac", type=float, default=0.25)
+    ap.add_argument("--continuous", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="chunk-boundary continuous batching for generate "
+                         "(auto: server default — on for exact ARDM)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
@@ -134,7 +138,9 @@ def main() -> None:
     # remote compiler, so the warmup window needs a far longer deadline
     # than the 600 s serving default
     server = BioM3Server(pipeline, port=0, max_wait_s=0.05,
-                         request_timeout_s=2400.0)
+                         request_timeout_s=2400.0,
+                         continuous=(None if args.continuous == "auto"
+                                     else args.continuous == "on"))
     server.start()
     base = f"http://{server.host}:{server.port}"
     sequence = None
@@ -168,11 +174,33 @@ def main() -> None:
     print(json.dumps({"warmup": warm, "setup_s": round(setup_s, 1)}),
           flush=True)
 
+    # snapshot device counters so the measured phase's occupancy excludes
+    # the warmup dispatches
+    import urllib.request
+
+    def metrics():
+        with urllib.request.urlopen(f"{base}/v1/metrics", timeout=30) as r:
+            return json.load(r)
+
+    m0 = metrics()
     report = run_load(
         base, clients=args.clients, requests_per_client=args.requests,
         num_replicas=args.replicas,
         endpoint=args.endpoint, sequence=sequence,
     )
+    m1 = metrics()
+    d0, d1 = m0["device"], m1["device"]
+    live = d1["rows_live"] - d0["rows_live"]
+    padded = d1["rows_padded"] - d0["rows_padded"]
+    report["device"] = {
+        "generate_mode": m1.get("generate_mode"),
+        "dispatches": d1["dispatches"] - d0["dispatches"],
+        "rows_live": live,
+        "rows_padded": padded,
+        "row_occupancy": (
+            round(live / (live + padded), 3) if live + padded else 0.0
+        ),
+    }
     report["config"] = {
         "endpoint": args.endpoint,
         "inpaint_len": args.inpaint_len if args.endpoint == "inpaint" else None,
@@ -186,6 +214,7 @@ def main() -> None:
         "temperature": args.temperature,
         "ff_quant": args.ff_quant, "proj_quant": args.proj_quant,
         "stack_path": s3.use_stack, "tiny": args.tiny,
+        "continuous": server.continuous,
     }
     print(json.dumps(report), flush=True)
     server.close()

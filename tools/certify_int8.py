@@ -60,6 +60,15 @@ def main():
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke mode (pair with small --steps/--batch/"
                          "--seq-len; interpret kernels, f32)")
+    ap.add_argument("--modes", nargs="+",
+                    default=["bf16", "int8-ff", "int8-ff+proj"],
+                    choices=["bf16", "int8-ff", "int8-ff+proj"],
+                    help="subset of quant modes to certify (first mode is "
+                         "the comparison reference; smoke tests pass two)")
+    ap.add_argument("--no-sample", action="store_true",
+                    help="skip the temp-0 sampler comparison (logit probe "
+                         "only; keeps the CPU-interpret smoke under a "
+                         "minute — the sampler scan dominates there)")
     args = ap.parse_args()
 
     # shared toy-task trainer (certify_task): one training run per chip
@@ -86,8 +95,9 @@ def main():
         .astype(np.int32)
     )
 
-    modes = [("bf16", "none", "none"), ("int8-ff", "int8", "none"),
-             ("int8-ff+proj", "int8", "int8")]
+    all_modes = {"bf16": ("none", "none"), "int8-ff": ("int8", "none"),
+                 "int8-ff+proj": ("int8", "int8")}
+    modes = [(m, *all_modes[m]) for m in args.modes]
     ref_logits = ref_seqs = None
     for name, ffq, pq in modes:
         apply_fn = make_stack_apply(
@@ -99,18 +109,22 @@ def main():
         logits = np.asarray(jax.jit(apply_fn)(
             state.params, x_probe, t_probe, z_c, pos_probe
         ), np.float32)
-        sampler = make_sampler(
-            apply_fn, cfg.num_timesteps, temperature=0.0,
-            chunk_steps=None, apply_takes_positions=True,
-        )
-        seqs = np.asarray(sampler(state.params, z_c, path, jax.random.key(5)))
-        cons, class_ok, diversity = coherence_stats(seqs, cls)
-        row = {
-            "mode": name,
-            "coherence_mean": round(float(cons.mean()), 4),
-            "class_acc": round(float(class_ok.mean()), 3),
-            "mode_diversity": round(diversity, 3),
-        }
+        row = {"mode": name}
+        seqs = None
+        if not args.no_sample:
+            sampler = make_sampler(
+                apply_fn, cfg.num_timesteps, temperature=0.0,
+                chunk_steps=None, apply_takes_positions=True,
+            )
+            seqs = np.asarray(
+                sampler(state.params, z_c, path, jax.random.key(5))
+            )
+            cons, class_ok, diversity = coherence_stats(seqs, cls)
+            row.update({
+                "coherence_mean": round(float(cons.mean()), 4),
+                "class_acc": round(float(class_ok.mean()), 3),
+                "mode_diversity": round(diversity, 3),
+            })
         if ref_logits is None:
             ref_logits, ref_seqs = logits, seqs
         else:
@@ -122,11 +136,14 @@ def main():
                 "logit_max_abs_delta": round(
                     float(np.abs(logits - ref_logits).max()), 4),
                 "logit_min_cosine": round(float(cos.min()), 6),
-                "temp0_seq_exact_match": round(
-                    float((seqs == ref_seqs).all(axis=1).mean()), 3),
-                "temp0_tok_agreement": round(
-                    float((seqs == ref_seqs).mean()), 5),
             })
+            if seqs is not None:
+                row.update({
+                    "temp0_seq_exact_match": round(
+                        float((seqs == ref_seqs).all(axis=1).mean()), 3),
+                    "temp0_tok_agreement": round(
+                        float((seqs == ref_seqs).mean()), 5),
+                })
         print(json.dumps(row), flush=True)
 
 
