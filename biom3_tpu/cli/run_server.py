@@ -54,6 +54,9 @@ def parse_arguments():
                         "(multi-chip serving; rows_per_dispatch must be a "
                         "multiple of mesh_dp*mesh_fsdp)")
     p.add_argument("--mesh_fsdp", type=int, default=1)
+    p.add_argument("--chunk_steps", type=int, default=128,
+                   help="sampler dispatch chunk (outer steps); also the "
+                        "continuous batcher's admission granularity")
     p.add_argument("--continuous", choices=["auto", "on", "off"],
                    default="auto",
                    help="chunk-boundary continuous batching for generate "
@@ -80,6 +83,7 @@ def main() -> None:
     s3 = ProteoScribeEngine(
         load_json_config(args.stage3_json), args.stage3_model,
         temperature=args.temperature,
+        chunk_steps=args.chunk_steps,
         positions_per_step=args.positions_per_step,
         # "auto" = engine default (int8 on the TPU stack path, r3)
         ff_quant=None if args.ff_quant == "auto" else args.ff_quant,

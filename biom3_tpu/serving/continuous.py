@@ -95,6 +95,17 @@ class ContinuousGenerateBatcher:
         # seeded rows use a Philox keyed on (seed, replica) — see
         # _row_streams
         self._host_rng = np.random.default_rng()
+        # host/device sync policy per chunk (on-chip ladder, BACKLOG r4):
+        #   depth1 (default) — wait on the PREVIOUS chunk after dispatching
+        #     the next one: round-trip hides under execution, admissions
+        #     lag <= 1 boundary;
+        #   full — wait on the chunk just dispatched: admissions see the
+        #     queue immediately, the ~0.2 s round-trip is paid serially.
+        # Measured within noise of each other at 16-in-flight (1.42-1.47
+        # seqs/s); BIOM3_CONTINUOUS_SYNC overrides for A/Bs.
+        import os
+
+        self._sync_mode = os.environ.get("BIOM3_CONTINUOUS_SYNC", "depth1")
         self._pending: deque[dict] = deque()
         self._cv = threading.Condition()
         self._closed = False
@@ -237,15 +248,20 @@ class ContinuousGenerateBatcher:
                     self._pending.popleft()
 
     def _dispatch_chunk(self, record: bool = True) -> None:
-        """One chunk dispatch — ASYNC unless rows retire this chunk.
+        """One chunk dispatch, depth-1 pipelined.
 
         The carries (x, key data) stay device-resident; host arrays ride
-        as dispatch arguments.  On chunks where no row finishes, the host
-        does not synchronize at all — dispatches pipeline into the device
-        queue (bounded: a retirement boundary, with its x fetch, is at
-        most one trajectory away).  ``stats`` batch latency is therefore
-        only meaningful on retiring chunks; occupancy counters are exact
-        either way.
+        as dispatch arguments.  The host runs at most ONE chunk ahead of
+        the device: the previous chunk's tiny key-data carry is copied
+        device→host asynchronously BEFORE this dispatch enters the
+        stream, and waited on AFTER — so the ~0.2 s dispatch/transfer
+        round-trip hides under the in-flight chunk's execution, while
+        admissions still see the queue at most one boundary late.
+        (Unbounded run-ahead measured WORSE on chip — 1.398 vs 1.466
+        seqs/s sync — because the host then blocks in the cohort-end
+        retirement fetch and requests arriving mid-burst miss all the
+        boundaries dispatched ahead; fully-synchronous pays the
+        round-trip serially on every chunk.)
         """
         live = int((self._t0 < self._num_steps).sum())
         x_in = self._x_dev
@@ -268,11 +284,21 @@ class ContinuousGenerateBatcher:
                 for a in args
             ]
         t_start = time.monotonic()
+        kd_prev = self._kd_dev
+        if kd_prev is not None:
+            # enqueue the previous carry's D2H before this chunk enters
+            # the serial device stream — the wait below then returns when
+            # the PREVIOUS chunk finishes, not this one
+            kd_prev.copy_to_host_async()
         with self.pipeline._device_lock:
             self._x_dev, self._kd_dev = self._chunk_fn(self._params, *args)
         self._t0 = np.minimum(
             self._t0 + self._step_incr, self._num_steps
         ).astype(np.int32)
+        if self._sync_mode == "full":
+            np.asarray(self._kd_dev)  # serial barrier on THIS chunk
+        elif kd_prev is not None:
+            np.asarray(kd_prev)  # depth-1 barrier (value unused)
         if record:
             self.pipeline._record_dispatch(live)
             self.stats.record(live, time.monotonic() - t_start, False)
