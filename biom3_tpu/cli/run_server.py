@@ -62,6 +62,12 @@ def parse_arguments():
                    help="chunk-boundary continuous batching for generate "
                         "(auto: on for exact path-order ARDM, off for "
                         "maskgit/confidence fast modes)")
+    p.add_argument("--continuous_inpaint", action="store_true",
+                   help="route inpaint through the continuous scheduler "
+                        "(reference random-order resume semantics, shares "
+                        "dispatches with generate; default: packed "
+                        "confidence-order inpainter — the certified "
+                        "quality winner)")
     p.add_argument("--warmup", action="store_true",
                    help="compile every serving executable (embed, generate, "
                         "inpaint) with dummy dispatches before accepting "
@@ -109,6 +115,7 @@ def main() -> None:
         max_wait_s=args.max_wait_ms / 1000.0,
         continuous=(None if args.continuous == "auto"
                     else args.continuous == "on"),
+        continuous_inpaint=args.continuous_inpaint,
     )
     if args.warmup:
         print("warming up (compiling serving executables)...", flush=True)

@@ -307,9 +307,15 @@ def make_chunk_stepper(
     step per batch, host-synchronized).
 
     Returns ``chunk_fn(params, z_c (B,C), inv (B,L), x (B,L) int32,
-    t0 (B,) int32, key_data (B,2) uint32, key_data_new (B,2) uint32)
+    t0 (B,) int32, key_data (B,2) uint32, key_data_new (B,2) uint32,
+    fresh (B,) bool = t0==0, x_new (B,L) int32 = zeros)
     → (x', key_data')`` advancing every row ``chunk_steps`` outer steps
-    (× ``positions_per_step`` positions each) from its offset ``t0``:
+    (× ``positions_per_step`` positions each) from its offset ``t0``.
+    ``fresh``/``x_new`` generalize admission beyond generation: a fresh
+    row's state is reset to ``x_new`` (zeros → generate from scratch; a
+    partially revealed sequence with ``t0 = num_steps - n_masked`` and
+    the masked positions on the ``inv`` tail → exact-mode inpaint row).
+    Row semantics:
 
       * ``inv[b, t]`` is the position row ``b`` decodes at step ``t``
         (the argsort of a sampled path — or, equivalently, any uniform
@@ -346,20 +352,34 @@ def make_chunk_stepper(
         )
 
     @jax.jit
-    def chunk_fn(params, z_c, inv, x, t0, key_data, key_data_new):
+    def chunk_fn(params, z_c, inv, x, t0, key_data, key_data_new,
+                 fresh=None, x_new=None):
         B, L = x.shape
-        fresh = (t0 == 0)[:, None]
-        x = jnp.where(fresh, 0, x)
+        if fresh is None:
+            # generate-only contract: rows are fresh iff they start at the
+            # trajectory head
+            fresh = t0 == 0
+        fresh = fresh[:, None]
+        # fresh rows enter with x_new as their committed state — the
+        # absorbing zeros for generation, a partially revealed sequence
+        # for exact-mode inpainting (the row then starts at
+        # t0 = num_steps - n_masked and its inv tail lists the masked
+        # positions: the reference's resume-from-corruption semantics,
+        # Stage3_source/sampling_analysis.py:21-119, as continuous rows)
+        x = jnp.where(fresh, 0 if x_new is None else x_new, x)
         key_data = jnp.where(fresh, key_data_new, key_data)
 
         def step(carry, i):
             x, kd = carry
             t = t0 + i * k                                      # (B,)
-            active = t < num_steps
+            # per-POSITION activity: with k > 1 a row whose remaining
+            # step count isn't a k-multiple (inpaint rows start at
+            # arbitrary t0) has a final block straddling num_steps — the
+            # clamped tail indices must not rewrite earlier positions
             tm = jnp.minimum(t, num_steps - 1)
-            idx = jnp.minimum(
-                tm[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :], L - 1
-            )
+            steps_k = tm[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+            active = (t[:, None] < num_steps) & (steps_k < num_steps)
+            idx = jnp.minimum(steps_k, L - 1)
             pos = jnp.take_along_axis(inv, idx, axis=1)         # (B, k)
             if apply_takes_positions:
                 picked = apply_fn(params, x, tm, z_c, pos)      # (B, k, C)
@@ -384,10 +404,14 @@ def make_chunk_stepper(
                 ).astype(jnp.int32)
                 kd = jax.random.key_data(split[:, 0])
             # one-hot broadcast write (scatter-in-scan is pathologically
-            # slow on the TPU compiler), masked off for inert rows
-            oh = pos[:, :, None] == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            # slow on the TPU compiler), masked per position for inert
+            # rows and straddling tails
+            oh = (
+                pos[:, :, None]
+                == jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            ) & active[:, :, None]
             new_vals = jnp.sum(oh * smp[:, :, None], axis=1).astype(x.dtype)
-            wrote = jnp.any(oh, axis=1) & active[:, None]
+            wrote = jnp.any(oh, axis=1)
             x = jnp.where(wrote, new_vals, x)
             return (x, kd), None
 

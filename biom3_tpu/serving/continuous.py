@@ -83,10 +83,14 @@ class ContinuousGenerateBatcher:
         self._zc = np.zeros((R, C), np.float32)
         self._inv = np.zeros((R, L), np.int32)
         self._t0 = np.full((R,), self._num_steps, np.int32)  # all inert
-        # per-slot initial key data, read by the stepper only where
-        # t0 == 0 (stale rows ignored) — the LIVE key state is the
-        # device-resident carry below, never fetched between boundaries
+        # per-slot admission state, read by the stepper only where
+        # ``fresh`` is set (stale rows ignored) — the LIVE x/key state is
+        # the device-resident carry below, never fetched between
+        # boundaries.  ``x_new`` is zeros for generate rows and the
+        # partially revealed sequence for exact-mode inpaint rows.
         self._kd_new = np.zeros((R, self._kw), np.uint32)
+        self._fresh = np.zeros((R,), bool)
+        self._xnew = np.zeros((R, L), np.int32)
         self._x_dev = None   # device-resident decoding state
         self._kd_dev = None  # device-resident per-row RNG state
         self._slots: list[tuple[dict, int] | None] = [None] * R
@@ -118,10 +122,32 @@ class ContinuousGenerateBatcher:
     # -- client surface ------------------------------------------------
 
     def submit(self, request: dict) -> Future:
+        """Queue one request.  A request carrying ``masked_ids`` (decode-
+        table ids with absorbing 0 at the positions to fill — the HTTP
+        inpaint payload) becomes exact-mode inpaint rows: each row starts
+        at ``t0 = num_steps - n_masked`` with the masked positions on its
+        ``inv`` tail in per-row random order — the reference's
+        resume-from-corruption semantics
+        (``Stage3_source/sampling_analysis.py:21-119``) as continuous
+        rows sharing dispatches with generate traffic.  (The packed
+        confidence-order inpainter remains the quality-default path;
+        see ``BioM3Server(continuous_inpaint=...)``.)"""
         n_rep = int(
             request.get("num_replicas") or self.pipeline.default_replicas
         )
         fut: Future = Future()
+        mids = request.get("masked_ids")
+        if mids is not None and not (np.asarray(mids) == 0).any():
+            # nothing to fill: resolve without consuming a slot
+            seq = self._vocab.clean_sequence(
+                self._vocab.decode_ids(np.asarray(mids, np.int32))
+            )
+            fut.set_result({
+                "prompt": request["prompt"], "sequences": [seq] * n_rep,
+            })
+            with self.stats._lock:
+                self.stats.requests += 1
+            return fut
         group = {
             "request": request,
             "future": fut,
@@ -235,6 +261,24 @@ class ContinuousGenerateBatcher:
                     break  # > R groups arrived at once; embed next round
                 rep = g["next_rep"]
                 inv, kd = self._row_streams(g["request"].get("seed"), rep)
+                mids = g["request"].get("masked_ids")
+                t_start, x_new = 0, 0
+                if mids is not None:
+                    # inpaint row: masked positions take the inv slots the
+                    # row will actually visit ([t_start, t_start+k), in
+                    # this row's random order via the permutation drawn
+                    # above); committed positions pad the rest
+                    x_new = np.asarray(mids, np.int32)
+                    masked_pos = np.flatnonzero(x_new == 0).astype(np.int32)
+                    committed = np.flatnonzero(x_new != 0).astype(np.int32)
+                    t_start = max(0, self._num_steps - len(masked_pos))
+                    order = np.argsort(inv[masked_pos], kind="stable")
+                    fill = np.concatenate([masked_pos[order], committed])
+                    inv = np.empty_like(inv)
+                    k = len(masked_pos)
+                    inv[t_start:t_start + k] = fill[:k]
+                    inv[:t_start] = fill[k:k + t_start]
+                    inv[t_start + k:] = fill[k + t_start:]
                 # slot bookkeeping BEFORE popping the group from pending:
                 # if anything above raised, the group is still reachable
                 # from one of the two structures _fail_all sweeps
@@ -242,7 +286,9 @@ class ContinuousGenerateBatcher:
                 self._zc[s] = g["z_c"]
                 self._inv[s] = inv
                 self._kd_new[s] = kd
-                self._t0[s] = 0  # stepper zeroes the x row on device
+                self._xnew[s] = x_new
+                self._fresh[s] = True
+                self._t0[s] = t_start
                 g["next_rep"] += 1
                 if g["next_rep"] >= g["n_rep"]:
                     self._pending.popleft()
@@ -270,7 +316,8 @@ class ContinuousGenerateBatcher:
         kd_in = self._kd_dev
         if kd_in is None:
             kd_in = np.zeros((self.R, self._kw), np.uint32)
-        args = [self._zc, self._inv, x_in, self._t0, kd_in, self._kd_new]
+        args = [self._zc, self._inv, x_in, self._t0, kd_in, self._kd_new,
+                self._fresh, self._xnew]
         if self._sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -292,6 +339,7 @@ class ContinuousGenerateBatcher:
             kd_prev.copy_to_host_async()
         with self.pipeline._device_lock:
             self._x_dev, self._kd_dev = self._chunk_fn(self._params, *args)
+        self._fresh = np.zeros_like(self._fresh)  # injected; don't re-reset
         self._t0 = np.minimum(
             self._t0 + self._step_incr, self._num_steps
         ).astype(np.int32)

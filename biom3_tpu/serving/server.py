@@ -312,6 +312,7 @@ class BioM3Server:
         max_wait_s: float = 0.05,
         request_timeout_s: float = 600.0,
         continuous: bool | None = None,
+        continuous_inpaint: bool = False,
     ):
         self.pipeline = pipeline
         self.request_timeout_s = request_timeout_s
@@ -343,12 +344,24 @@ class BioM3Server:
             max_wait_s=max_wait_s,
             name="embed-batcher",
         )
-        self._inpaint_batcher = MicroBatcher(
-            pipeline.inpaint,
-            max_batch=pipeline.rows_per_dispatch,
-            max_wait_s=max_wait_s,
-            name="inpaint-batcher",
-        )
+        # inpaint default: the packed confidence-order inpainter (easy-
+        # first ordering dominates random order in every certified cell —
+        # PARITY.md — and early-exits at one step per masked position).
+        # ``continuous_inpaint=True`` routes inpaint requests through the
+        # continuous scheduler instead: reference random-order resume
+        # semantics, rows sharing chunk dispatches with generate traffic
+        # (throughput under mixed load at the cost of the easy-first
+        # ordering).
+        self.continuous_inpaint = bool(continuous_inpaint and self.continuous)
+        if self.continuous_inpaint:
+            self._inpaint_batcher = self._gen_batcher
+        else:
+            self._inpaint_batcher = MicroBatcher(
+                pipeline.inpaint,
+                max_batch=pipeline.rows_per_dispatch,
+                max_wait_s=max_wait_s,
+                name="inpaint-batcher",
+            )
         # jax.profiler trace capture is process-global: one window at a time
         self._profile_lock = threading.Lock()
         handler = self._make_handler()
@@ -369,9 +382,10 @@ class BioM3Server:
         """Compile the executables THIS server will actually dispatch (see
         ``ServingPipeline.warmup``): in continuous mode the generate path
         is the chunk stepper, and the packed trajectory sampler is never
-        compiled."""
+        compiled; with ``continuous_inpaint`` the packed inpainter isn't
+        either (inpaint rows reuse the chunk-stepper executable)."""
         times = self.pipeline.warmup(
-            include_inpaint=include_inpaint,
+            include_inpaint=include_inpaint and not self.continuous_inpaint,
             include_generate=not self.continuous,
         )
         if self.continuous:
@@ -392,7 +406,8 @@ class BioM3Server:
         self.httpd.server_close()
         self._gen_batcher.close()
         self._embed_batcher.close()
-        self._inpaint_batcher.close()
+        if self._inpaint_batcher is not self._gen_batcher:
+            self._inpaint_batcher.close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=10)
 
@@ -431,6 +446,10 @@ class BioM3Server:
                     self._reply(200, {
                         "generate_mode": (
                             "continuous" if server.continuous else "packed"
+                        ),
+                        "inpaint_mode": (
+                            "continuous" if server.continuous_inpaint
+                            else "packed"
                         ),
                         "generate": server._gen_batcher.stats.as_dict(),
                         "inpaint": server._inpaint_batcher.stats.as_dict(),

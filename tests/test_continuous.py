@@ -313,6 +313,105 @@ def test_continuous_batcher_sharded_mesh_backend(tmp_path):
         b.close()
 
 
+def test_chunk_stepper_inpaint_rows_match_path_inpainter():
+    """An inpaint row (t0 = T - n_masked, masked positions on the inv
+    tail, x_new = partial sequence) reproduces make_inpainter's
+    path-order resume bit-for-bit at temperature 0, co-batched with a
+    generate row; committed positions never change."""
+    from biom3_tpu.diffusion.inpainting import make_inpainter
+
+    eng = _tiny_engine(temperature=0.0)
+    L, T = eng.config.max_seq_len, eng.config.num_timesteps
+    chunk = 16
+    B = 2
+    rng = np.random.default_rng(5)
+    z_c = rng.normal(size=(B, eng.config.cond_dim)).astype(np.float32)
+
+    # row 0: inpaint (10 masked positions); row 1: plain generate
+    masked = rng.integers(2, 22, L).astype(np.int32)
+    masked_pos = rng.choice(L, 10, replace=False)
+    masked[masked_pos] = 0
+    k = 10
+    t_start = T - k
+    fill_order = rng.permutation(masked_pos).astype(np.int32)
+    committed_pos = np.setdiff1d(np.arange(L, dtype=np.int32), masked_pos)
+    inv0 = np.concatenate([committed_pos[:t_start], fill_order,
+                           committed_pos[t_start:]])
+    inv1 = rng.permutation(L).astype(np.int32)
+    inv = np.stack([inv0, inv1])
+
+    chunk_fn = make_chunk_stepper(
+        eng._apply_fn, T, chunk_steps=chunk, temperature=0.0,
+        head_fn=eng._head_fn, apply_takes_positions=eng._takes_positions,
+    )
+    x = np.zeros((B, L), np.int32)
+    x_new = np.stack([masked, np.zeros(L, np.int32)])
+    t0 = np.array([t_start, 0], np.int32)
+    fresh = np.array([True, True])
+    kd = np.zeros((B, 2), np.uint32)
+    for c in range(T // chunk):
+        x, kd = chunk_fn(eng.params, z_c, inv, np.asarray(x), t0,
+                         np.asarray(kd), np.zeros((B, 2), np.uint32),
+                         fresh, x_new)
+        fresh = np.zeros(B, bool)
+        t0 = np.minimum(t0 + chunk, T)
+    x = np.asarray(x)
+
+    # oracle: make_inpainter order="path" — path[pos] = decode step
+    path_row = np.empty(L, np.int32)
+    path_row[inv0] = np.arange(L, dtype=np.int32)
+    inpaint = make_inpainter(
+        eng._apply_fn, T, temperature=0.0,
+        apply_takes_positions=eng._takes_positions, order="path",
+    )
+    ref = np.asarray(inpaint(
+        eng.params, masked[None, :], z_c[:1], path_row[None, :],
+        np.array([t_start], np.int32), jax.random.key(0),
+    ))[0]
+    np.testing.assert_array_equal(x[0], ref)
+    np.testing.assert_array_equal(x[0][masked != 0], masked[masked != 0])
+    assert (x[0] != 0).all()
+    assert (x[1] != 0).all()  # co-batched generate row completed too
+
+
+def test_continuous_inpaint_server_end_to_end(tmp_path):
+    """HTTP inpaint through the continuous scheduler: committed residues
+    preserved, '?' filled, seeded reproducibility, instant path for
+    fully-committed sequences."""
+    from biom3_tpu.serving import BioM3Server
+
+    pipeline = _tiny_pipeline(
+        tmp_path, s3_kwargs={"chunk_steps": 16, "temperature": 1.0}
+    )
+    server = BioM3Server(pipeline, port=0, continuous=True,
+                         continuous_inpaint=True)
+    assert server.continuous_inpaint
+    server.start()
+    base = f"http://{server.host}:{server.port}"
+    try:
+        payload = {"prompt": "zinc finger domain",
+                   "sequence": "MK??ACDE??", "num_replicas": 2, "seed": 9}
+        r1 = _post(f"{base}/v1/inpaint", payload)["results"][0]
+        assert len(r1["sequences"]) == 2
+        from test_cli import is_subsequence
+
+        for s in r1["sequences"]:
+            assert "?" not in s
+            assert is_subsequence("MKACDE", s), s
+        # seeded: bit-identical on repeat
+        r2 = _post(f"{base}/v1/inpaint", payload)["results"][0]
+        assert r1["sequences"] == r2["sequences"]
+        # nothing masked -> instant, sequence unchanged
+        r3 = _post(f"{base}/v1/inpaint", {
+            "prompt": "p", "sequence": "MKACDE", "num_replicas": 3,
+        })["results"][0]
+        assert r3["sequences"] == ["MKACDE"] * 3
+        metrics = _get(f"{base}/v1/metrics")
+        assert metrics["inpaint_mode"] == "continuous"
+    finally:
+        server.close()
+
+
 def test_engine_rejects_continuous_for_fast_modes():
     eng = _tiny_engine(sampler_mode="maskgit")
     assert not eng.supports_continuous_stepping()

@@ -48,6 +48,9 @@ def main() -> None:
     ap.add_argument("--inpaint-len", type=int, default=300,
                     help="residues in the synthetic inpaint request")
     ap.add_argument("--inpaint-masked-frac", type=float, default=0.25)
+    ap.add_argument("--chunk-steps", type=int, default=128,
+                    help="sampler dispatch chunk (outer steps) = the "
+                         "continuous batcher's admission granularity")
     ap.add_argument("--continuous", choices=["auto", "on", "off"],
                     default="auto",
                     help="chunk-boundary continuous batching for generate "
@@ -121,6 +124,7 @@ def main() -> None:
     s3 = ProteoScribeEngine(
         Config(s3_cfg), None, dtype=dtype,
         temperature=args.temperature,
+        chunk_steps=args.chunk_steps,
         positions_per_step=args.positions_per_step,
         decode_order=args.decode_order,
         # "auto" = engine default (int8 on the TPU stack path, r3)
@@ -140,7 +144,11 @@ def main() -> None:
     server = BioM3Server(pipeline, port=0, max_wait_s=0.05,
                          request_timeout_s=2400.0,
                          continuous=(None if args.continuous == "auto"
-                                     else args.continuous == "on"))
+                                     else args.continuous == "on"),
+                         # --endpoint inpaint --continuous on A/Bs the
+                         # continuous (random-order) inpaint path
+                         continuous_inpaint=(args.continuous == "on"
+                                             and args.endpoint == "inpaint"))
     server.start()
     base = f"http://{server.host}:{server.port}"
     sequence = None
@@ -208,6 +216,7 @@ def main() -> None:
             args.inpaint_masked_frac if args.endpoint == "inpaint" else None
         ),
         "rows_per_dispatch": args.rows,
+        "chunk_steps": args.chunk_steps,
         "positions_per_step": args.positions_per_step,
         "decode_order": args.decode_order,
         "sampler": args.sampler, "maskgit_steps": args.maskgit_steps,
