@@ -133,17 +133,14 @@ class PenCLEngine:
             lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
         )
         self._stack_arrays = None
-        if tower_impl == "fused-stack" and not text_only:
+        if tower_impl == "fused-stack":
+            # text_only engines still get the fused BERT tower: embed_text
+            # is the e2e/sweep serving path, and the Flax graph measured
+            # far slower there (r4 sweep: the embed phase dominated)
             from biom3_tpu.models.pencl import ProjectionHead
             from biom3_tpu.ops.pallas.bert_stack_tpu import bert_stack_arrays
-            from biom3_tpu.ops.pallas.esm2_stack_tpu import esm2_stack_arrays
 
             self._stack_arrays = {
-                "esm": esm2_stack_arrays(
-                    self.params["params"]["protein_encoder"],
-                    self.config.esm.num_layers, dtype=dtype,
-                    ff_quant=self.ff_quant, proj_quant=self.proj_quant,
-                ),
                 "bert": bert_stack_arrays(
                     self.params["params"]["text_encoder"],
                     self.config.bert.num_layers, dtype=dtype,
@@ -151,6 +148,16 @@ class PenCLEngine:
                     proj_quant=self.bert_proj_quant,
                 ),
             }
+            if not text_only:
+                from biom3_tpu.ops.pallas.esm2_stack_tpu import (
+                    esm2_stack_arrays,
+                )
+
+                self._stack_arrays["esm"] = esm2_stack_arrays(
+                    self.params["params"]["protein_encoder"],
+                    self.config.esm.num_layers, dtype=dtype,
+                    ff_quant=self.ff_quant, proj_quant=self.proj_quant,
+                )
             proj = ProjectionHead(self.config.proj_dim, self.config.dropout,
                                   dtype)
             self._proj_head = jax.jit(
@@ -179,19 +186,48 @@ class PenCLEngine:
         return x_t, x_p
 
     def embed_text(self, captions: list[str], batch_size: int = 32) -> np.ndarray:
-        """Text-only z_t (skips the 650M protein tower; e2e pipeline path)."""
+        """Text-only z_t (skips the 650M protein tower; e2e pipeline path).
+
+        Rides the fused whole-tower BERT kernel when the engine is on the
+        fused-stack path (incl. ``text_only=True`` engines, r4) — same
+        math as ``PenCL.encode_text`` (CLS hidden → projection), drift-
+        gated by the interpret twins in tests/test_bert_stack.py."""
         outs = []
         for i in range(0, len(captions), batch_size):
             x_t = self.text_tokenizer.batch_encode(captions[i : i + batch_size])
-            outs.append(
-                np.asarray(
-                    self._encode_text(self.params, jnp.asarray(x_t["input_ids"]))
+            ids = jnp.asarray(x_t["input_ids"])
+            if self._stack_arrays is not None:
+                outs.append(np.asarray(self._embed_text_fused(ids)))
+            else:
+                outs.append(
+                    np.asarray(self._encode_text(self.params, ids))
                 )
-            )
         return np.concatenate(outs)
 
+    def _embed_text_fused(self, ids: jnp.ndarray) -> jnp.ndarray:
+        from biom3_tpu.ops.pallas.bert_stack_tpu import (
+            bert_embed,
+            fused_bert_cls,
+        )
+
+        dtype = self.model.dtype
+        p = self.params["params"]
+        x0 = bert_embed(p["text_encoder"], ids, dtype=dtype)
+        t_cls = fused_bert_cls(
+            x0, **self._stack_arrays["bert"],
+            heads=self.config.bert.num_heads, gelu="tanh",
+            rows=1 if ids.shape[0] % 2 else 2,
+            ff_quant=self.bert_ff_quant,
+            proj_quant=self.bert_proj_quant,
+            softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
+            # CPU engines forced onto the fused path (tests) run the
+            # interpret twin; real chips run the Mosaic kernel
+            interpret=jax.devices()[0].platform == "cpu",
+        )
+        return self._proj_head(p["text_projection"], t_cls.astype(dtype))
+
     def embed_tokens(self, x_t: np.ndarray, x_p: np.ndarray) -> tuple:
-        if self._stack_arrays is not None:
+        if self._stack_arrays is not None and "esm" in self._stack_arrays:
             from biom3_tpu.ops.pallas.bert_stack_tpu import (
                 bert_embed,
                 fused_bert_cls,

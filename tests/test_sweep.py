@@ -121,3 +121,43 @@ def test_stage1_sweep_runner_sharded():
             np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
         )
         assert cos.min() > 0.999, cos.min()
+
+
+def test_embed_text_fused_matches_flax():
+    """text_only serving path: PenCLEngine.embed_text on the fused BERT
+    tower (interpret twin on CPU) tracks the Flax encode_text graph to
+    the serving drift gate (r4 — the sweep's embed phase now rides the
+    whole-tower kernel instead of the Flax graph)."""
+    from biom3_tpu.config import Config
+    from biom3_tpu.pipeline.stage1 import PenCLEngine
+    from biom3_tpu.tokenizers.synthetic import write_synthetic_wordpiece
+    import tempfile
+    import pathlib
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="embed_text_fused_"))
+    vocab_size = write_synthetic_wordpiece(tmp / "tok")
+    cfg = Config({
+        "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
+        "esm_num_layers": 1, "esm_attention_heads": 2,
+        "bert_num_layers": 1, "bert_num_heads": 2,
+        "bert_intermediate_size": 32, "bert_vocab_size": vocab_size,
+        "bert_max_position_embeddings": 32,
+        "proj_embedding_dim": 8, "temperature": 0.8, "dropout": 0.1,
+        "text_max_length": 32, "text_model_path": str(tmp / "tok"),
+    })
+    fused = PenCLEngine(cfg, None, dtype=jnp.float32, text_only=True,
+                        tower_impl="fused-stack", attn_impl="xla")
+    assert fused._stack_arrays is not None
+    assert "esm" not in fused._stack_arrays  # text_only: no protein tower
+    flax = PenCLEngine(cfg, None, dtype=jnp.float32, text_only=True,
+                       tower_impl="flax", attn_impl="xla")
+    flax.params = fused.params  # identical weights
+    captions = ["membrane transport protein", "zinc finger domain",
+                "atp dependent kinase variant seven"]
+    got = fused.embed_text(captions, batch_size=2)
+    want = flax.embed_text(captions, batch_size=2)
+    assert got.shape == want.shape == (3, 8)
+    cos = (got * want).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999, cos.min()
