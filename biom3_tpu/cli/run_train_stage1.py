@@ -40,6 +40,14 @@ def parse_arguments():
     p.add_argument("--bert_weights", type=str, default=None,
                    help="HF pytorch_model.bin to seed the text tower")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override the config's batch_size (ref default 80 "
+                        "assumes a multi-GPU global batch).  Single v5e "
+                        "chip, full-size towers, layer_block kernels: the "
+                        "measured ceiling is 16 (21.9 pairs/s, ~56%% MFU; "
+                        "B=24 exceeds the 15.75G HBM by ~0.4G — r4 chip "
+                        "log r4_train_s1_b24).  Shard over a mesh for "
+                        "larger global batches.")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize tower layers in the backward pass — "
@@ -155,7 +163,8 @@ def main() -> None:
         protein_mask_id=dataset.alphabet.mask_idx,
     ), donate_argnums=(0,))
 
-    batch_size = cfg.int("batch_size", 80)
+    batch_size = (args.batch_size if args.batch_size
+                  else cfg.int("batch_size", 80))
     rng = np.random.default_rng(cfg.int("seed", 42))
 
     # The pfam CSV must be ROW-ALIGNED with the SwissProt CSV: the loss

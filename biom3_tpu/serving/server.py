@@ -436,6 +436,8 @@ class BioM3Server:
                         "platform": jax.devices()[0].platform,
                         "rows_per_dispatch":
                             server.pipeline.rows_per_dispatch,
+                        "continuous": server.continuous,
+                        "continuous_inpaint": server.continuous_inpaint,
                     })
                 elif self.path == "/v1/metrics":
                     from biom3_tpu.utils.profiling import (
