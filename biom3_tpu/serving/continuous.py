@@ -1,4 +1,5 @@
-"""Chunk-boundary continuous batching for exact-mode generation.
+"""Chunk-boundary continuous batching for exact-mode generation (and,
+optionally, exact-mode inpainting — see ``submit``).
 
 Round-3 measurement (BACKLOG.md "serving load scaling"): trajectory-start
 packing served exact ARDM at 1.13 seqs/s with **0.52 row occupancy** under
@@ -23,11 +24,17 @@ the packed path's solo-dispatch-per-seed occupancy cost is gone too.
 Reference counterpart: none — the reference's sampling surface is the
 offline per-step host loop ``Stage3_source/sampling_analysis.py:204-265``.
 
-Host/device split: ``x`` (the decoding state) stays device-resident
-between chunks and is fetched only on retirement; admissions upload only
-the small per-row arrays (z_c, inv, key data, offsets) as arguments of
-the single chunk dispatch — a freshly admitted row (``t0 == 0``) is
-zeroed on device by the stepper itself.
+Host/device split: the carries (``x`` decoding state, per-row RNG key
+data) stay device-resident between chunks — ``x`` is fetched only on
+retiring chunks, and the host pipelines one chunk deep so the dispatch
+round-trip hides under execution.  Admissions upload only the small
+per-row arrays (z_c, inv, fresh flags, x_new, key seeds, offsets) as
+arguments of the chunk dispatch; the stepper injects fresh rows on
+device.
+
+Measured on-chip (r4 ladder, BACKLOG "Round 4 session 1"): row occupancy
+0.52 → 0.85–0.97; at 64 rows in flight the daemon serves 96% of the
+offline sampler rate.
 """
 
 from __future__ import annotations
