@@ -314,11 +314,17 @@ def main() -> None:
         probe["probe_s"] = round(time.time() - t0, 1)
 
     wall_s = embed_compile_s + embed_s + facil_s + gen_total_s
+    # steady-state excludes the one-time compiles (amortized to zero over
+    # a production-sized sweep; at 1k prompts they are still ~half the
+    # wall through the tunnel's remote compiler)
+    steady_s = embed_s + facil_s + gen_steady_s
     report = {
         "metric": "sweep_prompts_per_hour",
         "value": round(args.prompts / (wall_s / 3600.0), 1),
         "unit": f"prompts/hour ({args.replicas} replicas each, "
                 f"mode={args.mode}, end-to-end incl. tokenize)",
+        "value_steady": round(args.prompts / (steady_s / 3600.0), 1)
+        if steady_s else None,
         "config": {
             "prompts": args.prompts, "replicas": args.replicas,
             "mode": args.mode,
