@@ -114,9 +114,12 @@ class Stage1SweepRunner:
         )
         from biom3_tpu.ops.pallas.esm2_stack_tpu import fused_esm2_cls
 
-        if engine._stack_arrays is None:
-            raise ValueError("Stage1SweepRunner needs a fused-stack engine "
-                             "(tower_impl='fused-stack')")
+        if engine._stack_arrays is None or "esm" not in engine._stack_arrays:
+            raise ValueError(
+                "Stage1SweepRunner needs a fused-stack engine with BOTH "
+                "towers (tower_impl='fused-stack', text_only=False) — "
+                "text_only engines build only the BERT arrays"
+            )
         self.engine = engine
         self.mesh = mesh
         self.device_batch = device_batch

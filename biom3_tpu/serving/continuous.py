@@ -102,10 +102,14 @@ class ContinuousGenerateBatcher:
         self._kd_dev = None  # device-resident per-row RNG state
         self._slots: list[tuple[dict, int] | None] = [None] * R
         # unseeded rows draw their decode order + RNG stream from one
-        # host generator (run-to-run varying, like the packed path);
-        # seeded rows use a Philox keyed on (seed, replica) — see
-        # _row_streams
-        self._host_rng = np.random.default_rng()
+        # host generator seeded from the pipeline's --seed (like the
+        # packed path's fold_in(key(seed), counter): run-to-run
+        # deterministic for a fixed request arrival order, varying with
+        # concurrency).  Request-pinned determinism is the "seed" field's
+        # job (Philox keyed on (seed, replica) — _row_streams)
+        self._host_rng = np.random.default_rng(
+            [getattr(pipeline, "seed", 0), 0xC017],
+        )
         # host/device sync policy per chunk (on-chip ladder, BACKLOG r4):
         #   depth1 (default) — wait on the PREVIOUS chunk after dispatching
         #     the next one: round-trip hides under execution, admissions
@@ -119,6 +123,9 @@ class ContinuousGenerateBatcher:
         self._sync_mode = os.environ.get("BIOM3_CONTINUOUS_SYNC", "depth1")
         self._pending: deque[dict] = deque()
         self._cv = threading.Condition()
+        # serializes scheduler iterations against warmup() from other
+        # threads (both mutate the host-side slot state)
+        self._sched_lock = threading.Lock()
         self._closed = False
         self.stats = BatcherStats()
         self._thread = threading.Thread(
@@ -145,15 +152,19 @@ class ContinuousGenerateBatcher:
         fut: Future = Future()
         mids = request.get("masked_ids")
         if mids is not None and not (np.asarray(mids) == 0).any():
-            # nothing to fill: resolve without consuming a slot
+            # nothing to fill: resolve without consuming a slot (same
+            # closed-lifecycle contract as the queued path)
+            with self._cv:
+                if self._closed:
+                    raise RuntimeError("batcher is closed")
+                with self.stats._lock:
+                    self.stats.requests += 1
             seq = self._vocab.clean_sequence(
                 self._vocab.decode_ids(np.asarray(mids, np.int32))
             )
             fut.set_result({
                 "prompt": request["prompt"], "sequences": [seq] * n_rep,
             })
-            with self.stats._lock:
-                self.stats.requests += 1
             return fut
         group = {
             "request": request,
@@ -175,29 +186,26 @@ class ContinuousGenerateBatcher:
 
     def warmup(self) -> float:
         """Compile the chunk executable with one all-inert dispatch (no
-        live rows, stats untouched); returns wall-clock seconds."""
+        live rows, stats untouched); returns wall-clock seconds.  Safe to
+        call while the server is already accepting traffic: the scheduler
+        lock serializes it against the loop's own dispatches."""
         t0 = time.time()
-        self._dispatch_chunk(record=False)
+        with self._sched_lock:
+            self._dispatch_chunk(record=False)
         return round(time.time() - t0, 1)
 
-    def close(self, timeout: float = 10.0) -> None:
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop the scheduler and fail whatever is still queued or
+        mid-trajectory — callers must not block until their request
+        timeout on a closed server.  The default join window covers a
+        chunk dispatch through the serving tunnel; if the thread is still
+        mid-chunk after it, the sweep runs anyway (late retirements then
+        see already-failed futures and skip them)."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._thread.join(timeout=timeout)
-        # fail whatever is still queued or mid-trajectory: callers must
-        # not block until their request timeout on a closed server
-        exc = RuntimeError("batcher is closed")
-        with self._cv:
-            groups = {id(g): g for g in self._pending}
-            for slot in self._slots:
-                if slot is not None:
-                    groups[id(slot[0])] = slot[0]
-            self._pending.clear()
-            self._slots = [None] * self.R
-            for g in groups.values():
-                if not g["future"].done():
-                    g["future"].set_exception(exc)
+        self._fail_all(RuntimeError("batcher is closed"), count_error=False)
 
     # -- scheduler -----------------------------------------------------
 
@@ -212,13 +220,19 @@ class ContinuousGenerateBatcher:
                     self._cv.wait(timeout=0.1)
                 if self._closed:
                     return
-            try:
+            # _admit contains its own per-group error handling (a bad
+            # request or a transient embed failure must not kill healthy
+            # mid-flight trajectories); only dispatch/retire failures —
+            # where the device carries themselves are suspect — escalate
+            # to _fail_all
+            with self._sched_lock:
                 self._admit()
-                if self._live_any():
-                    self._dispatch_chunk()
-                    self._retire()
-            except Exception as exc:  # noqa: BLE001 — forwarded to callers
-                self._fail_all(exc)
+                try:
+                    if self._live_any():
+                        self._dispatch_chunk()
+                        self._retire()
+                except Exception as exc:  # noqa: BLE001 — to callers
+                    self._fail_all(exc)
 
     def _row_streams(self, seed, rep: int):
         """Per-row decode order + raw RNG key words.
@@ -253,10 +267,25 @@ class ContinuousGenerateBatcher:
         if need:
             # one padded embed call for every prompt still lacking z_c
             # (takes the pipeline device lock internally; never held
-            # across the chunk dispatch)
-            _, z_c = self.pipeline.embed(
-                [g["request"]["prompt"] for g in need]
-            )
+            # across the chunk dispatch).  A failure here fails ONLY the
+            # groups whose embed it was — never the healthy mid-flight
+            # trajectories (which have hundreds of steps of work done)
+            try:
+                _, z_c = self.pipeline.embed(
+                    [g["request"]["prompt"] for g in need]
+                )
+            except Exception as exc:  # noqa: BLE001 — forwarded
+                with self._cv:
+                    for g in need:
+                        try:
+                            self._pending.remove(g)
+                        except ValueError:
+                            pass
+                        if not g["future"].done():
+                            g["future"].set_exception(exc)
+                with self.stats._lock:
+                    self.stats.errors += 1
+                return
             for g, z in zip(need, z_c):
                 g["z_c"] = np.asarray(z, np.float32)
         with self._cv:
@@ -267,28 +296,16 @@ class ContinuousGenerateBatcher:
                 if g["z_c"] is None:
                     break  # > R groups arrived at once; embed next round
                 rep = g["next_rep"]
-                inv, kd = self._row_streams(g["request"].get("seed"), rep)
-                mids = g["request"].get("masked_ids")
-                t_start, x_new = 0, 0
-                if mids is not None:
-                    # inpaint row: masked positions take the inv slots the
-                    # row will actually visit ([t_start, t_start+k), in
-                    # this row's random order via the permutation drawn
-                    # above); committed positions pad the rest
-                    x_new = np.asarray(mids, np.int32)
-                    masked_pos = np.flatnonzero(x_new == 0).astype(np.int32)
-                    committed = np.flatnonzero(x_new != 0).astype(np.int32)
-                    t_start = max(0, self._num_steps - len(masked_pos))
-                    order = np.argsort(inv[masked_pos], kind="stable")
-                    fill = np.concatenate([masked_pos[order], committed])
-                    inv = np.empty_like(inv)
-                    k = len(masked_pos)
-                    inv[t_start:t_start + k] = fill[:k]
-                    inv[:t_start] = fill[k:k + t_start]
-                    inv[t_start + k:] = fill[k + t_start:]
-                # slot bookkeeping BEFORE popping the group from pending:
-                # if anything above raised, the group is still reachable
-                # from one of the two structures _fail_all sweeps
+                try:
+                    inv, kd, t_start, x_new = self._prepare_row(g, rep)
+                except Exception as exc:  # noqa: BLE001 — bad request:
+                    # fail this group only, keep admitting the rest
+                    self._pending.popleft()
+                    if not g["future"].done():
+                        g["future"].set_exception(exc)
+                    with self.stats._lock:
+                        self.stats.errors += 1
+                    continue
                 self._slots[s] = (g, rep)
                 self._zc[s] = g["z_c"]
                 self._inv[s] = inv
@@ -299,6 +316,28 @@ class ContinuousGenerateBatcher:
                 g["next_rep"] += 1
                 if g["next_rep"] >= g["n_rep"]:
                     self._pending.popleft()
+
+    def _prepare_row(self, g: dict, rep: int):
+        """Row streams + (for inpaint rows) the inv layout and start
+        offset: masked positions take the inv slots the row will actually
+        visit ([t_start, t_start+k), in this row's random order);
+        committed positions pad the rest."""
+        inv, kd = self._row_streams(g["request"].get("seed"), rep)
+        mids = g["request"].get("masked_ids")
+        t_start, x_new = 0, 0
+        if mids is not None:
+            x_new = np.asarray(mids, np.int32)
+            masked_pos = np.flatnonzero(x_new == 0).astype(np.int32)
+            committed = np.flatnonzero(x_new != 0).astype(np.int32)
+            t_start = max(0, self._num_steps - len(masked_pos))
+            order = np.argsort(inv[masked_pos], kind="stable")
+            fill = np.concatenate([masked_pos[order], committed])
+            inv = np.empty_like(inv)
+            k = len(masked_pos)
+            inv[t_start:t_start + k] = fill[:k]
+            inv[:t_start] = fill[k:k + t_start]
+            inv[t_start + k:] = fill[k + t_start:]
+        return inv, kd, t_start, x_new
 
     def _dispatch_chunk(self, record: bool = True) -> None:
         """One chunk dispatch, depth-1 pipelined.
@@ -378,7 +417,9 @@ class ContinuousGenerateBatcher:
                 group["sequences"][rep] = seq
                 group["remaining"] -= 1
                 done = group["remaining"] == 0
-            if done:
+            if done and not group["future"].done():
+                # a future can already be failed by close()'s sweep if
+                # this retirement raced the join timeout — skip it then
                 group["future"].set_result({
                     "prompt": group["request"]["prompt"],
                     "sequences": [
@@ -386,7 +427,11 @@ class ContinuousGenerateBatcher:
                     ],
                 })
 
-    def _fail_all(self, exc: BaseException) -> None:
+    def _fail_all(self, exc: BaseException, *,
+                  count_error: bool = True) -> None:
+        """Fail every queued and mid-flight request and reset the device
+        carries — the dispatch/retire escalation path (device state
+        suspect) and close()'s final sweep."""
         with self._cv:
             groups = {id(g): g for g in self._pending}
             for slot in self._slots:
@@ -397,8 +442,9 @@ class ContinuousGenerateBatcher:
             self._t0[:] = self._num_steps
             self._x_dev = None   # drop possibly-poisoned device carries
             self._kd_dev = None
-        with self.stats._lock:
-            self.stats.errors += 1
+        if count_error:
+            with self.stats._lock:
+                self.stats.errors += 1
         for g in groups.values():
             if not g["future"].done():
                 g["future"].set_exception(exc)

@@ -96,6 +96,7 @@ class ServingPipeline:
         self.rows_per_dispatch = rows_per_dispatch
         self.default_replicas = default_replicas
         self.max_replicas = max_replicas
+        self.seed = seed
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
         self._batch_counter = 0
@@ -352,7 +353,14 @@ class BioM3Server:
         # semantics, rows sharing chunk dispatches with generate traffic
         # (throughput under mixed load at the cost of the easy-first
         # ordering).
-        self.continuous_inpaint = bool(continuous_inpaint and self.continuous)
+        if continuous_inpaint and not self.continuous:
+            raise ValueError(
+                "continuous_inpaint requires the continuous generate "
+                "scheduler (exact path-order ARDM engine + continuous "
+                "not disabled); this engine/server combination would "
+                "silently fall back to the packed inpainter"
+            )
+        self.continuous_inpaint = bool(continuous_inpaint)
         if self.continuous_inpaint:
             self._inpaint_batcher = self._gen_batcher
         else:
@@ -454,7 +462,15 @@ class BioM3Server:
                             else "packed"
                         ),
                         "generate": server._gen_batcher.stats.as_dict(),
-                        "inpaint": server._inpaint_batcher.stats.as_dict(),
+                        # aliased batchers share ONE stats object; a
+                        # duplicate copy here would read as independent
+                        # per-endpoint counters (they are combined)
+                        "inpaint": (
+                            {"merged_into_generate": True}
+                            if server._inpaint_batcher
+                            is server._gen_batcher
+                            else server._inpaint_batcher.stats.as_dict()
+                        ),
                         "embed": server._embed_batcher.stats.as_dict(),
                         "device": server.pipeline.device_stats(),
                         # operator memory view (the reference's pynvml/

@@ -288,11 +288,15 @@ def _run_certify_int8(tmp_path, extra_args):
          "--seq-len", "32",
          "--state-path", str(tmp_path / "smoke.pkl"), *extra_args],
         # 23 s in isolation on this box (2026-08-20); the generous budget
-        # absorbs cold-cache/contended judge boxes (the round-3 failure
-        # was the heavier 3-mode+sampler variant at 601 s on a box where
-        # concurrent compiles were running)
+        # absorbs cold-cache judge boxes.  The r3/r4 600 s "timeouts" were
+        # THIS bug: JAX_PLATFORMS=cpu alone does not stop the sandbox's
+        # sitecustomize from registering the axon TPU backend — the
+        # "CPU smoke" was running on the TPU tunnel, paying remote
+        # compiles and contending with chip sessions (CLAUDE.md: remove
+        # PALLAS_AXON_POOL_IPS to force CPU in a subprocess).
         capture_output=True, text=True, timeout=900,
-        env={**__import__("os").environ,
+        env={**{k: v for k, v in __import__("os").environ.items()
+                if k != "PALLAS_AXON_POOL_IPS"},
              "PYTHONPATH": env_path + ":"
              + __import__("os").environ.get("PYTHONPATH", ""),
              "JAX_PLATFORMS": "cpu"},
@@ -336,7 +340,10 @@ def test_run_sweep_tool_smoke(tmp_path):
          "--prompts", "4", "--replicas", "2", "--batch", "4",
          "--qc-inpaint-rows", "4", "--out", str(out_path)],
         capture_output=True, text=True, timeout=600,
-        env={**__import__("os").environ,
+        # drop PALLAS_AXON_POOL_IPS or the "CPU" subprocess registers the
+        # TPU backend (CLAUDE.md); see the note in _run_certify_int8
+        env={**{k: v for k, v in __import__("os").environ.items()
+                if k != "PALLAS_AXON_POOL_IPS"},
              "PYTHONPATH": f"{tools.parents[0]}:"
              + __import__("os").environ.get("PYTHONPATH", ""),
              "JAX_PLATFORMS": "cpu"},

@@ -43,8 +43,11 @@ def main() -> None:
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--ff-quant", choices=["auto", "none", "int8"], default="auto")
     ap.add_argument("--proj-quant", choices=["auto", "none", "int8"], default="auto")
-    ap.add_argument("--endpoint", choices=["generate", "inpaint"],
-                    default="generate")
+    ap.add_argument("--endpoint", choices=["generate", "inpaint", "mixed"],
+                    default="generate",
+                    help="mixed = half the clients generate, half inpaint "
+                         "(the continuous scheduler serves both row kinds "
+                         "from the same dispatches)")
     ap.add_argument("--inpaint-len", type=int, default=300,
                     help="residues in the synthetic inpaint request")
     ap.add_argument("--inpaint-masked-frac", type=float, default=0.25)
@@ -148,11 +151,12 @@ def main() -> None:
                          # --endpoint inpaint --continuous on A/Bs the
                          # continuous (random-order) inpaint path
                          continuous_inpaint=(args.continuous == "on"
-                                             and args.endpoint == "inpaint"))
+                                             and args.endpoint
+                                             in ("inpaint", "mixed")))
     server.start()
     base = f"http://{server.host}:{server.port}"
     sequence = None
-    if args.endpoint == "inpaint":
+    if args.endpoint in ("inpaint", "mixed"):
         if args.tiny:
             args.inpaint_len = min(args.inpaint_len, 30)  # tiny L=64
         # deterministic synthetic partial design: every Nth residue unknown
@@ -211,9 +215,11 @@ def main() -> None:
     }
     report["config"] = {
         "endpoint": args.endpoint,
-        "inpaint_len": args.inpaint_len if args.endpoint == "inpaint" else None,
+        "inpaint_len": (args.inpaint_len
+                        if args.endpoint in ("inpaint", "mixed") else None),
         "inpaint_masked_frac": (
-            args.inpaint_masked_frac if args.endpoint == "inpaint" else None
+            args.inpaint_masked_frac
+            if args.endpoint in ("inpaint", "mixed") else None
         ),
         "rows_per_dispatch": args.rows,
         "chunk_steps": args.chunk_steps,

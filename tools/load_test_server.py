@@ -42,26 +42,34 @@ def run_load(
     sequence: str | None = None,
 ) -> dict:
     """``endpoint="inpaint"`` posts ``sequence`` (a partial design with
-    ``?`` unknowns) to ``/v1/inpaint`` instead; latency/occupancy
-    semantics are identical."""
-    if endpoint not in ("generate", "inpaint"):
-        raise ValueError(f"endpoint must be generate|inpaint, got {endpoint}")
-    if endpoint == "inpaint" and not sequence:
-        raise ValueError("inpaint load needs a sequence")
+    ``?`` unknowns) to ``/v1/inpaint`` instead; ``"mixed"`` alternates —
+    even clients generate, odd clients inpaint — the realistic traffic
+    shape for a continuous scheduler whose inpaint rows share generate
+    dispatches.  Latency/occupancy semantics are identical."""
+    if endpoint not in ("generate", "inpaint", "mixed"):
+        raise ValueError(
+            f"endpoint must be generate|inpaint|mixed, got {endpoint}"
+        )
+    if endpoint in ("inpaint", "mixed") and not sequence:
+        raise ValueError(f"{endpoint} load needs a sequence")
     latencies: list[float] = []
+    per_ep: dict[str, list[float]] = {"generate": [], "inpaint": []}
     errors: list[str] = []
     lock = threading.Lock()
 
     def client(cid: int) -> None:
+        ep = endpoint
+        if endpoint == "mixed":
+            ep = "inpaint" if cid % 2 else "generate"
         for r in range(requests_per_client):
             payload = {"prompt": f"{prompt} #{cid}",
                        "num_replicas": num_replicas}
-            if endpoint == "inpaint":
+            if ep == "inpaint":
                 payload["sequence"] = sequence
             t0 = time.perf_counter()
             try:
                 out = _post(
-                    f"{base_url}/v1/{endpoint}",
+                    f"{base_url}/v1/{ep}",
                     payload,
                     timeout_s,
                 )
@@ -70,6 +78,7 @@ def run_load(
                 with lock:
                     if ok:
                         latencies.append(dt)
+                        per_ep[ep].append(dt)
                     else:
                         errors.append(f"client {cid} req {r}: bad shape")
             except Exception as exc:  # noqa: BLE001 — recorded, not raised
@@ -107,6 +116,16 @@ def run_load(
         "latency_p50_s": pct(0.50),
         "latency_p95_s": pct(0.95),
     }
+    if endpoint == "mixed":
+        import math
+
+        for ep, ls in per_ep.items():
+            ls = sorted(ls)
+            report[f"{ep}_p50_s"] = (
+                round(ls[max(0, math.ceil(0.5 * len(ls)) - 1)], 3)
+                if ls else None
+            )
+            report[f"{ep}_completed"] = len(ls)
     try:
         with urllib.request.urlopen(f"{base_url}/v1/metrics", timeout=30) as r:
             report["server_metrics"] = json.loads(r.read())
@@ -126,7 +145,7 @@ def main() -> None:
     ap.add_argument("--prompt", default="membrane transport protein")
     ap.add_argument("--num-replicas", type=int, default=1)
     ap.add_argument("--timeout-s", type=float, default=600.0)
-    ap.add_argument("--endpoint", choices=["generate", "inpaint"],
+    ap.add_argument("--endpoint", choices=["generate", "inpaint", "mixed"],
                     default="generate")
     ap.add_argument("--sequence", default=None,
                     help="partial design with '?' unknowns (inpaint mode)")
