@@ -127,6 +127,7 @@ class ContinuousGenerateBatcher:
         # threads (both mutate the host-side slot state)
         self._sched_lock = threading.Lock()
         self._closed = False
+        self._closing = False  # drain phase: no new submissions
         self.stats = BatcherStats()
         self._thread = threading.Thread(
             target=self._loop, name=name, daemon=True
@@ -155,7 +156,7 @@ class ContinuousGenerateBatcher:
             # nothing to fill: resolve without consuming a slot (same
             # closed-lifecycle contract as the queued path)
             with self._cv:
-                if self._closed:
+                if self._closed or self._closing:
                     raise RuntimeError("batcher is closed")
                 with self.stats._lock:
                     self.stats.requests += 1
@@ -176,7 +177,7 @@ class ContinuousGenerateBatcher:
             "sequences": {},
         }
         with self._cv:
-            if self._closed:
+            if self._closed or self._closing:
                 raise RuntimeError("batcher is closed")
             with self.stats._lock:
                 self.stats.requests += 1
@@ -194,13 +195,23 @@ class ContinuousGenerateBatcher:
             self._dispatch_chunk(record=False)
         return round(time.time() - t0, 1)
 
-    def close(self, timeout: float = 30.0) -> None:
-        """Stop the scheduler and fail whatever is still queued or
-        mid-trajectory — callers must not block until their request
-        timeout on a closed server.  The default join window covers a
-        chunk dispatch through the serving tunnel; if the thread is still
-        mid-chunk after it, the sweep runs anyway (late retirements then
-        see already-failed futures and skip them)."""
+    def close(self, timeout: float = 30.0, drain_s: float = 120.0) -> None:
+        """Draining shutdown: refuse new submissions, let the scheduler
+        finish the queued and mid-flight trajectories (bounded by
+        ``drain_s`` — in-flight clients get their sequences instead of an
+        error), then stop the thread and fail whatever did not drain in
+        time.  ``drain_s=0`` is an immediate shutdown.  The join window
+        covers a chunk dispatch through the serving tunnel; a retirement
+        racing the final sweep skips already-failed futures."""
+        with self._cv:
+            self._closing = True
+            self._cv.notify_all()
+        deadline = time.monotonic() + drain_s
+        while time.monotonic() < deadline:
+            with self._cv:
+                if not self._pending and not self._live_any():
+                    break
+            time.sleep(0.25)
         with self._cv:
             self._closed = True
             self._cv.notify_all()

@@ -497,6 +497,43 @@ def test_load_tool_against_inprocess_server(tmp_path):
         server.close()
 
 
+def test_load_tool_mixed_traffic_continuous(tmp_path):
+    """--endpoint mixed: generate and inpaint clients share the continuous
+    scheduler's dispatches (r4); per-endpoint latencies reported."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]
+                           / "tools"))
+    from load_test_server import run_load
+
+    from biom3_tpu.serving import BioM3Server
+
+    pipeline = _tiny_pipeline(
+        tmp_path, s3_kwargs={"chunk_steps": 16, "temperature": 1.0}
+    )
+    server = BioM3Server(pipeline, port=0, continuous=True,
+                         continuous_inpaint=True)
+    server.start()
+    try:
+        report = run_load(
+            f"http://{server.host}:{server.port}",
+            clients=4, requests_per_client=2, num_replicas=2,
+            endpoint="mixed", sequence="MK??ACDE??",
+        )
+        assert report["errors"] == 0, report
+        assert report["completed"] == 8
+        assert report["generate_completed"] == 4
+        assert report["inpaint_completed"] == 4
+        assert report["generate_p50_s"] > 0
+        assert report["inpaint_p50_s"] > 0
+        sm = report["server_metrics"]
+        assert sm["generate_mode"] == "continuous"
+        assert sm["inpaint_mode"] == "continuous"
+        assert sm["inpaint"] == {"merged_into_generate": True}
+    finally:
+        server.close()
+
+
 @pytest.mark.slow  # subprocess startup + compile; the in-process test above
 # covers the batching/HTTP logic — this drives the CLI wrapper itself
 def test_server_cli_subprocess(tmp_path):
