@@ -412,6 +412,75 @@ def test_continuous_inpaint_server_end_to_end(tmp_path):
         server.close()
 
 
+def test_admit_failure_does_not_kill_inflight_rows(tmp_path):
+    """A transient embed failure while admitting a NEW request must fail
+    only that request — healthy mid-flight trajectories (hundreds of
+    steps of work) keep running and complete (r4 code-review fix)."""
+    from biom3_tpu.serving.continuous import ContinuousGenerateBatcher
+
+    pipeline = _tiny_pipeline(
+        tmp_path, s3_kwargs={"chunk_steps": 16, "temperature": 1.0}
+    )
+    b = ContinuousGenerateBatcher(pipeline)
+    try:
+        f1 = b.submit({"prompt": "healthy in-flight work",
+                       "num_replicas": 2})
+        # wait until its rows are admitted (slots occupied)
+        import time as _t
+
+        for _ in range(200):
+            if b._live_any():
+                break
+            _t.sleep(0.01)
+        assert b._live_any()
+
+        real_embed = pipeline.embed
+        calls = {"n": 0}
+
+        def flaky_embed(prompts):
+            calls["n"] += 1
+            raise RuntimeError("transient tunnel failure")
+
+        pipeline.embed = flaky_embed
+        f2 = b.submit({"prompt": "victim of flaky embed",
+                       "num_replicas": 1})
+        with pytest.raises(RuntimeError, match="transient"):
+            f2.result(timeout=60)
+        pipeline.embed = real_embed
+        # the in-flight request survives and completes normally
+        r1 = f1.result(timeout=120)
+        assert len(r1["sequences"]) == 2
+        # and the batcher still serves new traffic afterwards
+        f3 = b.submit({"prompt": "recovered", "num_replicas": 1})
+        assert len(f3.result(timeout=120)["sequences"]) == 1
+    finally:
+        b.close()
+
+
+def test_close_drains_inflight_requests(tmp_path):
+    """Draining shutdown: a request mid-trajectory at close() time gets
+    its sequences, not a shutdown error; new submissions are refused
+    during the drain."""
+    from biom3_tpu.serving.continuous import ContinuousGenerateBatcher
+
+    pipeline = _tiny_pipeline(
+        tmp_path, s3_kwargs={"chunk_steps": 16, "temperature": 1.0}
+    )
+    b = ContinuousGenerateBatcher(pipeline)
+    fut = b.submit({"prompt": "finish me", "num_replicas": 2})
+    import time as _t
+
+    for _ in range(200):
+        if b._live_any():
+            break
+        _t.sleep(0.01)
+    b.close()  # drains
+    res = fut.result(timeout=5)  # already resolved by the drain
+    assert len(res["sequences"]) == 2
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit({"prompt": "too late"})
+
+
 def test_engine_rejects_continuous_for_fast_modes():
     eng = _tiny_engine(sampler_mode="maskgit")
     assert not eng.supports_continuous_stepping()
