@@ -250,7 +250,9 @@ class ContinuousGenerateBatcher:
 
         Seeded: a Philox stream keyed on (seed, replica) — deterministic
         under any batch composition or admission timing.  Unseeded: the
-        shared host generator (varies run to run, throughput path).
+        shared host generator seeded from the server's --seed
+        (deterministic for a fixed request arrival order; the "seed"
+        field is the knob for request-pinned reproducibility).
         """
         if seed is None:
             rng = self._host_rng
