@@ -133,6 +133,9 @@ class PenCLEngine:
             lambda p, x: self.model.apply(p, x, method=PenCL.encode_text)
         )
         self._stack_arrays = None
+        # engines forced onto the fused path on CPU (tests) run the
+        # interpret twins; real chips run the Mosaic kernels
+        self._kernel_interpret = not on_tpu
         if tower_impl == "fused-stack":
             # text_only engines still get the fused BERT tower: embed_text
             # is the e2e/sweep serving path, and the Flax graph measured
@@ -220,9 +223,7 @@ class PenCLEngine:
             ff_quant=self.bert_ff_quant,
             proj_quant=self.bert_proj_quant,
             softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
-            # CPU engines forced onto the fused path (tests) run the
-            # interpret twin; real chips run the Mosaic kernel
-            interpret=jax.devices()[0].platform == "cpu",
+            interpret=self._kernel_interpret,
         )
         return self._proj_head(p["text_projection"], t_cls.astype(dtype))
 
@@ -244,6 +245,7 @@ class PenCLEngine:
                 ff_quant=self.bert_ff_quant,
                 proj_quant=self.bert_proj_quant,
                 softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
+                interpret=self._kernel_interpret,
             )
             z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))
             cls = fused_esm2_cls(
@@ -251,6 +253,7 @@ class PenCLEngine:
                 heads=self.config.esm.attention_heads, gelu="tanh",
                 ff_quant=self.ff_quant, proj_quant=self.proj_quant,
                 softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
+                interpret=self._kernel_interpret,
             )
             z_p = self._proj_head(p["protein_projection"], cls.astype(dtype))
             return z_t, z_p

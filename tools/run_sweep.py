@@ -201,49 +201,11 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="run_sweep_")
     vocab_size = write_synthetic_wordpiece(pathlib.Path(tmp) / "tok")
 
-    if args.tiny:
-        s1_cfg = {
-            "protein_encoder_embedding": 16, "text_encoder_embedding": 16,
-            "esm_num_layers": 1, "esm_attention_heads": 2,
-            "bert_num_layers": 1, "bert_num_heads": 2,
-            "bert_intermediate_size": 32,
-            "bert_max_position_embeddings": 32, "proj_embedding_dim": 8,
-            "temperature": 0.8, "text_max_length": 32,
-        }
-        s2_cfg = {"emb_dim": 8, "hid_dim": 16, "dropout": 0.0,
-                  "loss_type": "MMD"}
-        s3_cfg = {
-            "num_replicas": args.replicas, "batch_size_sample": args.batch,
-            "diffusion_steps": 64, "seed": 0, "task": "proteins",
-            "text_emb_dim": 8, "transformer_dim": 32, "transformer_heads": 4,
-            "transformer_depth": 2, "transformer_blocks": 1,
-            "transformer_local_heads": 2, "transformer_local_size": 16,
-            "facilitator": "MMD", "context_window_size": 64,
-            "image_size": 8, "num_classes": 29,
-        }
-    else:
-        # reference serving dims (SURVEY.md): PubMedBERT-base text tower,
-        # 16-layer/512-d ProteoScribe at L=1024
-        s1_cfg = {
-            "protein_encoder_embedding": 1280, "text_encoder_embedding": 768,
-            "esm_num_layers": 1, "esm_attention_heads": 2,  # text_only
-            "bert_num_layers": 12, "bert_num_heads": 12,
-            "bert_intermediate_size": 3072,
-            "bert_max_position_embeddings": 512, "proj_embedding_dim": 512,
-            "temperature": 0.8, "text_max_length": 512,
-        }
-        s2_cfg = {"emb_dim": 512, "hid_dim": 640, "dropout": 0.0,
-                  "loss_type": "MMD"}
-        s3_cfg = {
-            "num_replicas": args.replicas, "batch_size_sample": args.batch,
-            "diffusion_steps": 1024, "seed": 0, "task": "proteins",
-            "text_emb_dim": 512, "transformer_dim": 512,
-            "transformer_heads": 16, "transformer_depth": 16,
-            "transformer_blocks": 1, "transformer_local_heads": 8,
-            "transformer_local_size": 128, "facilitator": "MMD",
-            "context_window_size": 1024, "image_size": 32,
-            "num_classes": 29,
-        }
+    from bench_common import stage_configs
+
+    s1_cfg, s2_cfg, s3_cfg = stage_configs(
+        args.tiny, batch=args.batch, replicas=args.replicas
+    )
     s1_cfg["bert_vocab_size"] = vocab_size
     s1_cfg["text_model_path"] = f"{tmp}/tok"
 
