@@ -108,9 +108,12 @@ class PenCLEngine:
             ln_onepass = False
         self._vpu_opts = (bool(softmax_opt), bool(ln_onepass))
         self.tower_impl = tower_impl
+        # one gelu for the Flax graph AND the fused-stack kernels: parity
+        # mode (f32) keeps erf everywhere — a fused-stack engine forced
+        # into parity mode must not silently drift from PenCL.encode_text
+        self.gelu = "tanh" if perf_mode else "erf"
         self.model = PenCL(
-            self.config, dtype=dtype, attn_impl=attn_impl,
-            gelu="tanh" if perf_mode else "erf",
+            self.config, dtype=dtype, attn_impl=attn_impl, gelu=self.gelu,
         )
         self.alphabet = ESMAlphabet()
         self._text_tokenizer = text_tokenizer
@@ -218,7 +221,7 @@ class PenCLEngine:
         x0 = bert_embed(p["text_encoder"], ids, dtype=dtype)
         t_cls = fused_bert_cls(
             x0, **self._stack_arrays["bert"],
-            heads=self.config.bert.num_heads, gelu="tanh",
+            heads=self.config.bert.num_heads, gelu=self.gelu,
             rows=1 if ids.shape[0] % 2 else 2,
             ff_quant=self.bert_ff_quant,
             proj_quant=self.bert_proj_quant,
@@ -240,7 +243,7 @@ class PenCLEngine:
             x0 = bert_embed(p["text_encoder"], jnp.asarray(x_t), dtype=dtype)
             t_cls = fused_bert_cls(
                 x0, **self._stack_arrays["bert"],
-                heads=self.config.bert.num_heads, gelu="tanh",
+                heads=self.config.bert.num_heads, gelu=self.gelu,
                 rows=1 if x_t.shape[0] % 2 else 2,
                 ff_quant=self.bert_ff_quant,
                 proj_quant=self.bert_proj_quant,
@@ -250,7 +253,7 @@ class PenCLEngine:
             z_t = self._proj_head(p["text_projection"], t_cls.astype(dtype))
             cls = fused_esm2_cls(
                 jnp.asarray(x_p), **self._stack_arrays["esm"],
-                heads=self.config.esm.attention_heads, gelu="tanh",
+                heads=self.config.esm.attention_heads, gelu=self.gelu,
                 ff_quant=self.ff_quant, proj_quant=self.proj_quant,
                 softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
                 interpret=self._kernel_interpret,

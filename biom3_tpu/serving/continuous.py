@@ -233,12 +233,14 @@ class ContinuousGenerateBatcher:
                     return
             # _admit contains its own per-group error handling (a bad
             # request or a transient embed failure must not kill healthy
-            # mid-flight trajectories); only dispatch/retire failures —
-            # where the device carries themselves are suspect — escalate
-            # to _fail_all
+            # mid-flight trajectories), but an escape from it — or any
+            # dispatch/retire failure, where the device carries themselves
+            # are suspect — escalates to _fail_all so clients fail fast
+            # instead of the daemon thread dying silently with every
+            # future stranded until the HTTP timeout
             with self._sched_lock:
-                self._admit()
                 try:
+                    self._admit()
                     if self._live_any():
                         self._dispatch_chunk()
                         self._retire()
@@ -296,8 +298,11 @@ class ContinuousGenerateBatcher:
                             pass
                         if not g["future"].done():
                             g["future"].set_exception(exc)
+                # one count PER FAILED GROUP, matching the MicroBatcher
+                # convention (one per failed request group) so /v1/metrics
+                # error counts compare across packed and continuous modes
                 with self.stats._lock:
-                    self.stats.errors += 1
+                    self.stats.errors += len(need)
                 return
             for g, z in zip(need, z_c):
                 g["z_c"] = np.asarray(z, np.float32)

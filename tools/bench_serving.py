@@ -104,13 +104,16 @@ def main() -> None:
     # executables have been observed at up to ~930 s through the tunnel's
     # remote compiler, so the warmup window needs a far longer deadline
     # than the 600 s serving default
+    # resolve --continuous auto BEFORE building the server so inpaint rows
+    # ride the same scheduler as generate whenever the server ends up
+    # continuous — a mixed-mode run must be attributable to ONE scheduler
+    # (packed inpaint remains reachable with --continuous off)
+    continuous = (s3.supports_continuous_stepping()
+                  if args.continuous == "auto" else args.continuous == "on")
     server = BioM3Server(pipeline, port=0, max_wait_s=0.05,
                          request_timeout_s=2400.0,
-                         continuous=(None if args.continuous == "auto"
-                                     else args.continuous == "on"),
-                         # --endpoint inpaint --continuous on A/Bs the
-                         # continuous (random-order) inpaint path
-                         continuous_inpaint=(args.continuous == "on"
+                         continuous=continuous,
+                         continuous_inpaint=(continuous
                                              and args.endpoint
                                              in ("inpaint", "mixed")))
     server.start()
