@@ -71,6 +71,12 @@ def parse_arguments():
                         "dispatches with generate; default: packed "
                         "confidence-order inpainter — the certified "
                         "quality winner)")
+    p.add_argument("--packed_scheduler", choices=["trajectory", "micro"],
+                   default="trajectory",
+                   help="scheduler for non-continuous generate (fast "
+                        "modes): row-granular depth-1-pipelined "
+                        "TrajectoryBatcher (default) or the legacy "
+                        "request-granular MicroBatcher (A/B baseline)")
     p.add_argument("--warmup", action="store_true",
                    help="compile every serving executable (embed, generate, "
                         "inpaint) with dummy dispatches before accepting "
@@ -119,6 +125,7 @@ def main() -> None:
         continuous=(None if args.continuous == "auto"
                     else args.continuous == "on"),
         continuous_inpaint=args.continuous_inpaint,
+        packed_scheduler=args.packed_scheduler,
     )
     if args.warmup:
         print("warming up (compiling serving executables)...", flush=True)

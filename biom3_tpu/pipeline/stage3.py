@@ -268,6 +268,97 @@ class ProteoScribeEngine:
 
         return sample_rows
 
+    @property
+    def sampler_mode(self) -> str:
+        """``"ardm"`` or ``"maskgit"`` (the serving scheduler keys on it)."""
+        return self._sampler_mode
+
+    def make_trajectory_row_fn(self, mesh=None, *, interpret: bool = False):
+        """Non-fetching dispatch function for the row-granular packed
+        scheduler (``serving/trajectory.TrajectoryBatcher``).
+
+        Returns ``(row_fn, accepts_masked)`` where
+        ``row_fn(z_c (B, C) np, key, masked=None) → (B, L) DEVICE ids``
+        enqueues one whole-trajectory dispatch and returns without
+        fetching — the scheduler overlaps the fetch/decode of dispatch
+        N−1 with dispatch N's execution (depth-1 pipelining, the
+        continuous scheduler's policy applied to trajectory-complete fast
+        modes).  ``accepts_masked=True`` (maskgit) means inpaint rows
+        (partially revealed ``masked`` ids, absorbing 0 at the fill
+        positions) may share a dispatch with generate rows (x0 = zeros) —
+        both resume the SAME compiled executable
+        (``diffusion/sampler.make_maskgit_sampler``'s ``run``).
+
+        Key handling matches ``sample_batch`` (one split before the
+        sampler call), so a seeded solo GENERATE dispatch reproduces the
+        legacy request-granular scheduler bit-for-bit; merged maskgit
+        inpaint rows get the generate stream (``inpaint_batch`` passes
+        the raw key — a different stream, same distribution).
+        """
+        if mesh is None:
+            sampler, params, data = self.sampler, self.params, None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from biom3_tpu.models.fused_forward import make_sharded_stack_apply
+
+            ff_quant, proj_quant = self._quant
+            apply_fn = make_sharded_stack_apply(
+                self.config, mesh, gelu=self.gelu, interpret=interpret,
+                dtype=jnp.float32 if interpret else jnp.bfloat16,
+                gather_k=(self.config.max_seq_len
+                          if self._sampler_mode == "maskgit"
+                          else self._gather_k),
+                ff_quant=ff_quant, proj_quant=proj_quant,
+                stream=self._stack_stream,
+                softmax_opt=self._vpu_opts[0], ln_onepass=self._vpu_opts[1],
+            )
+            cfg = self._sampler_cfg
+            if self._sampler_mode == "maskgit":
+                sampler = make_maskgit_sampler(
+                    apply_fn, self.config.max_seq_len,
+                    steps=self._maskgit_steps, temperature=cfg["temperature"],
+                    top_k=cfg["top_k"], top_p=cfg["top_p"],
+                    apply_takes_positions=True,
+                )
+            else:
+                sampler = make_sampler(
+                    apply_fn, self.config.num_timesteps,
+                    apply_takes_positions=True, **cfg,
+                )
+            params = self._replicated_params(mesh)
+            data = NamedSharding(mesh, P(("dp", "fsdp"), None))
+
+        L = self.config.max_seq_len
+
+        def put(a, dtype):
+            a = jnp.asarray(a, dtype)
+            return a if data is None else jax.device_put(a, data)
+
+        if self._sampler_mode == "maskgit":
+            def row_fn(z_c, key, masked=None):
+                # sample_batch splits once (its ignored path draw)
+                # before the sampler sees the key — mirror it so seeded
+                # generate dispatches match the legacy scheduler
+                key = jax.random.split(key)[0]
+                zc = put(z_c, jnp.float32)
+                x0 = (jnp.zeros((zc.shape[0], L), jnp.int32)
+                      if masked is None else put(masked, jnp.int32))
+                return sampler(params, zc, None, key, x0=x0)
+
+            return row_fn, True
+
+        def row_fn(z_c, key, masked=None):
+            if masked is not None:
+                raise ValueError("ardm trajectory dispatches cannot carry "
+                                 "inpaint rows (separate executable)")
+            key, sub = jax.random.split(key)
+            paths = sample_permutations(sub, z_c.shape[0], L)
+            return sampler(params, put(z_c, jnp.float32),
+                           put(paths, jnp.int32), key)
+
+        return row_fn, False
+
     def supports_continuous_stepping(self) -> bool:
         """True when the engine's serving math can run under the
         chunk-boundary continuous batcher: exact path-order ARDM without

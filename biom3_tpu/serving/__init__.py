@@ -1,6 +1,7 @@
 from biom3_tpu.serving.batcher import BatcherStats, MicroBatcher
 from biom3_tpu.serving.continuous import ContinuousGenerateBatcher
 from biom3_tpu.serving.server import BioM3Server, ServingPipeline
+from biom3_tpu.serving.trajectory import TrajectoryBatcher
 
 __all__ = [
     "BatcherStats",
@@ -8,4 +9,5 @@ __all__ = [
     "ContinuousGenerateBatcher",
     "MicroBatcher",
     "ServingPipeline",
+    "TrajectoryBatcher",
 ]

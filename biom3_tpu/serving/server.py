@@ -314,6 +314,7 @@ class BioM3Server:
         request_timeout_s: float = 600.0,
         continuous: bool | None = None,
         continuous_inpaint: bool = False,
+        packed_scheduler: str = "trajectory",
     ):
         self.pipeline = pipeline
         self.request_timeout_s = request_timeout_s
@@ -323,8 +324,15 @@ class BioM3Server:
         # chunk-boundary continuous scheduler (rows join/retire at every
         # 128-step chunk boundary — round 3 measured 0.52 row occupancy
         # under load with trajectory-start packing); fast modes
-        # (maskgit / confidence order) finish in ~16 forwards, where the
-        # coalescing MicroBatcher already saturates.
+        # (maskgit / confidence order) finish in ~16 forwards with no
+        # useful intra-trajectory boundaries — they get the row-granular
+        # depth-1-pipelined TrajectoryBatcher (round 5; ``packed_
+        # scheduler="micro"`` keeps the request-granular MicroBatcher
+        # for A/Bs).
+        if packed_scheduler not in ("trajectory", "micro"):
+            raise ValueError(f"packed_scheduler must be 'trajectory' or "
+                             f"'micro', got {packed_scheduler!r}")
+        self.packed_scheduler = packed_scheduler
         if continuous is None:
             continuous = pipeline.s3.supports_continuous_stepping()
         self.continuous = bool(continuous)
@@ -332,6 +340,12 @@ class BioM3Server:
             from biom3_tpu.serving.continuous import ContinuousGenerateBatcher
 
             self._gen_batcher = ContinuousGenerateBatcher(pipeline)
+        elif packed_scheduler == "trajectory":
+            from biom3_tpu.serving.trajectory import TrajectoryBatcher
+
+            self._gen_batcher = TrajectoryBatcher(
+                pipeline, max_wait_s=max_wait_s
+            )
         else:
             self._gen_batcher = MicroBatcher(
                 pipeline.generate,
@@ -363,6 +377,12 @@ class BioM3Server:
         self.continuous_inpaint = bool(continuous_inpaint)
         if self.continuous_inpaint:
             self._inpaint_batcher = self._gen_batcher
+        elif getattr(self._gen_batcher, "accepts_masked", False):
+            # maskgit trajectory scheduler: inpaint resumes the SAME
+            # compiled executable as generate (x0 = partial vs all-
+            # absorbing), so inpaint rows share generate dispatches —
+            # one scheduler, mixed-traffic occupancy for free
+            self._inpaint_batcher = self._gen_batcher
         else:
             self._inpaint_batcher = MicroBatcher(
                 pipeline.inpaint,
@@ -389,15 +409,21 @@ class BioM3Server:
     def warmup(self, *, include_inpaint: bool = True) -> dict:
         """Compile the executables THIS server will actually dispatch (see
         ``ServingPipeline.warmup``): in continuous mode the generate path
-        is the chunk stepper, and the packed trajectory sampler is never
-        compiled; with ``continuous_inpaint`` the packed inpainter isn't
-        either (inpaint rows reuse the chunk-stepper executable)."""
+        is the chunk stepper, in trajectory mode the row-fn dispatch;
+        the packed trajectory sampler is then never compiled.  When
+        inpaint rows ride the generate scheduler (continuous_inpaint, or
+        the maskgit trajectory merge) the packed inpainter isn't compiled
+        either."""
+        inpaint_merged = self._inpaint_batcher is self._gen_batcher
+        own_warmup = hasattr(self._gen_batcher, "warmup")
         times = self.pipeline.warmup(
-            include_inpaint=include_inpaint and not self.continuous_inpaint,
-            include_generate=not self.continuous,
+            include_inpaint=include_inpaint and not inpaint_merged,
+            include_generate=not own_warmup,
         )
-        if self.continuous:
-            times["generate_chunk_s"] = self._gen_batcher.warmup()
+        if own_warmup:
+            label = ("generate_chunk_s" if self.continuous
+                     else "generate_trajectory_s")
+            times[label] = self._gen_batcher.warmup()
         return times
 
     def start(self) -> None:
@@ -453,12 +479,17 @@ class BioM3Server:
                         host_memory_mb,
                     )
 
+                    gen_mode = (
+                        "continuous" if server.continuous
+                        else server.packed_scheduler
+                    )
                     self._reply(200, {
-                        "generate_mode": (
-                            "continuous" if server.continuous else "packed"
-                        ),
+                        "generate_mode": gen_mode,
                         "inpaint_mode": (
                             "continuous" if server.continuous_inpaint
+                            else gen_mode
+                            if server._inpaint_batcher
+                            is server._gen_batcher
                             else "packed"
                         ),
                         "generate": server._gen_batcher.stats.as_dict(),

@@ -58,6 +58,11 @@ def main() -> None:
                     default="auto",
                     help="chunk-boundary continuous batching for generate "
                          "(auto: server default — on for exact ARDM)")
+    ap.add_argument("--packed-scheduler", choices=["trajectory", "micro"],
+                    default="trajectory",
+                    help="non-continuous generate scheduler: row-granular "
+                         "depth-1-pipelined (default) vs legacy request-"
+                         "granular MicroBatcher (A/B baseline)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
@@ -115,7 +120,8 @@ def main() -> None:
                          continuous=continuous,
                          continuous_inpaint=(continuous
                                              and args.endpoint
-                                             in ("inpaint", "mixed")))
+                                             in ("inpaint", "mixed")),
+                         packed_scheduler=args.packed_scheduler)
     server.start()
     base = f"http://{server.host}:{server.port}"
     sequence = None
@@ -193,6 +199,9 @@ def main() -> None:
         "ff_quant": args.ff_quant, "proj_quant": args.proj_quant,
         "stack_path": s3.use_stack, "tiny": args.tiny,
         "continuous": server.continuous,
+        "continuous_inpaint": server.continuous_inpaint,
+        "packed_scheduler": server.packed_scheduler,
+        "inpaint_merged": server._inpaint_batcher is server._gen_batcher,
     }
     print(json.dumps(report), flush=True)
     server.close()
