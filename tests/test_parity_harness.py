@@ -121,3 +121,82 @@ def test_parity_check_refuses_without_weights():
     )
     assert r.returncode == 2, (r.returncode, r.stdout, r.stderr[-1000:])
     assert "no weights given" in r.stdout
+
+
+def _build_tiny_stage3_ckpt(tmp_path):
+    import torch
+    import torch_golden
+
+    torch.manual_seed(1)
+    tm = torch_golden.GoldenDiffTransformer(
+        num_classes=29, dim=32, depth=2, n_blocks=1, max_seq_len=64,
+        num_timesteps=64, heads=4, n_local_attn_heads=2,
+        local_attn_window_size=16, cond_dim=16,
+    )
+    torch.save({f"transformer.{k}": v for k, v in tm.state_dict().items()},
+               tmp_path / "s3.bin")
+    (tmp_path / "s3.json").write_text(json.dumps({
+        "diffusion_steps": 64, "image_size": 8, "num_classes": 29,
+        "text_emb_dim": 16, "transformer_dim": 32, "transformer_heads": 4,
+        "transformer_depth": 2, "transformer_blocks": 1,
+        "transformer_local_heads": 2, "transformer_local_size": 16,
+    }))
+    return tm
+
+
+def _parity_env():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    return env
+
+
+def test_parity_check_stage3_gate_oracle_mode(tmp_path):
+    """Gate 3 (bit-faithful temp-0 sequences): with the SAME checkpoint
+    in the torch oracle and the JAX engine, the gate must PASS — proving
+    converter, engine, permutation injection, and the oracle loop agree
+    end to end."""
+    _build_tiny_stage3_ckpt(tmp_path)
+    r = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "parity_check.py"),
+         "--proteoscribe", str(tmp_path / "s3.bin"),
+         "--stage3_json", str(tmp_path / "s3.json")],
+        env=_parity_env(), capture_output=True, text=True, timeout=900,
+    )
+    out = r.stdout
+    assert "stage3 temp-0 sequences" in out, (out, r.stderr[-2000:])
+    assert "[PASS] stage3" in out, (out, r.stderr[-2000:])
+    assert r.returncode == 0, (r.returncode, out, r.stderr[-2000:])
+
+
+def test_parity_check_stage3_gate_trajectory_mode(tmp_path):
+    """--reference_trajectory replay: a captured (path, z_c, expected_ids)
+    file PASSes when the ids match and FAILs (exit 1) when one id is
+    corrupted — the file mode is what a real reference GPU run will feed."""
+    import torch_golden
+
+    tm = _build_tiny_stage3_ckpt(tmp_path)
+    rng = np.random.default_rng(3)
+    paths = np.stack([rng.permutation(64) for _ in range(2)]).astype(np.int32)
+    z_c = rng.standard_normal((2, 16)).astype(np.float32)
+    expected = torch_golden.golden_temp0_denoise(tm, paths, z_c)
+
+    np.savez(tmp_path / "traj.npz", path=paths, z_c=z_c,
+             expected_ids=expected)
+    cmd = [sys.executable, str(REPO / "tools" / "parity_check.py"),
+           "--proteoscribe", str(tmp_path / "s3.bin"),
+           "--stage3_json", str(tmp_path / "s3.json"),
+           "--reference_trajectory", str(tmp_path / "traj.npz")]
+    r = subprocess.run(cmd, env=_parity_env(), capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode == 0 and "[PASS] stage3" in r.stdout, (
+        r.returncode, r.stdout, r.stderr[-2000:])
+
+    bad = expected.copy()
+    bad[0, 0] = (bad[0, 0] + 1) % 29
+    np.savez(tmp_path / "traj.npz", path=paths, z_c=z_c, expected_ids=bad)
+    r = subprocess.run(cmd, env=_parity_env(), capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode == 1 and "[FAIL] stage3" in r.stdout, (
+        r.returncode, r.stdout, r.stderr[-2000:])

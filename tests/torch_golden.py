@@ -228,3 +228,29 @@ class GoldenDiffTransformer(nn.Module):
         h = self.norm(h)
         output = self.out(h)
         return output.permute(0, 2, 1)
+
+
+@torch.no_grad()
+def golden_temp0_denoise(model, paths, z_c):
+    """Reference-semantics temperature-0 denoise loop.
+
+    The reference's single-sample generation loop
+    (``Stage3_source/sampling_analysis.py:152-201``): start all-absorbing,
+    one model call per step t, write position sigma^-1(t) — with argmax in
+    place of ``OneHotCategorical.sample()`` (the temperature-0 limit; the
+    reference has no temperature knob).  This is the torch side of the
+    Stage-3 parity gate: ``biom3_tpu``'s sampler at temperature 0 with the
+    same injected permutation must reproduce it bit-for-bit.
+    """
+    model.eval()
+    paths = torch.as_tensor(paths, dtype=torch.long)
+    z_c = torch.as_tensor(z_c, dtype=torch.float32)
+    B, L = paths.shape
+    rows = torch.arange(B)
+    x = torch.zeros((B, L), dtype=torch.long)
+    for t in range(L):
+        logits = model(x, torch.full((B,), t, dtype=torch.long), z_c)
+        pos = (paths == t).long().argmax(dim=-1)          # (B,)
+        picked = logits[rows, :, pos]                     # (B, C)
+        x[rows, pos] = picked.argmax(dim=-1)
+    return x.numpy()

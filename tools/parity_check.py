@@ -10,6 +10,24 @@ published outputs (/root/reference/README.md:222-326).
       --facilitator BioM3_Facilitator_epoch20.bin \
       --stage1_json /root/reference/stage1_config.json \
       --stage2_json /root/reference/stage2_config.json
+
+All THREE north-star gates live here (BASELINE.md): >=0.999-cosine
+z_t/z_p (gate 1) and z_c (gate 2) against the README matrices, and
+bit-faithful temperature-0 Stage-3 sequences (gate 3):
+
+  --proteoscribe BioM3_ProteoScribe_pfam_epoch20_v1.bin
+      loads the checkpoint into BOTH the torch golden oracle
+      (tests/torch_golden.py — reference loop semantics,
+      /root/reference/Stage3_source/sampling_analysis.py:152-201) and the
+      JAX engine, runs temperature-0 denoising with the SAME injected
+      permutations (the sampler takes an external ``paths`` — parity
+      replay support), and requires bit-identical ids.
+
+  --reference_trajectory traj.npz        (with --proteoscribe)
+      replays a captured reference run instead of the in-process oracle:
+      an .npz/.pt with ``path`` (B, L) int permutations, ``z_c`` (B, C)
+      float conditioning, ``expected_ids`` (B, L) int decode-table ids.
+      Use this once a real reference GPU run can be recorded.
 """
 
 from __future__ import annotations
@@ -45,15 +63,104 @@ def check(name: str, actual, expected, tol: float) -> bool:
     return ok
 
 
+def _stage3_gate(args) -> bool:
+    """Gate 3: bit-faithful temperature-0 sequences under an injected
+    permutation (ref loop: Stage3_source/sampling_analysis.py:152-201;
+    our replay hook: ProteoScribeEngine.sample_batch(..., paths=...))."""
+    import jax
+    import jax.numpy as jnp
+
+    from biom3_tpu.config import load_json_config
+    from biom3_tpu.pipeline.stage3 import ProteoScribeEngine
+
+    stage_cfg = load_json_config(args.stage3_json)
+    engine = ProteoScribeEngine(
+        stage_cfg, args.proteoscribe, dtype=jnp.float32, temperature=0.0,
+    )
+    L = engine.config.max_seq_len
+
+    if args.reference_trajectory:
+        if args.reference_trajectory.endswith(".npz"):
+            rec = dict(np.load(args.reference_trajectory))
+        else:
+            from biom3_tpu.io.torch_load import load_torch_file
+
+            rec = {k: np.asarray(v)
+                   for k, v in load_torch_file(args.reference_trajectory).items()}
+        paths = np.asarray(rec["path"], np.int32)
+        z_c = np.asarray(rec["z_c"], np.float32)
+        expected = np.asarray(rec["expected_ids"], np.int64)
+        source = f"captured trajectory {args.reference_trajectory}"
+    else:
+        # in-process torch golden oracle on deterministic synthetic z_c
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        os.pardir, "tests"))
+        import torch
+        import torch_golden
+        from biom3_tpu.io.torch_load import load_torch_file
+
+        cfg = engine.config
+        tm = torch_golden.GoldenDiffTransformer(
+            num_classes=cfg.num_classes, dim=cfg.dim, depth=cfg.depth,
+            n_blocks=cfg.n_blocks, max_seq_len=cfg.max_seq_len,
+            num_timesteps=cfg.num_timesteps, heads=cfg.heads,
+            n_local_attn_heads=cfg.local_heads,
+            local_attn_window_size=cfg.local_window, cond_dim=cfg.cond_dim,
+        )
+        sd = load_torch_file(args.proteoscribe)
+        stripped = {
+            k[len("transformer."):] if k.startswith("transformer.") else k:
+                torch.as_tensor(np.array(v))
+            for k, v in sd.items()
+        }
+        missing, unexpected = tm.load_state_dict(stripped, strict=False)
+        if missing:
+            print(f"[FAIL] stage3 oracle load: missing keys {missing}")
+            return False
+        rng = np.random.default_rng(0)
+        B = args.stage3_batch
+        paths = np.stack(
+            [rng.permutation(L) for _ in range(B)]
+        ).astype(np.int32)
+        z_c = rng.standard_normal((B, cfg.cond_dim)).astype(np.float32)
+        expected = torch_golden.golden_temp0_denoise(tm, paths, z_c)
+        source = "in-process torch golden oracle"
+
+    got = engine.sample_batch(z_c, jax.random.key(0), paths=paths)
+    mismatched = int((np.asarray(got, np.int64) != expected).sum())
+    total = int(expected.size)
+    ok = mismatched == 0
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] stage3 temp-0 sequences vs {source}: "
+          f"{mismatched}/{total} ids differ (gate: 0)")
+    return ok
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--pencl", type=str, default=None)
     p.add_argument("--facilitator", type=str, default=None)
+    p.add_argument("--proteoscribe", type=str, default=None)
     p.add_argument("--stage1_json", type=str, default="/root/reference/stage1_config.json")
     p.add_argument("--stage2_json", type=str, default="/root/reference/stage2_config.json")
+    p.add_argument("--stage3_json", type=str, default="/root/reference/stage3_config.json")
+    p.add_argument("--reference_trajectory", type=str, default=None,
+                   help="captured reference run (.npz/.pt with path, z_c, "
+                        "expected_ids) replacing the in-process oracle")
+    p.add_argument("--stage3_batch", type=int, default=2,
+                   help="oracle-mode rows (each is a full L-step denoise "
+                        "on CPU torch — keep small)")
     p.add_argument("--tol", type=float, default=5e-3,
                    help="absolute tolerance on published 4-decimal values")
     args = p.parse_args()
+
+    import jax
+
+    # parity mode: f32 everywhere + HIGHEST matmul precision (CLAUDE.md)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from biom3_tpu.cli.demo_data import DEMO_CAPTIONS, DEMO_SEQUENCES
     from biom3_tpu.config import load_json_config
@@ -96,7 +203,10 @@ def main() -> int:
         ]:
             ok &= check(key, m[key], EXPECTED[exp_key], tol)
 
-    if not args.pencl and not args.facilitator:
+    if args.proteoscribe:
+        ok &= _stage3_gate(args)
+
+    if not args.pencl and not args.facilitator and not args.proteoscribe:
         print("no weights given — nothing to check (see WEIGHTS.md)")
         return 2
     print("\nOVERALL:", "PASS" if ok else "FAIL")
