@@ -23,11 +23,42 @@ import argparse
 from biom3_tpu.config import load_json_config
 
 
+# Chip-certified serving bundles (PARITY.md certification tables +
+# outputs/chip_session_logs r4/r5): each preset sets the flags below
+# unless the flag was given explicitly.  quality = the reference's exact
+# OA-ARDM semantics; latency = blocked k=8 at temperature 0, certified
+# quality-neutral (PARITY.md "Blocked decoding certification");
+# throughput = MaskGIT parallel decoding (framework extension, 16
+# forwards/design) on the row-granular trajectory scheduler.
+PRESETS = {
+    "quality": {
+        "sampler": "ardm", "decode_order": "path", "temperature": 1.0,
+        "positions_per_step": 1, "chunk_steps": 64,
+        "rows_per_dispatch": 32, "continuous": "on",
+    },
+    "latency": {
+        "sampler": "ardm", "decode_order": "path", "temperature": 0.0,
+        "positions_per_step": 8, "chunk_steps": 16,
+        "rows_per_dispatch": 32, "continuous": "on",
+    },
+    "throughput": {
+        "sampler": "maskgit", "maskgit_steps": 16, "temperature": 1.0,
+        "rows_per_dispatch": 32, "continuous": "off",
+    },
+}
+
+
 def parse_arguments():
     p = argparse.ArgumentParser(description="BioM3 serving daemon")
     for stage in (1, 2, 3):
         p.add_argument(f"--stage{stage}_json", type=str, required=True)
         p.add_argument(f"--stage{stage}_model", type=str, required=True)
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="chip-certified config bundle (quality: exact "
+                        "reference ARDM; latency: blocked k=8 temp-0, "
+                        "certified quality-neutral; throughput: maskgit "
+                        "parallel decoding).  Explicit flags override "
+                        "preset values")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--rows_per_dispatch", type=int, default=16,
@@ -81,7 +112,15 @@ def parse_arguments():
                    help="compile every serving executable (embed, generate, "
                         "inpaint) with dummy dispatches before accepting "
                         "traffic — first clients skip the compile wait")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.preset:
+        # a preset fills every flag the user left at its parser default
+        # (passing the default value explicitly is indistinguishable and
+        # also gets the preset value — document, don't guess)
+        for flag, value in PRESETS[args.preset].items():
+            if getattr(args, flag) == p.get_default(flag):
+                setattr(args, flag, value)
+    return args
 
 
 def main() -> None:

@@ -570,3 +570,34 @@ def test_train_stage1_cli_exports_servable_bin(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     saved = torch.load(tmp_path / "pencl_out.pt", weights_only=False)
     assert np.asarray(saved["z_t"]).shape == (5, 8)
+
+
+def test_run_server_preset_bundles():
+    """--preset fills certified bundles; explicit flags override."""
+    import sys
+    from unittest import mock
+
+    from biom3_tpu.cli import run_server
+
+    base = ["prog"]
+    for i in (1, 2, 3):
+        base += [f"--stage{i}_json", "x", f"--stage{i}_model", "y"]
+
+    with mock.patch.object(sys, "argv", base + ["--preset", "latency"]):
+        args = run_server.parse_arguments()
+    assert (args.positions_per_step, args.temperature, args.chunk_steps,
+            args.sampler, args.continuous) == (8, 0.0, 16, "ardm", "on")
+
+    with mock.patch.object(
+        sys, "argv", base + ["--preset", "latency", "--chunk_steps", "128"]
+    ):
+        args = run_server.parse_arguments()
+    assert args.chunk_steps == 128 and args.positions_per_step == 8
+
+    with mock.patch.object(sys, "argv", base + ["--preset", "throughput"]):
+        args = run_server.parse_arguments()
+    assert args.sampler == "maskgit" and args.continuous == "off"
+
+    with mock.patch.object(sys, "argv", base):
+        args = run_server.parse_arguments()
+    assert args.sampler == "ardm" and args.preset is None

@@ -12,7 +12,13 @@ timed by host fetch of a tiny slice (CLAUDE.md tunnel protocol), best of
   * ``ff_only``     — 16x fused_ff_half
   * ``forward``     — full fused apply (embedding + biases + layers), hidden out
   * ``step``        — the real sampler chunk (forward + gather + head + sample
-                      + one-hot write + scan carry)
+                      + one-hot write + scan carry).  Default
+                      ``--sampler-path stack`` times the SAME whole-stack
+                      int8 executable as bench.py's headline metric
+                      (~17.6 ms/step r4), so the two instruments agree;
+                      ``--sampler-path fused`` times the per-layer kernel
+                      path (~26.5 ms/step — the pre-r5 probe) for the
+                      kernel attribution below.
 
 Run:  python tools/profile_sampler.py [--steps 128] [--runs 2] [--batch 32]
 """
@@ -47,6 +53,13 @@ def main():
     # (HTTP 413) — run heavyweight probes in separate processes via --which
     ap.add_argument("--which", default="all",
                     choices=["all", "kernels", "forward", "step"])
+    ap.add_argument("--sampler-path", default="stack",
+                    choices=["stack", "fused"],
+                    help="executable for the step probe: 'stack' = the "
+                         "serving/bench whole-stack int8 kernel (the two "
+                         "instruments then agree); 'fused' = the per-layer "
+                         "fused kernels + separate head (r4's probe — "
+                         "~26.5 vs 17.6 ms/step, attribution only)")
     args = ap.parse_args()
 
     from biom3_tpu.config import ProteoScribeConfig
@@ -145,9 +158,26 @@ def main():
     if args.which == "forward":
         return
 
-    head_fn = lambda v, h: final_head(cfg, v["params"] if "params" in v else v, h)
-    sampler = make_sampler(fused, cfg.num_timesteps, chunk_steps=steps,
-                           head_fn=head_fn)
+    # the step probe times the SAME executable bench.py's headline metric
+    # times (whole-stack resident kernel, int8 FF/proj, dl stream, VPU
+    # opts) — r4 left a 26.5 vs 17.6 ms/step discrepancy between the two
+    # instruments because this probe still ran the per-layer fused-kernel
+    # path with a separate head call; --sampler-path fused keeps that
+    # older path measurable for layer-kernel attribution
+    if args.sampler_path == "stack":
+        from biom3_tpu.models.fused_forward import make_stack_apply
+
+        stack = make_stack_apply(cfg, gelu="tanh", resident=True,
+                                 ff_quant="int8", proj_quant="int8",
+                                 stream="dl", softmax_opt=True,
+                                 ln_onepass=True)
+        sampler = make_sampler(stack, cfg.num_timesteps, chunk_steps=steps,
+                               apply_takes_positions=True)
+    else:
+        head_fn = lambda v, h: final_head(
+            cfg, v["params"] if "params" in v else v, h)
+        sampler = make_sampler(fused, cfg.num_timesteps, chunk_steps=steps,
+                               head_fn=head_fn)
     path = sample_permutations(jax.random.key(2), B, L)
 
     # one chunk of the real sampler = steps real steps
@@ -171,7 +201,10 @@ def main():
           f"{full_warm:.1f} s)")
     print(f"seqs/s parity: {B / best_full:.3f}")
 
-    if args.which == "all":
+    if args.which == "all" and args.sampler_path == "fused":
+        # attribution only makes sense when 'step' ran the same per-layer
+        # kernels the 'layers'/'forward' probes ran — the stack-path step
+        # is a different (faster) executable
         print("\nattribution (ms/step):")
         print(f"  layers        {results['layers']*1e3:7.2f}")
         print(f"    attn        {results['attn_only']*1e3:7.2f}")
