@@ -49,6 +49,15 @@ def parse_arguments():
                         "log r4_train_s1_b24).  Shard over a mesh for "
                         "larger global batches.")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--optimizer", choices=["adamw", "adafactor"],
+                   default=None,
+                   help="override the config's optimizer; adafactor's "
+                        "factored second moments lift the single-chip "
+                        "batch ceiling (see --batch_size)")
+    p.add_argument("--moment_dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="adamw first-moment dtype; bfloat16 frees ~1.5 GB "
+                        "at full size")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize tower layers in the backward pass — "
                         "required to fit full-size (650M-tower) training on "
@@ -151,6 +160,10 @@ def main() -> None:
     ):
         print(f"model_type=pfam: mapping dataset_type {dataset_type!r} -> 'pfam'")
         dataset_type = "pfam"
+    if args.optimizer:
+        cfg.optimizer = args.optimizer
+    if args.moment_dtype:
+        cfg.moment_dtype = args.moment_dtype
     tx = make_stage1_optimizer(cfg)
     state = TrainState.create(params, tx)
     # donate the state: without aliasing, input+output params/moments

@@ -159,8 +159,16 @@ def make_stage1_train_step(
 
 
 def make_stage1_optimizer(cfg) -> optax.GradientTransformation:
-    """Per-group AdamW: protein tower / text tower / projection heads each at
-    their own LR (ref configure_optimizers, PL_wrapper.py:1309-1326)."""
+    """Per-group optimizer: protein tower / text tower / projection heads
+    each at their own LR (ref configure_optimizers, PL_wrapper.py:1309-1326).
+
+    Beyond the reference's AdamW: ``"optimizer": "adafactor"`` (factored
+    second moments) and ``"moment_dtype": "bfloat16"`` (bf16 Adam first
+    moment) compress the f32 optimizer states that cap the single-chip
+    batch at 16 (BACKLOG r4 "Stage-1 knee"; the reference's answer to the
+    same wall is DeepSpeedCPUAdam CPU offload)."""
+    import jax.numpy as jnp
+
     from biom3_tpu.training.optim import make_grouped_optimizer
 
     def group_of(path) -> str:
@@ -172,6 +180,14 @@ def make_stage1_optimizer(cfg) -> optax.GradientTransformation:
             return "text"
         return "heads"
 
+    moment_dtype = cfg.get("moment_dtype", None)
+    if moment_dtype in (None, "None", "float32"):
+        moment_dtype = None
+    elif moment_dtype == "bfloat16":
+        moment_dtype = jnp.bfloat16
+    else:
+        raise ValueError(f"moment_dtype must be float32/bfloat16, "
+                         f"got {moment_dtype!r}")
     return make_grouped_optimizer(
         group_of,
         {
@@ -181,4 +197,6 @@ def make_stage1_optimizer(cfg) -> optax.GradientTransformation:
         },
         weight_decay=cfg.float("weight_decay", 0.0),
         decay_groups=("protein", "text", "heads"),
+        optimizer=cfg.get("optimizer", "adamw"),
+        moment_dtype=moment_dtype,
     )

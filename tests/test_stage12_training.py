@@ -246,3 +246,50 @@ def test_stage1_layer_block_matches_xla(rng):
     # parity through the fused layers is covered leaf-by-leaf in
     # tests/test_esm2_block.py::test_esm2_layer_block_grad_parity.
     assert int(states["block"].step) == 1
+
+
+@pytest.mark.parametrize("opt_cfg", [
+    {"optimizer": "adafactor"},
+    {"moment_dtype": "bfloat16"},
+])
+def test_stage1_compressed_optimizer_states_learn(opt_cfg, rng):
+    """Optimizer-state compression (VERDICT r4 #2 — the levers for the
+    B=16 single-chip HBM wall): adafactor's factored second moments and
+    bf16 Adam first moments both step the toy trainer and reduce the
+    loss over a short run; bf16-mu states really are bf16."""
+    model = PenCL(TINY)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1, 8), jnp.int32), method=PenCL.init_all_params,
+    )
+    cfg = Config({"protein_encoder_lr": 3e-4, "text_encoder_lr": 3e-4,
+                  "head_lr": 3e-4, "weight_decay": "5e-7", **opt_cfg})
+    tx = make_stage1_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_stage1_train_step(
+        model.apply, tx, temperature=0.8, dataset_type="pfam",
+        text_mask_id=5, protein_mask_id=32,
+    ))
+    batch = _batch(rng)
+    losses = []
+    for i in range(24):
+        state, aux = step(state, batch, jax.random.key(i))
+        losses.append(float(aux["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # adafactor's relative step sizing is noisy on a toy model — compare
+    # window means, not endpoints
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+    if opt_cfg.get("moment_dtype") == "bfloat16":
+        mus = [l for l in jax.tree.leaves(state.opt_state)
+               if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+        assert mus, "no bf16 moment states found"
+
+
+def test_stage1_optimizer_rejects_bad_moment_dtype():
+    with pytest.raises(ValueError, match="moment_dtype"):
+        make_stage1_optimizer(Config({"moment_dtype": "float16"}))
+    with pytest.raises(ValueError, match="adamw only"):
+        make_stage1_optimizer(Config({
+            "optimizer": "adafactor", "moment_dtype": "bfloat16",
+        }))

@@ -53,6 +53,15 @@ def main():
                     help="layer_block = fused ESM2 layer custom-VJP kernels "
                          "(ops/pallas/esm2_block_tpu; backward recomputes "
                          "from layer inputs, so remat is forced off)")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adafactor"],
+                    help="optimizer-state compression A/B (VERDICT r4 #2): "
+                         "adafactor's factored second moments free ~5.9 GB "
+                         "of HBM at 762M params vs AdamW")
+    ap.add_argument("--moment-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="adamw first-moment dtype (bfloat16 frees ~1.5 GB "
+                         "at 762M params)")
     args = ap.parse_args()
 
     if args.remat_mode is not None:
@@ -106,7 +115,9 @@ def main():
     print(f"init: {n_params/1e6:.0f}M params in {time.perf_counter()-t0:.0f}s")
 
     opt_cfg = Config({"protein_encoder_lr": 5e-4, "text_encoder_lr": 5e-4,
-                      "head_lr": 5e-4, "weight_decay": "5e-7"})
+                      "head_lr": 5e-4, "weight_decay": "5e-7",
+                      "optimizer": args.optimizer,
+                      "moment_dtype": args.moment_dtype})
     tx = make_stage1_optimizer(opt_cfg)
     state = TrainState.create(params, tx)
     step = make_stage1_train_step(
@@ -149,7 +160,9 @@ def main():
     print(f"{ms:8.1f} ms/step  {pairs/ (best/args.steps):6.2f} pairs/s  "
           f"~{tf_step/(best/args.steps):5.1f} TF/s "
           f"(MFU ~{tf_step/(best/args.steps)/args.peak*100:.0f}%)  "
-          f"loss={loss:.4f}  (compile {compile_s:.0f}s)")
+          f"loss={loss:.4f}  (compile {compile_s:.0f}s)  "
+          f"[B={B} {args.optimizer}"
+          f"{'/bf16-mu' if args.moment_dtype == 'bfloat16' else ''}]")
 
 
 if __name__ == "__main__":
