@@ -199,22 +199,29 @@ class TrajectoryBatcher:
 
     def _embed_pending(self) -> None:
         """One padded embed call for every queued group still lacking
-        z_c.  With a dispatch in flight the embed's device work queues
-        behind it — the round-trip hides under trajectory execution.  A
+        z_c.  Uses the pipeline's DEVICE-resident admission embed when it
+        has one (one async enqueue chain, no host round-trip — the z_c
+        rows stay on device until they ride a sampler dispatch); the
+        fetching ``embed()`` is the fallback for pipeline shims.  A
         failure fails ONLY the groups whose embed it was."""
         with self._cv:
             need = [g for g in self._pending if g["z_c"] is None][: self.R]
         if not need:
             return
         try:
-            _, z_c = self.pipeline.embed(
-                [g["request"]["prompt"] for g in need]
-            )
+            embed_dev = getattr(self.pipeline, "embed_rows_device", None)
+            if embed_dev is not None:
+                z_c = embed_dev([g["request"]["prompt"] for g in need])
+            else:
+                _, z_c = self.pipeline.embed(
+                    [g["request"]["prompt"] for g in need]
+                )
         except Exception as exc:  # noqa: BLE001 — forwarded per group
             self._fail_groups(need, exc)
             return
-        for g, z in zip(need, z_c):
-            g["z_c"] = np.asarray(z, np.float32)
+        for i, g in enumerate(need):
+            # device slice (lazy) or numpy row — _dispatch stacks either
+            g["z_c"] = z_c[i]
 
     def _ready_rows(self):
         """(group, replica) rows dispatchable right now, FIFO, stopping
@@ -297,17 +304,21 @@ class TrajectoryBatcher:
     def _dispatch(self, rows, key) -> None:
         """Enqueue one fixed-shape dispatch for ``rows``; fetch/decode of
         the PREVIOUS dispatch happens after, overlapping this one's
-        execution."""
-        zc = np.empty((self.R, len(rows[0][0]["z_c"])), np.float32)
+        execution.  z_c rows may be device slices (the admission embed's
+        output) — the stack below enqueues on device without a fetch."""
+        import jax.numpy as jnp
+
+        zc_rows = []
         masked = None
         for i in range(self.R):
             g, _rep = rows[min(i, len(rows) - 1)]  # pad by repetition
-            zc[i] = g["z_c"]
+            zc_rows.append(g["z_c"])
             mids = g["request"].get("masked_ids")
             if mids is not None:
                 if masked is None:
                     masked = np.zeros((self.R, self.L), np.int32)
                 masked[i] = np.asarray(mids, np.int32)
+        zc = jnp.stack(zc_rows).astype(jnp.float32)
         with self._cv:
             for g, rep in rows:
                 g["next_rep"] = max(g["next_rep"], rep + 1)

@@ -239,19 +239,20 @@ def test_trajectory_embed_failure_isolated(tmp_path):
         ok = b.submit({"prompt": "healthy", "num_replicas": 1})
         assert len(ok.result(timeout=120)["sequences"]) == 1
 
-        real_embed = pipeline.embed
+        real_embed = pipeline.embed_rows_device
 
         def flaky_embed(prompts):
             raise RuntimeError("transient tunnel failure")
 
-        pipeline.embed = flaky_embed
+        # the scheduler admits through the device-resident embed
+        pipeline.embed_rows_device = flaky_embed
         f1 = b.submit({"prompt": "victim 1", "num_replicas": 1})
         f2 = b.submit({"prompt": "victim 2", "num_replicas": 1})
         with pytest.raises(RuntimeError, match="transient"):
             f1.result(timeout=60)
         with pytest.raises(RuntimeError, match="transient"):
             f2.result(timeout=60)
-        pipeline.embed = real_embed
+        pipeline.embed_rows_device = real_embed
         assert b.stats.as_dict()["errors"] == 2
         f3 = b.submit({"prompt": "recovered", "num_replicas": 2})
         assert len(f3.result(timeout=120)["sequences"]) == 2
@@ -329,3 +330,58 @@ def test_trajectory_warmup_compiles_row_fn(tmp_path):
         assert "embed_s" in times
     finally:
         server.close()
+
+
+def test_trajectory_mesh_backend(tmp_path):
+    """Multi-chip fast-mode serving: the trajectory row-fn under the
+    (dp, fsdp) mesh (whole-stack kernel via shard_map, interpret mode on
+    the CPU mesh) — generate + merged maskgit inpaint rows, temp-0
+    deterministic across servers."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from biom3_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=2, tp=1))
+
+    def make(tmp):
+        return _tiny_pipeline(
+            tmp,
+            s3_kwargs={"sampler_mode": "maskgit", "maskgit_steps": 4,
+                       "temperature": 0.0},
+            mesh=mesh, interpret=True, rows_per_dispatch=8,
+        )
+
+    server, base = _server(make(tmp_path))
+    try:
+        assert _get(base + "/v1/metrics")["generate_mode"] == "trajectory"
+        out = _post(base + "/v1/generate", {
+            "prompts": ["membrane transport protein",
+                        "kinase with atp binding"],
+            "num_replicas": 2,
+        })
+        seqs = [r["sequences"] for r in out["results"]]
+        assert all(len(s) == 2 for s in seqs)
+        from test_cli import is_subsequence
+
+        inp = _post(base + "/v1/inpaint", {
+            "prompt": "zinc finger", "sequence": "MK??ACDE??",
+            "num_replicas": 2,
+        })
+        for s in inp["results"][0]["sequences"]:
+            assert "?" not in s and is_subsequence("MKACDE", s), s
+    finally:
+        server.close()
+
+    # temp-0 determinism across a fresh server (same params init seed)
+    server2, base2 = _server(make(tmp_path))
+    try:
+        out2 = _post(base2 + "/v1/generate", {
+            "prompts": ["membrane transport protein",
+                        "kinase with atp binding"],
+            "num_replicas": 2,
+        })
+        assert [r["sequences"] for r in out2["results"]] == seqs
+    finally:
+        server2.close()
