@@ -43,11 +43,13 @@ def parse_arguments():
     p.add_argument("--batch_size", type=int, default=None,
                    help="override the config's batch_size (ref default 80 "
                         "assumes a multi-GPU global batch).  Single v5e "
-                        "chip, full-size towers, layer_block kernels: the "
-                        "measured ceiling is 16 (21.9 pairs/s, ~56%% MFU; "
-                        "B=24 exceeds the 15.75G HBM by ~0.4G — r4 chip "
-                        "log r4_train_s1_b24).  Shard over a mesh for "
-                        "larger global batches.")
+                        "chip, full-size towers, layer_block kernels: "
+                        "f32-AdamW states cap it at 16 (21.9 pairs/s, "
+                        "~56%% MFU); with --optimizer adafactor B=32 runs "
+                        "at 23.1 pairs/s ~58%% MFU, and --moment_dtype "
+                        "bfloat16 unlocks B=24 with Adam semantics "
+                        "(22.5 pairs/s) — r5 chip logs r5_train_s1_*.  "
+                        "Shard over a mesh for larger global batches.")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--optimizer", choices=["adamw", "adafactor"],
                    default=None,
@@ -164,6 +166,15 @@ def main() -> None:
         cfg.optimizer = args.optimizer
     if args.moment_dtype:
         cfg.moment_dtype = args.moment_dtype
+    batch_size = (args.batch_size if args.batch_size
+                  else cfg.int("batch_size", 80))
+    if (batch_size > 16 and jax.device_count() == 1
+            and cfg.get("optimizer", "adamw") == "adamw"
+            and cfg.get("moment_dtype") in (None, "None", "float32")):
+        print("note: batch_size > 16 with f32-AdamW states OOMs a single "
+              "16G chip at full size — pass --optimizer adafactor "
+              "(B=32 measured 23.1 pairs/s) or --moment_dtype bfloat16 "
+              "(B=24), or shard over a mesh", flush=True)
     tx = make_stage1_optimizer(cfg)
     state = TrainState.create(params, tx)
     # donate the state: without aliasing, input+output params/moments
@@ -176,8 +187,6 @@ def main() -> None:
         protein_mask_id=dataset.alphabet.mask_idx,
     ), donate_argnums=(0,))
 
-    batch_size = (args.batch_size if args.batch_size
-                  else cfg.int("batch_size", 80))
     rng = np.random.default_rng(cfg.int("seed", 42))
 
     # The pfam CSV must be ROW-ALIGNED with the SwissProt CSV: the loss
