@@ -577,3 +577,17 @@ def test_server_cli_subprocess(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_embed_rows_device_matches_embed(tmp_path):
+    """The scheduler's device-resident admission embed (r5: one async
+    enqueue chain, no host round-trip) must produce the SAME z_c as the
+    client-surface embed() — bit-exact in f32 parity mode."""
+    import numpy as np
+
+    pipeline = _tiny_pipeline(tmp_path)
+    prompts = ["membrane transport protein", "kinase", "zinc finger"]
+    _, z_c = pipeline.embed(prompts)
+    z_dev = np.asarray(pipeline.embed_rows_device(prompts))
+    assert z_dev.shape == z_c.shape
+    np.testing.assert_array_equal(z_dev, z_c)
