@@ -568,6 +568,12 @@ def bench_served(peak):
     lock = threading.Lock()
 
     def client(i):
+        # stagger starts across the first trajectory: simultaneous
+        # arrivals admit as ONE cohort that retires in synchronized
+        # waves, which aliases against the steady-window edges (first
+        # run of this metric read 1.42 for a 1.77 steady rate)
+        if stop.wait(i * 0.25):
+            return
         j = 0
         while not stop.is_set():
             try:
