@@ -211,7 +211,16 @@ class TrajectoryBatcher:
         try:
             embed_dev = getattr(self.pipeline, "embed_rows_device", None)
             if embed_dev is not None:
-                z_c = embed_dev([g["request"]["prompt"] for g in need])
+                # one fused enqueue chain + ONE amortized host fetch per
+                # embed batch.  (Keeping the rows as device slices and
+                # stacking them per dispatch measured WORSE on chip —
+                # r5_serving_maskgit_mixed: ~32 tiny eager slice ops per
+                # dispatch through the tunnel cost more than the single
+                # D2H round-trip they saved.)
+                z_c = np.asarray(
+                    embed_dev([g["request"]["prompt"] for g in need]),
+                    np.float32,
+                )
             else:
                 _, z_c = self.pipeline.embed(
                     [g["request"]["prompt"] for g in need]
@@ -220,7 +229,6 @@ class TrajectoryBatcher:
             self._fail_groups(need, exc)
             return
         for i, g in enumerate(need):
-            # device slice (lazy) or numpy row — _dispatch stacks either
             g["z_c"] = z_c[i]
 
     def _ready_rows(self):
@@ -304,21 +312,17 @@ class TrajectoryBatcher:
     def _dispatch(self, rows, key) -> None:
         """Enqueue one fixed-shape dispatch for ``rows``; fetch/decode of
         the PREVIOUS dispatch happens after, overlapping this one's
-        execution.  z_c rows may be device slices (the admission embed's
-        output) — the stack below enqueues on device without a fetch."""
-        import jax.numpy as jnp
-
-        zc_rows = []
+        execution."""
+        zc = np.empty((self.R, len(rows[0][0]["z_c"])), np.float32)
         masked = None
         for i in range(self.R):
             g, _rep = rows[min(i, len(rows) - 1)]  # pad by repetition
-            zc_rows.append(g["z_c"])
+            zc[i] = g["z_c"]
             mids = g["request"].get("masked_ids")
             if mids is not None:
                 if masked is None:
                     masked = np.zeros((self.R, self.L), np.int32)
                 masked[i] = np.asarray(mids, np.int32)
-        zc = jnp.stack(zc_rows).astype(jnp.float32)
         with self._cv:
             for g, rep in rows:
                 g["next_rep"] = max(g["next_rep"], rep + 1)
