@@ -77,6 +77,7 @@ class TrajectoryBatcher:
         self.L = pipeline.s3.config.max_seq_len
         self.max_wait_s = max_wait_s
         self._pending: deque[dict] = deque()
+        self._embed_flight = None  # (groups, device z_c) awaiting fetch
         self._cv = threading.Condition()
         # unresolved submitted groups (close()'s race-free drain signal:
         # _pending empties BEFORE the dispatch is in flight, so polling
@@ -198,38 +199,58 @@ class TrajectoryBatcher:
                 self._fail_groups(None, exc)
 
     def _embed_pending(self) -> None:
-        """One padded embed call for every queued group still lacking
-        z_c.  Uses the pipeline's DEVICE-resident admission embed when it
-        has one (one async enqueue chain, no host round-trip — the z_c
-        rows stay on device until they ride a sampler dispatch); the
-        fetching ``embed()`` is the fallback for pipeline shims.  A
-        failure fails ONLY the groups whose embed it was."""
+        """Pipelined admission embeds, one batch in flight.
+
+        Two phases per scheduler iteration: (1) RESOLVE the embed batch
+        enqueued last iteration — its device work ran back-to-back after
+        the sampler dispatch that preceded it and its D2H started
+        asynchronously, so the fetch here costs ~nothing; (2) ENQUEUE
+        one fused embed chain (``pipeline.embed_rows_device`` — tower,
+        projection, facilitator in one async chain, no z_t round-trip)
+        for the next batch of groups still lacking z_c.  Newly arrived
+        prompts therefore join the dispatch AFTER next, and the device
+        stream stays ... S_k | E_k | S_k+1 ... with no exposed
+        round-trip.  (Both synchronous variants measured worse on chip:
+        fetching inline serialized ~0.2 s between sampler dispatches —
+        r5_serving_maskgit_traj at 61.4 seqs/s; per-row device slices
+        stacked per dispatch cost ~32 tiny eager tunnel ops —
+        r5_serving_maskgit_mixed.)  A failure fails ONLY the groups
+        whose embed it was.  Pipeline shims without the device embed
+        fall back to the fetching ``embed()``."""
+        flight, self._embed_flight = self._embed_flight, None
+        if flight is not None:
+            groups, z_dev = flight
+            try:
+                z_c = np.asarray(z_dev, np.float32)
+            except Exception as exc:  # noqa: BLE001 — these groups only
+                self._fail_groups(groups, exc)
+            else:
+                for i, g in enumerate(groups):
+                    g["z_c"] = z_c[i]
         with self._cv:
-            need = [g for g in self._pending if g["z_c"] is None][: self.R]
+            need = [g for g in self._pending
+                    if g["z_c"] is None and not g.get("embedding")][: self.R]
         if not need:
             return
         try:
             embed_dev = getattr(self.pipeline, "embed_rows_device", None)
             if embed_dev is not None:
-                # one fused enqueue chain + ONE amortized host fetch per
-                # embed batch.  (Keeping the rows as device slices and
-                # stacking them per dispatch measured WORSE on chip —
-                # r5_serving_maskgit_mixed: ~32 tiny eager slice ops per
-                # dispatch through the tunnel cost more than the single
-                # D2H round-trip they saved.)
-                z_c = np.asarray(
-                    embed_dev([g["request"]["prompt"] for g in need]),
-                    np.float32,
-                )
+                z_dev = embed_dev([g["request"]["prompt"] for g in need])
+                try:
+                    z_dev.copy_to_host_async()
+                except AttributeError:
+                    pass
+                for g in need:
+                    g["embedding"] = True
+                self._embed_flight = (need, z_dev)
             else:
                 _, z_c = self.pipeline.embed(
                     [g["request"]["prompt"] for g in need]
                 )
+                for i, g in enumerate(need):
+                    g["z_c"] = z_c[i]
         except Exception as exc:  # noqa: BLE001 — forwarded per group
             self._fail_groups(need, exc)
-            return
-        for i, g in enumerate(need):
-            g["z_c"] = z_c[i]
 
     def _ready_rows(self):
         """(group, replica) rows dispatchable right now, FIFO, stopping
@@ -389,6 +410,7 @@ class TrajectoryBatcher:
                     for g, _rep in self._flight[0]:
                         found[id(g)] = g
                     self._flight = None
+                self._embed_flight = None  # flight groups are in pending
                 self._pending.clear()
                 groups = list(found.values())
             else:
