@@ -292,7 +292,7 @@ class TrajectoryBatcher:
             window = self.max_wait_s
             if self._flight is not None:
                 window = max(window, 0.5 * self._ema_dispatch_s)
-            deadline = time.monotonic() + min(window, 1.0)
+            deadline = time.monotonic() + min(window, 0.5)
             while time.monotonic() < deadline:
                 with self._cv:
                     rows, seeded = self._ready_rows()
@@ -375,10 +375,15 @@ class TrajectoryBatcher:
             self._fail_groups([g for g, _ in rows], exc)
             return
         wall = time.monotonic() - t0
-        self._ema_dispatch_s = (
-            wall if self._ema_dispatch_s == 0.0
-            else 0.7 * self._ema_dispatch_s + 0.3 * wall
-        )
+        if wall < 10.0:
+            # pacing EMA; compile-length dispatches excluded — seeding
+            # the EMA with a ~50 s first-request compile inflates the
+            # partial-batch coalescing window for the next ~dozen
+            # dispatches
+            self._ema_dispatch_s = (
+                wall if self._ema_dispatch_s == 0.0
+                else 0.7 * self._ema_dispatch_s + 0.3 * wall
+            )
         self.stats.record(len(rows), wall, False)
         for i, (g, rep) in enumerate(rows):
             seq = self._vocab.clean_sequence(
