@@ -217,16 +217,7 @@ class TrajectoryBatcher:
         r5_serving_maskgit_mixed.)  A failure fails ONLY the groups
         whose embed it was.  Pipeline shims without the device embed
         fall back to the fetching ``embed()``."""
-        flight, self._embed_flight = self._embed_flight, None
-        if flight is not None:
-            groups, z_dev = flight
-            try:
-                z_c = np.asarray(z_dev, np.float32)
-            except Exception as exc:  # noqa: BLE001 — these groups only
-                self._fail_groups(groups, exc)
-            else:
-                for i, g in enumerate(groups):
-                    g["z_c"] = z_c[i]
+        self._resolve_embed_flight()
         with self._cv:
             need = [g for g in self._pending
                     if g["z_c"] is None and not g.get("embedding")][: self.R]
@@ -251,6 +242,24 @@ class TrajectoryBatcher:
                     g["z_c"] = z_c[i]
         except Exception as exc:  # noqa: BLE001 — forwarded per group
             self._fail_groups(need, exc)
+
+    def _resolve_embed_flight(self) -> None:
+        """Fetch the in-flight embed batch's z_c rows (blocking).  Cheap
+        when a sampler dispatch ran in between (the D2H completed under
+        it); when called early because admission is short of rows, it
+        waits out the in-flight sampler — the v1 serialization, paid
+        only when the alternative is a padded dispatch."""
+        flight, self._embed_flight = self._embed_flight, None
+        if flight is None:
+            return
+        groups, z_dev = flight
+        try:
+            z_c = np.asarray(z_dev, np.float32)
+        except Exception as exc:  # noqa: BLE001 — these groups only
+            self._fail_groups(groups, exc)
+            return
+        for i, g in enumerate(groups):
+            g["z_c"] = z_c[i]
 
     def _ready_rows(self):
         """(group, replica) rows dispatchable right now, FIFO, stopping
@@ -278,6 +287,13 @@ class TrajectoryBatcher:
         batch is partial AND the wait costs nothing."""
         with self._cv:
             rows, seeded = self._ready_rows()
+        if len(rows) < self.R and self._embed_flight is not None:
+            # short of a full dispatch with embedded rows in flight:
+            # resolve now (waits out the in-flight sampler — the device
+            # stays busy) rather than dispatch padding or bubble a cycle
+            self._resolve_embed_flight()
+            with self._cv:
+                rows, seeded = self._ready_rows()
         if not rows and seeded is None:
             return False
         if seeded is not None and not rows:
