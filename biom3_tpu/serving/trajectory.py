@@ -77,7 +77,6 @@ class TrajectoryBatcher:
         self.L = pipeline.s3.config.max_seq_len
         self.max_wait_s = max_wait_s
         self._pending: deque[dict] = deque()
-        self._embed_flight = None  # (groups, device z_c) awaiting fetch
         self._cv = threading.Condition()
         # unresolved submitted groups (close()'s race-free drain signal:
         # _pending empties BEFORE the dispatch is in flight, so polling
@@ -199,66 +198,34 @@ class TrajectoryBatcher:
                 self._fail_groups(None, exc)
 
     def _embed_pending(self) -> None:
-        """Pipelined admission embeds, one batch in flight.
+        """One padded embed call for every queued group still lacking
+        z_c; with a dispatch in flight, its device work queues behind
+        the executing trajectory.  A failure fails ONLY the groups whose
+        embed it was.
 
-        Two phases per scheduler iteration: (1) RESOLVE the embed batch
-        enqueued last iteration — its device work ran back-to-back after
-        the sampler dispatch that preceded it and its D2H started
-        asynchronously, so the fetch here costs ~nothing; (2) ENQUEUE
-        one fused embed chain (``pipeline.embed_rows_device`` — tower,
-        projection, facilitator in one async chain, no z_t round-trip)
-        for the next batch of groups still lacking z_c.  Newly arrived
-        prompts therefore join the dispatch AFTER next, and the device
-        stream stays ... S_k | E_k | S_k+1 ... with no exposed
-        round-trip.  (Both synchronous variants measured worse on chip:
-        fetching inline serialized ~0.2 s between sampler dispatches —
-        r5_serving_maskgit_traj at 61.4 seqs/s; per-row device slices
-        stacked per dispatch cost ~32 tiny eager tunnel ops —
-        r5_serving_maskgit_mixed.)  A failure fails ONLY the groups
-        whose embed it was.  Pipeline shims without the device embed
-        fall back to the fetching ``embed()``."""
-        self._resolve_embed_flight()
+        Deliberately SYNCHRONOUS (``pipeline.embed``): three async
+        variants were measured on chip and all lost to this
+        (r5 session C, 16 clients × 4 replicas maskgit, same tunnel
+        era): sync 61.4 seqs/s (`r5_serving_maskgit_traj`); fused
+        one-fetch device embed 41.3 (`..._v2`); one-deep pipelined
+        embed flights 39-42 (`..._v3*`); lazy-resolved flights 13.8
+        with p95 blowups (`..._v4`); legacy request-granular control
+        54.8 (`..._micro_ctl`).  The flight variants starve admission —
+        rows arrive one dispatch late, the coalescing window then fires
+        on nearly every dispatch — and eager per-row device slicing
+        costs more tunnel ops than the round-trip it saves."""
         with self._cv:
-            need = [g for g in self._pending
-                    if g["z_c"] is None and not g.get("embedding")][: self.R]
+            need = [g for g in self._pending if g["z_c"] is None][: self.R]
         if not need:
             return
         try:
-            embed_dev = getattr(self.pipeline, "embed_rows_device", None)
-            if embed_dev is not None:
-                z_dev = embed_dev([g["request"]["prompt"] for g in need])
-                try:
-                    z_dev.copy_to_host_async()
-                except AttributeError:
-                    pass
-                for g in need:
-                    g["embedding"] = True
-                self._embed_flight = (need, z_dev)
-            else:
-                _, z_c = self.pipeline.embed(
-                    [g["request"]["prompt"] for g in need]
-                )
-                for i, g in enumerate(need):
-                    g["z_c"] = z_c[i]
+            _, z_c = self.pipeline.embed(
+                [g["request"]["prompt"] for g in need]
+            )
         except Exception as exc:  # noqa: BLE001 — forwarded per group
             self._fail_groups(need, exc)
-
-    def _resolve_embed_flight(self) -> None:
-        """Fetch the in-flight embed batch's z_c rows (blocking).  Cheap
-        when a sampler dispatch ran in between (the D2H completed under
-        it); when called early because admission is short of rows, it
-        waits out the in-flight sampler — the v1 serialization, paid
-        only when the alternative is a padded dispatch."""
-        flight, self._embed_flight = self._embed_flight, None
-        if flight is None:
             return
-        groups, z_dev = flight
-        try:
-            z_c = np.asarray(z_dev, np.float32)
-        except Exception as exc:  # noqa: BLE001 — these groups only
-            self._fail_groups(groups, exc)
-            return
-        for i, g in enumerate(groups):
+        for i, g in enumerate(need):
             g["z_c"] = z_c[i]
 
     def _ready_rows(self):
@@ -287,13 +254,6 @@ class TrajectoryBatcher:
         batch is partial AND the wait costs nothing."""
         with self._cv:
             rows, seeded = self._ready_rows()
-        if len(rows) < self.R and self._embed_flight is not None:
-            # short of a full dispatch with embedded rows in flight:
-            # resolve now (waits out the in-flight sampler — the device
-            # stays busy) rather than dispatch padding or bubble a cycle
-            self._resolve_embed_flight()
-            with self._cv:
-                rows, seeded = self._ready_rows()
         if not rows and seeded is None:
             return False
         if seeded is not None and not rows:
@@ -431,7 +391,6 @@ class TrajectoryBatcher:
                     for g, _rep in self._flight[0]:
                         found[id(g)] = g
                     self._flight = None
-                self._embed_flight = None  # flight groups are in pending
                 self._pending.clear()
                 groups = list(found.values())
             else:

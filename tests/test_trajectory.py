@@ -239,20 +239,19 @@ def test_trajectory_embed_failure_isolated(tmp_path):
         ok = b.submit({"prompt": "healthy", "num_replicas": 1})
         assert len(ok.result(timeout=120)["sequences"]) == 1
 
-        real_embed = pipeline.embed_rows_device
+        real_embed = pipeline.embed
 
         def flaky_embed(prompts):
             raise RuntimeError("transient tunnel failure")
 
-        # the scheduler admits through the device-resident embed
-        pipeline.embed_rows_device = flaky_embed
+        pipeline.embed = flaky_embed
         f1 = b.submit({"prompt": "victim 1", "num_replicas": 1})
         f2 = b.submit({"prompt": "victim 2", "num_replicas": 1})
         with pytest.raises(RuntimeError, match="transient"):
             f1.result(timeout=60)
         with pytest.raises(RuntimeError, match="transient"):
             f2.result(timeout=60)
-        pipeline.embed_rows_device = real_embed
+        pipeline.embed = real_embed
         assert b.stats.as_dict()["errors"] == 2
         f3 = b.submit({"prompt": "recovered", "num_replicas": 2})
         assert len(f3.result(timeout=120)["sequences"]) == 2
