@@ -562,7 +562,7 @@ def bench_served(peak):
     batcher.warmup()
     compile_s = time.perf_counter() - t0
 
-    budget_s = float(os.environ.get("BIOM3_SERVED_BUDGET_S", "45"))
+    budget_s = float(os.environ.get("BIOM3_SERVED_BUDGET_S", "75"))
     completions: list[float] = []
     stop = threading.Event()
     lock = threading.Lock()
@@ -600,10 +600,22 @@ def bench_served(peak):
     for t in threads:
         t.join(timeout=30)
 
-    window_start = t_start + (t_end - t_start) / 2
+    # steady window: one full trajectory AFTER retirements begin — the
+    # ramp admits faster than slots retire (queued clients fill freed
+    # slots in bursts), so windows that include any part of the first
+    # rotation read HIGH (a 45 s budget with a half-budget window
+    # measured 1.35x the offline rate — impossible in steady state)
     with lock:
-        steady = [c for c in completions if c >= window_start]
-    rate = len(steady) / (t_end - window_start)
+        all_c = sorted(completions)
+    if not all_c:
+        rate, steady = 0.0, []
+    else:
+        window_start = all_c[0] + 20.0
+        steady = [c for c in all_c if c >= window_start]
+        span = t_end - window_start
+        rate = len(steady) / span if span > 5.0 else len(all_c) / (
+            t_end - t_start
+        )
     occ = (pipe._rows_live / (R * pipe._dispatches)
            if pipe._dispatches else 0.0)
     return {
