@@ -265,10 +265,15 @@ class TrajectoryBatcher:
             # Arrivals during the window are embedded HERE (their device
             # work queues behind the in-flight trajectory) so they can
             # actually join this dispatch.
+            # a full dispatch-time window: while a dispatch executes the
+            # wait is free, and filling 8 more rows beats dispatching at
+            # 24/32 (A/B: a 0.5x-EMA window read occupancy 0.80 / 55.4
+            # seqs/s vs 1.00 / 61.4 at the ~1x-window behavior —
+            # r5_serving_maskgit_traj_final vs ..._traj)
             window = self.max_wait_s
             if self._flight is not None:
-                window = max(window, 0.5 * self._ema_dispatch_s)
-            deadline = time.monotonic() + min(window, 0.5)
+                window = max(window, self._ema_dispatch_s)
+            deadline = time.monotonic() + min(window, 1.0)
             while time.monotonic() < deadline:
                 with self._cv:
                     rows, seeded = self._ready_rows()
