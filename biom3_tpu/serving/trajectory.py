@@ -265,14 +265,17 @@ class TrajectoryBatcher:
             # Arrivals during the window are embedded HERE (their device
             # work queues behind the in-flight trajectory) so they can
             # actually join this dispatch.
-            # a full dispatch-time window: while a dispatch executes the
-            # wait is free, and filling 8 more rows beats dispatching at
-            # 24/32 (A/B: a 0.5x-EMA window read occupancy 0.80 / 55.4
-            # seqs/s vs 1.00 / 61.4 at the ~1x-window behavior —
-            # r5_serving_maskgit_traj_final vs ..._traj)
+            # TWO dispatch-times of coalescing while a dispatch is in
+            # flight: the closed-loop arrival chain after a retirement
+            # (HTTP response -> client resubmit -> admission embed,
+            # ~0.3 s of which runs INSIDE this window) needs more than
+            # one dispatch-time to refill 32 rows.  Measured ladder at
+            # 16 clients x 4 replicas maskgit: ~1 s window -> occupancy
+            # 1.00 / 61.4 seqs/s; 0.5x-EMA -> 0.80 / 55.4; 1x-EMA ->
+            # 0.80 / 38-42 (r5_serving_maskgit_traj* logs)
             window = self.max_wait_s
             if self._flight is not None:
-                window = max(window, self._ema_dispatch_s)
+                window = max(window, 2.0 * self._ema_dispatch_s)
             deadline = time.monotonic() + min(window, 1.0)
             while time.monotonic() < deadline:
                 with self._cv:
