@@ -205,12 +205,13 @@ class TrajectoryBatcher:
 
         Deliberately SYNCHRONOUS (``pipeline.embed``): three async
         variants were measured on chip and all lost to this
-        (r5 session C, 16 clients × 4 replicas maskgit, same tunnel
-        era): sync 61.4 seqs/s (`r5_serving_maskgit_traj`); fused
-        one-fetch device embed 41.3 (`..._v2`); one-deep pipelined
-        embed flights 39-42 (`..._v3*`); lazy-resolved flights 13.8
-        with p95 blowups (`..._v4`); legacy request-granular control
-        54.8 (`..._micro_ctl`).  The flight variants starve admission —
+        (r5 sessions C-H, 16 clients × 4 replicas maskgit): sync 61.4 →
+        **70.0 seqs/s with the 2× coalescing window**
+        (`r5_serving_maskgit_traj`, `..._final3`); fused one-fetch
+        device embed 41.3 (`..._v2`); one-deep pipelined embed flights
+        39-42 (`..._v3*`); lazy-resolved flights 13.8 with p95 blowups
+        (`..._v4`); legacy request-granular control 54.8
+        (`..._micro_ctl`).  The flight variants starve admission —
         rows arrive one dispatch late, the coalescing window then fires
         on nearly every dispatch — and eager per-row device slicing
         costs more tunnel ops than the round-trip it saves."""
