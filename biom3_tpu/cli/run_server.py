@@ -70,6 +70,10 @@ def parse_arguments():
     p.add_argument("--max_wait_ms", type=float, default=50.0,
                    help="batch coalescing window after the first request")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--embed_cache", type=int, default=4096,
+                   help="prompt → (z_t, z_c) LRU entries (repeated "
+                        "prompts skip the text tower + facilitator "
+                        "dispatch; bit-identical values); 0 disables")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--positions_per_step", type=int, default=1,
                    help=">1 enables blocked fast decoding (certified for "
@@ -157,6 +161,7 @@ def main() -> None:
         default_replicas=args.num_replicas,
         seed=args.seed,
         mesh=mesh,
+        embed_cache=args.embed_cache,
     )
     server = BioM3Server(
         pipeline, host=args.host, port=args.port,

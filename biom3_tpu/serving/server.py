@@ -68,6 +68,7 @@ class ServingPipeline:
         seed: int = 0,
         mesh=None,
         interpret: bool = False,
+        embed_cache: int = 4096,
     ):
         self.s1 = stage1_engine
         self.s2 = stage2_engine
@@ -112,6 +113,17 @@ class ServingPipeline:
         # threads (see module docstring); held per device call (one embed
         # batch / one sample batch), not across a whole generate request
         self._device_lock = threading.Lock()
+        # prompt → (z_t row, z_c row) LRU: serving workloads repeat
+        # prompts (every replica batch, retries, templated requests);
+        # a hit skips the BERT tower + facilitator dispatch entirely.
+        # ~2.5 KB/entry at the reference dims; embed_cache=0 disables.
+        from collections import OrderedDict
+
+        self._embed_cache_cap = int(embed_cache)
+        self._embed_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self._cache_hits = 0
+        self._cache_misses = 0
 
     def _next_key(self) -> jax.Array:
         with self._key_lock:
@@ -129,17 +141,63 @@ class ServingPipeline:
             self._rows_padded += self.rows_per_dispatch - live_rows
 
     def embed(self, prompts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """prompts → (z_t, z_c), padded to a fixed batch internally."""
+        """prompts → (z_t, z_c); repeated prompts (within the batch or
+        across requests) come from the LRU cache, the rest run padded to
+        a fixed device batch.  Cached rows are the same f32 values the
+        towers produced, so results are bit-identical with or without
+        the cache."""
         n = len(prompts)
         if n == 0:
             raise ValueError("embed() needs at least one prompt")
-        padded = prompts + [prompts[-1]] * (-n % self.rows_per_dispatch)
-        with self._device_lock:
-            z_t = self.s1.embed_text(
-                padded, batch_size=self.rows_per_dispatch
+        rows: dict[str, tuple] = {}
+        if self._embed_cache_cap:
+            with self._cache_lock:
+                for p in set(prompts):
+                    hit = self._embed_cache.get(p)
+                    if hit is not None:
+                        self._embed_cache.move_to_end(p)
+                        rows[p] = hit
+                self._cache_hits += sum(
+                    1 for p in prompts if p in rows
+                )
+        # unique misses, first-seen order (also dedups within the batch)
+        misses = [p for p in dict.fromkeys(prompts) if p not in rows]
+        if misses:
+            if self._embed_cache_cap:
+                with self._cache_lock:
+                    self._cache_misses += sum(
+                        1 for p in prompts if p not in rows
+                    )
+            padded = misses + [misses[-1]] * (
+                -len(misses) % self.rows_per_dispatch
             )
-            z_c = np.asarray(self.s2(z_t))
-        return np.asarray(z_t)[:n], z_c[:n]
+            with self._device_lock:
+                z_t = self.s1.embed_text(
+                    padded, batch_size=self.rows_per_dispatch
+                )
+                z_c = np.asarray(self.s2(z_t))
+            z_t = np.asarray(z_t)
+            for i, p in enumerate(misses):
+                rows[p] = (z_t[i], z_c[i])
+            if self._embed_cache_cap:
+                with self._cache_lock:
+                    for p in misses:
+                        self._embed_cache[p] = rows[p]
+                        self._embed_cache.move_to_end(p)
+                    while len(self._embed_cache) > self._embed_cache_cap:
+                        self._embed_cache.popitem(last=False)
+        z_t_out = np.stack([rows[p][0] for p in prompts])
+        z_c_out = np.stack([rows[p][1] for p in prompts])
+        return z_t_out, z_c_out
+
+    def embed_cache_stats(self) -> dict:
+        with self._cache_lock:
+            return {
+                "capacity": self._embed_cache_cap,
+                "size": len(self._embed_cache),
+                "hits": self._cache_hits,
+                "misses": self._cache_misses,
+            }
 
     def embed_rows_device(self, prompts: list[str]):
         """Scheduler-admission embed: prompts → DEVICE z_c (n, C), one
@@ -533,6 +591,8 @@ class BioM3Server:
                             else server._inpaint_batcher.stats.as_dict()
                         ),
                         "embed": server._embed_batcher.stats.as_dict(),
+                        "embed_cache":
+                            server.pipeline.embed_cache_stats(),
                         "device": server.pipeline.device_stats(),
                         # operator memory view (the reference's pynvml/
                         # psutil probes, SURVEY.md component 7, as live

@@ -591,3 +591,44 @@ def test_embed_rows_device_matches_embed(tmp_path):
     z_dev = np.asarray(pipeline.embed_rows_device(prompts))
     assert z_dev.shape == z_c.shape
     np.testing.assert_array_equal(z_dev, z_c)
+
+
+def test_embed_cache_hits_and_equality(tmp_path):
+    """The prompt→(z_t, z_c) LRU: repeated prompts skip the towers, the
+    values are bit-identical to uncached embeds, dedup happens within a
+    batch, and the capacity bound evicts LRU-first."""
+    import numpy as np
+
+    pipeline = _tiny_pipeline(tmp_path)
+    uncached = _tiny_pipeline(tmp_path, embed_cache=0)
+    calls = {"n": 0}
+    real = pipeline.s1.embed_text
+
+    def counting(prompts, batch_size=32):
+        calls["n"] += 1
+        return real(prompts, batch_size=batch_size)
+
+    pipeline.s1.embed_text = counting
+
+    prompts = ["alpha helix bundle", "beta barrel", "alpha helix bundle"]
+    z_t, z_c = pipeline.embed(prompts)
+    assert calls["n"] == 1
+    ref_t, ref_c = uncached.embed(prompts)
+    np.testing.assert_array_equal(np.asarray(z_t, np.float32),
+                                  np.asarray(ref_t, np.float32))
+    np.testing.assert_array_equal(z_c, ref_c)
+    # within-batch dedup: identical rows for identical prompts
+    np.testing.assert_array_equal(z_c[0], z_c[2])
+
+    # full repeat: zero tower calls
+    z_t2, z_c2 = pipeline.embed(prompts)
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(z_c2, z_c)
+    stats = pipeline.embed_cache_stats()
+    assert stats["hits"] >= 3 and stats["size"] == 2
+
+    # capacity bound
+    small = _tiny_pipeline(tmp_path, embed_cache=2)
+    for i in range(4):
+        small.embed([f"prompt {i}"])
+    assert small.embed_cache_stats()["size"] == 2

@@ -63,6 +63,9 @@ def main() -> None:
                     help="non-continuous generate scheduler: row-granular "
                          "depth-1-pipelined (default) vs legacy request-"
                          "granular MicroBatcher (A/B baseline)")
+    ap.add_argument("--embed-cache", type=int, default=4096,
+                    help="prompt embed LRU entries (0 disables — the "
+                         "no-cache A/B control)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
     args = ap.parse_args()
 
@@ -104,6 +107,7 @@ def main() -> None:
     pipeline = ServingPipeline(
         s1, s2, s3, rows_per_dispatch=args.rows,
         default_replicas=args.replicas,
+        embed_cache=args.embed_cache,
     )
     # compiles ride the first request (below); the stack-kernel/maskgit
     # executables have been observed at up to ~930 s through the tunnel's
@@ -201,6 +205,7 @@ def main() -> None:
         "continuous": server.continuous,
         "continuous_inpaint": server.continuous_inpaint,
         "packed_scheduler": server.packed_scheduler,
+        "embed_cache": args.embed_cache,
         "inpaint_merged": server._inpaint_batcher is server._gen_batcher,
     }
     print(json.dumps(report), flush=True)
