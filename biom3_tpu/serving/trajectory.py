@@ -260,20 +260,18 @@ class TrajectoryBatcher:
         if seeded is not None and not rows:
             return self._dispatch_seeded(seeded)
         if len(rows) < self.R:
-            # adaptive coalescing: with a dispatch in flight the device
-            # stays busy while we wait, so the window stretches toward
-            # the measured dispatch time; idle, only the base window.
+            # Adaptive coalescing: with a dispatch in flight the device
+            # stays busy while we wait; idle, only the base window.
             # Arrivals during the window are embedded HERE (their device
             # work queues behind the in-flight trajectory) so they can
-            # actually join this dispatch.
-            # TWO dispatch-times of coalescing while a dispatch is in
-            # flight: the closed-loop arrival chain after a retirement
-            # (HTTP response -> client resubmit -> admission embed,
-            # ~0.3 s of which runs INSIDE this window) needs more than
-            # one dispatch-time to refill 32 rows.  Measured ladder at
-            # 16 clients x 4 replicas maskgit: ~1 s window -> occupancy
-            # 1.00 / 61.4 seqs/s; 0.5x-EMA -> 0.80 / 55.4; 1x-EMA ->
-            # 0.80 / 38-42 (r5_serving_maskgit_traj* logs)
+            # actually join this dispatch.  TWO dispatch-times of
+            # budget: the closed-loop refill chain after a retirement
+            # (HTTP response -> client resubmit -> in-window admission
+            # embed ~0.3 s) needs more than one dispatch-time to refill
+            # 32 rows.  Measured ladder (16 clients x 4 replicas
+            # maskgit): ~1 s window -> occupancy 1.00 / 61.4-70.0
+            # seqs/s; 0.5x-EMA -> 0.80 / 55.4; 1x-EMA -> 0.80 / 38
+            # (r5_serving_maskgit_traj* logs)
             window = self.max_wait_s
             if self._flight is not None:
                 window = max(window, 2.0 * self._ema_dispatch_s)
