@@ -39,7 +39,11 @@ PRESETS = {
     "latency": {
         "sampler": "ardm", "decode_order": "path", "temperature": 0.0,
         "positions_per_step": 8, "chunk_steps": 16,
-        "rows_per_dispatch": 32, "continuous": "on",
+        "rows_per_dispatch": 32, "continuous": "off",
+        # r5 A/B: the trajectory scheduler serves blocked-k8-t0 at 13.8
+        # seqs/s @ occupancy 1.00 (98% of the 14.05 offline rate) vs
+        # 12.3 @ 0.97 through the continuous scheduler (r4) —
+        # ~16-forward trajectories have no useful chunk boundaries
     },
     "throughput": {
         "sampler": "maskgit", "maskgit_steps": 16, "temperature": 1.0,

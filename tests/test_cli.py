@@ -586,7 +586,7 @@ def test_run_server_preset_bundles():
     with mock.patch.object(sys, "argv", base + ["--preset", "latency"]):
         args = run_server.parse_arguments()
     assert (args.positions_per_step, args.temperature, args.chunk_steps,
-            args.sampler, args.continuous) == (8, 0.0, 16, "ardm", "on")
+            args.sampler, args.continuous) == (8, 0.0, 16, "ardm", "off")
 
     with mock.patch.object(
         sys, "argv", base + ["--preset", "latency", "--chunk_steps", "128"]
