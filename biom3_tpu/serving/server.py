@@ -200,17 +200,19 @@ class ServingPipeline:
             }
 
     def embed_rows_device(self, prompts: list[str]):
-        """Scheduler-admission embed: prompts → DEVICE z_c (n, C), one
-        async enqueue chain with NO host round-trip.
+        """prompts → DEVICE z_c (n, C): one async enqueue chain (tower,
+        projection, facilitator back-to-back) with no host round-trip —
+        unlike ``embed()``, which fetches z_t to host, re-uploads it to
+        Stage-2 and fetches z_c.
 
-        ``embed()`` (the client surface) fetches z_t to host, re-uploads
-        it to Stage-2 and fetches z_c — two serialized round-trips that
-        showed up as per-dispatch dead time between the trajectory
-        scheduler's pipelined sampler dispatches (r5 chip log
-        ``r5_serving_maskgit_traj``: 0.52 s/dispatch wall vs 0.35 s
-        compute at occupancy 1.00).  Here the BERT tower, projection and
-        facilitator all enqueue back-to-back and the z_c rows stay
-        device-resident until they ride a sampler dispatch as arguments.
+        NOT used by the shipped schedulers: every async-admission-embed
+        variant built on this measured WORSE on chip than the
+        synchronous ``embed()`` (the r5 A/B ladder in
+        ``serving/trajectory.py``'s docstring — flight pipelining
+        starves admission, per-row device slices cost more tunnel ops
+        than the fetch they save).  Kept (bit-parity-tested against
+        ``embed()``) for library callers who want a device-resident z_c
+        without the fetch, e.g. to feed another on-device computation.
         """
         import jax.numpy as jnp
 
